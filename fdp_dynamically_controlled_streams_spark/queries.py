@@ -1,0 +1,741 @@
+"""Query catalog: every operator from SURVEY.md §2 (plus the charter's
+LLM-data-pipeline extensions) as a named query with (a) a Spark DataFrame
+callable and (b) an ANSI-SQL DuckDB-oracle twin.
+
+Numeric portability conventions (so value hashes match the oracle exactly):
+  * money/quantity sums go through DECIMAL(18,4) (exact in both engines,
+    order-independent), final output cast to DOUBLE and rounded.
+  * averages are computed as round(exact_decimal_sum / count, 6).
+  * timestamps are output as 'yyyy-MM-dd' strings (no TZ ambiguity).
+  * every computed column is aliased identically in both forms.
+  * float-accumulation scores (cosine etc.) are rounded to 6 decimals; the
+    Spark and DuckDB accumulation orders are made identical (element order).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from fdp_dynamically_controlled_streams_spark.schemas import load_table
+from fdp_dynamically_controlled_streams_spark.operators import controller as ctl
+from fdp_dynamically_controlled_streams_spark.operators import asof as asof_ops
+from fdp_dynamically_controlled_streams_spark.operators import dedup as dedup_ops
+from fdp_dynamically_controlled_streams_spark.operators import similarity as sim_ops
+from fdp_dynamically_controlled_streams_spark.operators import text as text_ops
+from fdp_dynamically_controlled_streams_spark.functions.hashing import (
+    portable_hash64_sql,
+)
+from fdp_dynamically_controlled_streams_spark.functions.vectors import (
+    cosine_sql,
+    sign_bucket_sql,
+)
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass
+class CatalogEntry:
+    name: str
+    fn: QueryFn
+    oracle: str | None  # ANSI SQL for DuckDB; None => rows-only check
+    tags: tuple[str, ...] = field(default_factory=tuple)
+
+
+_CATALOG: dict[str, CatalogEntry] = {}
+
+
+def query(name: str, oracle: str | None, tags: tuple[str, ...] = ()):
+    def deco(fn: QueryFn) -> QueryFn:
+        _CATALOG[name] = CatalogEntry(name, fn, oracle, tags)
+        return fn
+
+    return deco
+
+
+def catalog() -> dict[str, CatalogEntry]:
+    return dict(_CATALOG)
+
+
+def spark_queries() -> dict[str, QueryFn]:
+    return {name: e.fn for name, e in _CATALOG.items()}
+
+
+def oracle_queries() -> dict[str, str]:
+    return {name: e.oracle for name, e in _CATALOG.items() if e.oracle is not None}
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# Decimal-exact money aggregation (see module docstring).
+def _dsum(col, scale: int = 2):
+    return F.round(F.sum(col.cast("decimal(18,4)")).cast("double"), scale)
+
+
+def _davg(col, cnt, scale: int = 6):
+    return F.round(F.sum(col.cast("decimal(18,4)")).cast("double") / cnt, scale)
+
+
+_DSUM = "round(CAST(sum(CAST({x} AS DECIMAL(18,4))) AS DOUBLE), 2)"
+_DAVG = "round(CAST(sum(CAST({x} AS DECIMAL(18,4))) AS DOUBLE) / count(*), 6)"
+
+
+# =========================================================================
+# 0. The canonical controlled-streams query (reference §0; batch twin)
+# =========================================================================
+
+@query(
+    "controller_emit_on_change",
+    ctl.controller_batch_sql_oracle(ctl.EVENTS_CONTROL_SQL, ctl.EVENTS_SENSOR_SQL),
+    tags=("controller", "stateful", "flagship"),
+)
+def controller_emit_on_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's one real query (SparkStructuredController.scala:96-118)
+    driven from the shared `events` table: 'error' events = control records,
+    everything else = sensor readings keyed by user_id."""
+    events = _t(spark, sf_dir, "events")
+    control, sensor = ctl.controller_inputs_from_events(events)
+    return ctl.controller_batch(control, sensor)
+
+
+# =========================================================================
+# 1. Aggregations (SURVEY §2.7: hash agg, partial+final, distinct, cube/rollup)
+# =========================================================================
+
+@query(
+    "agg_pricing_summary",
+    f"""
+SELECT l_returnflag, l_linestatus,
+       {_DSUM.format(x='l_quantity')} AS sum_qty,
+       {_DSUM.format(x='l_extendedprice')} AS sum_base_price,
+       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_disc_price,
+       {_DAVG.format(x='l_quantity')} AS avg_qty,
+       {_DAVG.format(x='l_discount')} AS avg_disc,
+       count(*) AS count_order
+  FROM lineitem
+ WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+ GROUP BY l_returnflag, l_linestatus
+""",
+    tags=("agg",),
+)
+def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style pricing summary: multi-agg hash aggregation with
+    map-side partials (Catalyst splits partial/final automatically)."""
+    li = _t(spark, sf_dir, "lineitem")
+    cnt = F.count(F.lit(1))
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dsum(F.col("l_quantity")).alias("sum_qty"),
+            _dsum(F.col("l_extendedprice")).alias("sum_base_price"),
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice").cast("decimal(18,4)")
+                    * (F.lit(1) - F.col("l_discount")).cast("decimal(18,4)")
+                ).cast("double"),
+                2,
+            ).alias("sum_disc_price"),
+            _davg(F.col("l_quantity"), cnt).alias("avg_qty"),
+            _davg(F.col("l_discount"), cnt).alias("avg_disc"),
+            cnt.alias("count_order"),
+        )
+    )
+
+
+@query(
+    "agg_rollup_nation_segment",
+    """
+SELECT n_name, c_mktsegment,
+       count(*) AS n_customers,
+       round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE), 2) AS total_acctbal
+  FROM customer JOIN nation ON c_nationkey = n_nationkey
+ GROUP BY ROLLUP (n_name, c_mktsegment)
+""",
+    tags=("agg", "rollup"),
+)
+def agg_rollup_nation_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical rollup (nation -> segment -> grand total); nation dim broadcasts."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .rollup("n_name", "c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            _dsum(F.col("c_acctbal")).alias("total_acctbal"),
+        )
+    )
+
+
+@query(
+    "agg_cube_flags",
+    """
+SELECT l_returnflag, l_linestatus,
+       count(*) AS n_items,
+       round(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_qty
+  FROM lineitem
+ GROUP BY CUBE (l_returnflag, l_linestatus)
+""",
+    tags=("agg", "cube"),
+)
+def agg_cube_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        _dsum(F.col("l_quantity")).alias("sum_qty"),
+    )
+
+
+@query(
+    "agg_grouping_sets",
+    """
+SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders
+  FROM orders
+ GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+""",
+    tags=("agg", "grouping_sets"),
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("orders_gs")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders
+          FROM orders_gs
+         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        """
+    )
+
+
+@query(
+    "agg_distinct_counts",
+    """
+SELECT o_orderstatus,
+       count(DISTINCT o_custkey) AS n_customers,
+       count(*) AS n_orders,
+       round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 2) AS revenue
+  FROM orders GROUP BY o_orderstatus
+""",
+    tags=("agg", "distinct"),
+)
+def agg_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct aggregation — Catalyst expands to a two-phase plan automatically."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.count(F.lit(1)).alias("n_orders"),
+        _dsum(F.col("o_totalprice")).alias("revenue"),
+    )
+
+
+# =========================================================================
+# 2. Join family (SURVEY §2.3 extension rows: equi/broadcast/semi/anti/outer)
+# =========================================================================
+
+@query(
+    "join_shipping_priority",
+    f"""
+SELECT l_orderkey,
+       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(18,4))) AS DOUBLE), 2) AS revenue,
+       strftime(o_orderdate, '%Y-%m-%d') AS orderdate
+  FROM customer JOIN orders ON c_custkey = o_custkey
+       JOIN lineitem ON l_orderkey = o_orderkey
+ WHERE c_mktsegment = 'BUILDING'
+ GROUP BY l_orderkey, o_orderdate
+ ORDER BY revenue DESC, l_orderkey
+ LIMIT 10
+""",
+    tags=("join", "agg", "topk"),
+)
+def join_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-style 3-way join + agg + global top-k. customer is the small
+    side -> broadcast; lineitem never shuffles for the join."""
+    c = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice").cast("decimal(18,4)")
+                    * (F.lit(1) - F.col("l_discount")).cast("decimal(18,4)")
+                ).cast("double"),
+                2,
+            ).alias("revenue")
+        )
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+@query(
+    "join_local_supplier_volume",
+    """
+SELECT n_name,
+       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(18,4))) AS DOUBLE), 2) AS revenue
+  FROM lineitem
+       JOIN orders   ON l_orderkey = o_orderkey
+       JOIN customer ON o_custkey = c_custkey
+       JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+       JOIN nation   ON s_nationkey = n_nationkey
+       JOIN region   ON n_regionkey = r_regionkey
+ GROUP BY n_name
+""",
+    tags=("join", "agg"),
+)
+def join_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-style 6-way join: dims (supplier/nation/region) broadcast, the
+    two fact tables hash-join on l_orderkey only."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice").cast("decimal(18,4)")
+                    * (F.lit(1) - F.col("l_discount")).cast("decimal(18,4)")
+                ).cast("double"),
+                2,
+            ).alias("revenue")
+        )
+    )
+
+
+@query(
+    "join_semi_customers_with_orders",
+    """
+SELECT c_custkey, c_name
+  FROM customer
+ WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 100000)
+""",
+    tags=("join", "semi"),
+)
+def join_semi_customers_with_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").where(F.col("o_totalprice") > 100000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+@query(
+    "join_anti_customers_without_orders",
+    """
+SELECT c_custkey, c_name
+  FROM customer
+ WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+""",
+    tags=("join", "anti"),
+)
+def join_anti_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+@query(
+    "join_outer_nation_order_stats",
+    """
+SELECT n_name,
+       count(o_orderkey) AS n_orders
+  FROM nation
+       LEFT JOIN customer ON c_nationkey = n_nationkey
+       LEFT JOIN orders   ON o_custkey = c_custkey
+ GROUP BY n_name
+""",
+    tags=("join", "outer"),
+)
+def join_outer_nation_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer joins preserving empty nations (count(col) skips nulls)."""
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        n.join(c, c.c_nationkey == n.n_nationkey, "left")
+        .join(o, o.o_custkey == c.c_custkey, "left")
+        .groupBy("n_name")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+
+
+# =========================================================================
+# 3. Window functions / sorts / top-k (SURVEY §2.7)
+# =========================================================================
+
+@query(
+    "window_topk_orders_per_customer",
+    """
+SELECT o_custkey, o_orderkey, o_totalprice, rk
+  FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+               row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rk
+          FROM orders)
+ WHERE rk <= 3
+""",
+    tags=("window", "topk"),
+)
+def window_topk_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-k via row_number — the scalable top-k idiom (one shuffle,
+    no global sort)."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        o.select("o_custkey", "o_orderkey", "o_totalprice", F.row_number().over(w).alias("rk"))
+        .where(F.col("rk") <= 3)
+    )
+
+
+@query(
+    "window_running_revenue",
+    """
+SELECT o_custkey, o_orderkey,
+       round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) OVER
+             (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 2) AS running_revenue
+  FROM orders
+""",
+    tags=("window", "frame"),
+)
+def window_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,4)")).over(w).cast("double"), 2).alias(
+            "running_revenue"
+        ),
+    )
+
+
+@query(
+    "window_lag_event_delta",
+    """
+SELECT user_id, event_id,
+       round(value - lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id), 6) AS delta
+  FROM events
+""",
+    tags=("window", "lag"),
+)
+def window_lag_event_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead analytics — the batch primitive behind emit-on-change (G6)."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "user_id",
+        "event_id",
+        F.round(F.col("value") - F.lag("value").over(w), 6).alias("delta"),
+    )
+
+
+@query(
+    "window_rank_parts_by_price",
+    """
+SELECT p_brand, p_partkey, p_retailprice,
+       rank() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey) AS price_rank,
+       dense_rank() OVER (PARTITION BY p_brand ORDER BY p_size) AS size_dense_rank
+  FROM part
+""",
+    tags=("window", "rank"),
+)
+def window_rank_parts_by_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part")
+    wp = Window.partitionBy("p_brand").orderBy(F.desc("p_retailprice"), F.asc("p_partkey"))
+    ws = Window.partitionBy("p_brand").orderBy("p_size")
+    return p.select(
+        "p_brand",
+        "p_partkey",
+        "p_retailprice",
+        F.rank().over(wp).alias("price_rank"),
+        F.dense_rank().over(ws).alias("size_dense_rank"),
+    )
+
+
+@query(
+    "sort_top_orders",
+    """
+SELECT o_orderkey, o_totalprice, o_orderpriority
+  FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 25
+""",
+    tags=("sort", "limit"),
+)
+def sort_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-N: Spark plans TakeOrderedAndProject — per-partition heaps,
+    no full sort, no single-node shuffle of the whole table."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", "o_totalprice", "o_orderpriority")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(25)
+    )
+
+
+# =========================================================================
+# 4. Set operations (SURVEY §2.3 J1 + §2.7 extensions)
+# =========================================================================
+
+@query(
+    "setop_union_tagged",
+    """
+SELECT * FROM (
+  SELECT 'high_value' AS tag, o_orderkey AS key FROM orders WHERE o_totalprice > 250000
+  UNION ALL
+  SELECT 'urgent' AS tag, o_orderkey AS key FROM orders WHERE o_orderpriority = '1-URGENT'
+)
+""",
+    tags=("setop", "union"),
+)
+def setop_union_tagged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's J1 union-of-tagged-streams shape in batch form."""
+    o = _t(spark, sf_dir, "orders")
+    hi = o.where(F.col("o_totalprice") > 250000).select(
+        F.lit("high_value").alias("tag"), F.col("o_orderkey").alias("key")
+    )
+    ur = o.where(F.col("o_orderpriority") == "1-URGENT").select(
+        F.lit("urgent").alias("tag"), F.col("o_orderkey").alias("key")
+    )
+    return hi.unionByName(ur)
+
+
+@query(
+    "setop_intersect_except",
+    """
+SELECT 'both' AS bucket, c FROM (
+  SELECT o_custkey AS c FROM orders WHERE o_orderstatus = 'F'
+  INTERSECT
+  SELECT o_custkey AS c FROM orders WHERE o_orderstatus = 'O'
+)
+UNION ALL
+SELECT 'only_f' AS bucket, c FROM (
+  SELECT o_custkey AS c FROM orders WHERE o_orderstatus = 'F'
+  EXCEPT
+  SELECT o_custkey AS c FROM orders WHERE o_orderstatus = 'O'
+)
+""",
+    tags=("setop",),
+)
+def setop_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    f_cust = o.where(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("c"))
+    o_cust = o.where(F.col("o_orderstatus") == "O").select(F.col("o_custkey").alias("c"))
+    both = f_cust.intersect(o_cust).select(F.lit("both").alias("bucket"), "c")
+    only_f = f_cust.subtract(o_cust).select(F.lit("only_f").alias("bucket"), "c")
+    return both.unionByName(only_f)
+
+
+# =========================================================================
+# 5. Scalar function surface (SURVEY §2.7: string/date/math/json)
+# =========================================================================
+
+@query(
+    "scalar_function_surface",
+    """
+SELECT event_id,
+       upper(event_type) AS type_upper,
+       substr(event_type, 1, 3) AS type_prefix,
+       length(event_type) AS type_len,
+       strftime(date_trunc('month', ts), '%Y-%m-%d') AS month_start,
+       CAST(extract(hour FROM ts) AS INT) AS event_hour,
+       round(abs(value - 100.0), 2) AS abs_centered,
+       round(sqrt(greatest(value, 0.0)), 4) AS value_sqrt,
+       CAST(json_extract(props, '$.k') AS INT) AS prop_k,
+       concat(event_type, ':', CAST(user_id AS VARCHAR)) AS type_user
+  FROM events
+""",
+    tags=("scalar",),
+)
+def scalar_function_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String/date/math/JSON built-ins — all whole-stage-codegen, no UDFs.
+    (The reference's only scalar exprs are the hysteresis CASE G7 and protobuf
+    decode P1; this row covers the §2.7 scalar-library extension.)"""
+    e = _t(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.upper("event_type").alias("type_upper"),
+        F.substring("event_type", 1, 3).alias("type_prefix"),
+        F.length("event_type").alias("type_len"),
+        F.date_format(F.date_trunc("month", F.col("ts")), "yyyy-MM-dd").alias("month_start"),
+        F.hour("ts").alias("event_hour"),
+        F.round(F.abs(F.col("value") - 100.0), 2).alias("abs_centered"),
+        F.round(F.sqrt(F.greatest(F.col("value"), F.lit(0.0))), 4).alias("value_sqrt"),
+        F.get_json_object("props", "$.k").cast("int").alias("prop_k"),
+        F.concat_ws(":", "event_type", F.col("user_id").cast("string")).alias("type_user"),
+    )
+
+
+# =========================================================================
+# 6. Event-time analytics: tumbling windows, sessionization, as-of, range
+# =========================================================================
+
+@query(
+    "events_tumbling_hourly",
+    """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type,
+       count(*) AS n_events,
+       round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 2) AS total_value
+  FROM events
+ GROUP BY date_trunc('hour', ts), event_type
+""",
+    tags=("event_time", "window_agg"),
+)
+def events_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling event-time window agg — the batch twin of the streaming
+    window()+watermark aggregation (streaming/ has the readStream form)."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            _dsum(F.col("value")).alias("total_value"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@query(
+    "events_sessionization",
+    """
+WITH ordered AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR floor(epoch(ts)) - floor(epoch(lag(ts) OVER w)) > 1800 THEN 1 ELSE 0 END AS is_new
+    FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessions AS (
+  SELECT user_id, ts, event_id,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+    FROM ordered
+)
+SELECT user_id, session_no, count(*) AS n_events,
+       CAST(floor(epoch(max(ts))) - floor(epoch(min(ts))) AS BIGINT) AS duration_sec
+  FROM sessions GROUP BY user_id, session_no
+""",
+    tags=("event_time", "session"),
+)
+def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30 min): boundary flags + running sum — the
+    batch twin of session_window()."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    prev_ts = F.lag("ts").over(w)
+    is_new = F.when(
+        prev_ts.isNull()
+        | (F.unix_timestamp("ts") - F.unix_timestamp(prev_ts) > 1800),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    sessions = e.select(
+        "user_id", "ts", "event_id", F.sum(is_new).over(wrun).alias("session_no")
+    )
+    return sessions.groupBy("user_id", "session_no").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts")))
+        .cast("bigint")
+        .alias("duration_sec"),
+    )
+
+
+@query(
+    "asof_latest_order_before_event",
+    """
+WITH unified AS (
+  SELECT o_custkey AS k, o_orderdate AS t, 0 AS side,
+         NULL AS event_id, o_totalprice
+    FROM orders
+  UNION ALL
+  SELECT user_id AS k, ts AS t, 1 AS side, event_id, NULL AS o_totalprice
+    FROM events
+),
+prop AS (
+  SELECT side, event_id,
+         last_value(o_totalprice IGNORE NULLS) OVER
+           (PARTITION BY k ORDER BY t, side
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_order_price
+    FROM unified
+)
+SELECT event_id, round(last_order_price, 2) AS last_order_price
+  FROM prop WHERE side = 1
+""",
+    tags=("join", "asof"),
+)
+def asof_latest_order_before_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each event picks up the most recent order total of the same
+    user at-or-before its timestamp — union + last(ignorenulls), one shuffle
+    (operators/asof.py), no O(n*m) blowup."""
+    e = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"),
+        F.col("o_orderdate").alias("ts"),
+        "o_totalprice",
+    )
+    joined = asof_ops.asof_join(
+        e, o, on="user_id", left_time="ts", right_time="ts", payload=["o_totalprice"]
+    )
+    return joined.select(
+        "event_id", F.round("o_totalprice", 2).alias("last_order_price")
+    )
+
+
+@query(
+    "range_join_event_bursts",
+    """
+SELECT a.event_id AS id_a, count(*) AS n_following
+  FROM events a JOIN events b
+    ON a.user_id = b.user_id
+   AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 5 MINUTE
+ GROUP BY a.event_id
+""",
+    tags=("join", "range"),
+)
+def range_join_event_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed band self-join: events followed within 5 min by the same user.
+    Equi-join on user_id carries the shuffle; the band is a post-filter."""
+    e = _t(spark, sf_dir, "events")
+    a = e.alias("a")
+    b = e.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("b.ts") > F.col("a.ts"))
+            & (F.col("b.ts") <= F.col("a.ts") + F.expr("INTERVAL 5 MINUTES")),
+        )
+        .groupBy(F.col("a.event_id").alias("id_a"))
+        .agg(F.count(F.lit(1)).alias("n_following"))
+    )

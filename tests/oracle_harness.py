@@ -1,0 +1,100 @@
+"""Local replica of the driver's DuckDB-oracle compare: run each catalog query
+on Spark and its SQL twin on DuckDB, normalize, and diff values exactly.
+
+Usage:  python tests/oracle_harness.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+from fdp_dynamically_controlled_streams_spark.schemas import TESTDATA_TABLES
+
+
+def duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TESTDATA_TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    return con
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1).copy()
+    for c in df.columns:
+        if pd.api.types.is_datetime64_any_dtype(df[c]):
+            df[c] = df[c].astype("datetime64[us]").astype(str)
+        elif pd.api.types.is_float_dtype(df[c]):
+            df[c] = df[c].astype("float64")
+        elif pd.api.types.is_integer_dtype(df[c]):
+            df[c] = df[c].astype("float64")  # unify int widths; NaN-safe
+        elif df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
+
+
+def compare(sdf: pd.DataFrame, odf: pd.DataFrame) -> tuple[bool, str]:
+    if sorted(sdf.columns) != sorted(odf.columns):
+        return False, f"schema mismatch: spark={sorted(sdf.columns)} oracle={sorted(odf.columns)}"
+    if len(sdf) != len(odf):
+        return False, f"rowcount mismatch: spark={len(sdf)} oracle={len(odf)}"
+    a, b = normalize(sdf), normalize(odf)
+    for c in a.columns:
+        if pd.api.types.is_float_dtype(a[c]) and pd.api.types.is_float_dtype(b[c]):
+            av, bv = a[c].to_numpy(), b[c].to_numpy()
+            both_nan = np.isnan(av) & np.isnan(bv)
+            eq = (av == bv) | both_nan
+            if not eq.all():
+                i = int(np.argmin(eq))
+                return False, (
+                    f"value mismatch col={c} row={i}: spark={av[i]!r} oracle={bv[i]!r} "
+                    f"maxdiff={np.nanmax(np.abs(av - bv))}"
+                )
+        else:
+            if not a[c].equals(b[c]):
+                neq = a[c] != b[c]
+                i = int(neq.idxmax())
+                return False, f"value mismatch col={c} row={i}: spark={a[c][i]!r} oracle={b[c][i]!r}"
+    return True, f"OK rows={len(sdf)}"
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    from fdp_dynamically_controlled_streams_spark.queries import catalog
+    from fdp_dynamically_controlled_streams_spark.session import get_spark
+
+    names = sys.argv[2:] or list(catalog())
+    spark = get_spark(app_name="oracle-harness", shuffle_partitions=8)
+    con = duck_con(sf_dir)
+    failures = 0
+    for name in names:
+        entry = catalog()[name]
+        try:
+            sdf = entry.fn(spark, sf_dir).toPandas()
+        except Exception as exc:  # noqa: BLE001
+            print(f"FAIL {name}: spark error: {exc}")
+            failures += 1
+            continue
+        if entry.oracle is None:
+            print(f"SKIP {name}: rows-only check, spark rows={len(sdf)}")
+            continue
+        try:
+            odf = con.execute(entry.oracle).fetchdf()
+        except Exception as exc:  # noqa: BLE001
+            print(f"FAIL {name}: oracle error: {exc}")
+            failures += 1
+            continue
+        ok, msg = compare(sdf, odf)
+        print(("PASS" if ok else "FAIL") + f" {name}: {msg}")
+        failures += 0 if ok else 1
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
