@@ -38,6 +38,45 @@ def portable_hash64_sql(expr: str, seed: int | None = None) -> str:
     return f"CAST('0x' || substr(md5({payload}), 1, 15) AS BIGINT)"
 
 
+# ---------------------------------------------------------------------------
+# MinHash permutation family: h_i(x) = (a_i * base(x) + b_i) mod P, P = 2^31-1.
+# One md5 per shingle (the expensive part), then k cheap affine permutations —
+# the classic Broder construction. The 60-bit base is split hi/lo so every
+# intermediate stays < 2^62 (no BIGINT overflow in Spark OR DuckDB).
+# ---------------------------------------------------------------------------
+
+MERSENNE_P = (1 << 31) - 1
+_LO_MASK = (1 << 30) - 1
+_HI_FACTOR = (1 << 30) % MERSENNE_P
+
+import random as _random
+
+_rng = _random.Random(42)
+#: (a_i, b_i) for the k=16 permutations — fixed seeds shared with the SQL twin.
+MINHASH_COEFFS: tuple[tuple[int, int], ...] = tuple(
+    (_rng.randrange(1, MERSENNE_P), _rng.randrange(0, MERSENNE_P)) for _ in range(16)
+)
+
+
+def affine_hash(base: Column, a: int, b: int) -> Column:
+    """(a * base + b) mod P without 63-bit overflow (base < 2^60)."""
+    hi = F.shiftright(base, 30)
+    lo = base.bitwiseAND(F.lit(_LO_MASK))
+    return (
+        ((F.lit(a) * hi) % F.lit(MERSENNE_P)) * F.lit(_HI_FACTOR)
+        + F.lit(a) * lo
+        + F.lit(b)
+    ) % F.lit(MERSENNE_P)
+
+
+def affine_hash_sql(base: str, a: int, b: int) -> str:
+    """DuckDB twin of :func:`affine_hash` (identical integer arithmetic)."""
+    return (
+        f"((({a} * (({base}) >> 30)) % {MERSENNE_P}) * {_HI_FACTOR}"
+        f" + {a} * (({base}) & {_LO_MASK}) + {b}) % {MERSENNE_P}"
+    )
+
+
 def word_shingles(col: Column | str, n: int = 3) -> Column:
     """Distinct n-gram word shingles of a text column as an array<string>.
 

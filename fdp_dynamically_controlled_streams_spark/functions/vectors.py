@@ -42,12 +42,21 @@ def sign_bucket(a: Column, bits: int = 8) -> Column:
     return out
 
 
+def _fold_sum_sql(products: str) -> str:
+    # list_reduce is a left fold like Spark's F.aggregate — bit-identical
+    # double accumulation order (list_sum may use a different summation order).
+    return f"list_reduce({products}, (acc, v) -> acc + v)"
+
+
 def cosine_sql(a: str, b: str) -> str:
-    """DuckDB twin of :func:`cosine` (same element-order accumulation)."""
+    """DuckDB twin of :func:`cosine` (same element-order left-fold accumulation)."""
+    dot_ab = _fold_sum_sql(
+        f"list_transform(list_zip({a}, {b}), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))"
+    )
+    sq = "list_transform({v}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"
     return (
-        f"list_sum(list_transform(list_zip({a}, {b}), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
-        f" / (sqrt(list_sum(list_transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
-        f" * sqrt(list_sum(list_transform({b}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))"
+        f"{dot_ab} / (sqrt({_fold_sum_sql(sq.format(v=a))})"
+        f" * sqrt({_fold_sum_sql(sq.format(v=b))}))"
     )
 
 

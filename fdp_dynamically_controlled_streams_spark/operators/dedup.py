@@ -24,6 +24,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from fdp_dynamically_controlled_streams_spark.functions.hashing import (
+    MINHASH_COEFFS,
+    affine_hash,
     portable_hash64,
     word_shingles,
 )
@@ -43,14 +45,33 @@ def exact_dedup(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
     )
 
 
-def minhash_signature(text_col: Column | str, n_hashes: int = N_HASHES, shingle_n: int = 3) -> Column:
-    """array<bigint> MinHash signature: min over shingles of k seeded hashes."""
-    sh = word_shingles(text_col, shingle_n)
-    return F.array(
-        *[
-            F.array_min(F.transform(sh, lambda s, i=i: portable_hash64(s, seed=i)))
-            for i in range(n_hashes)
-        ]
+def minhash_signatures(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = N_HASHES,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(id, sig array<bigint>) MinHash signatures via explode → groupBy.
+
+    Shape matters for speed: one md5 per shingle (codegen'd), then k affine
+    permutations as plain integer agg expressions — everything stays inside
+    whole-stage codegen. The naive form (k seeded md5s inside a higher-order
+    ``transform`` lambda) is interpreted per element and measured ~30× slower.
+    One shuffle on the doc id (the groupBy); at 100 TB this is the signature
+    materialization pass you would persist to a bucketed table.
+    """
+    exploded = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(word_shingles(text_col, shingle_n)).alias("shingle"),
+    ).select("id", portable_hash64(F.col("shingle")).alias("h"))
+    aggs = [
+        F.min(affine_hash(F.col("h"), a, b)).alias(f"s{i}")
+        for i, (a, b) in enumerate(MINHASH_COEFFS[:n_hashes])
+    ]
+    grouped = exploded.groupBy("id").agg(*aggs)
+    return grouped.select(
+        "id", F.array(*[F.col(f"s{i}") for i in range(n_hashes)]).alias("sig")
     )
 
 
@@ -85,10 +106,12 @@ def minhash_candidate_pairs(
     The self-join shuffles on the band key only; bucket sizes bound the pair
     count. At 100 TB add a salt on huge buckets (band_hash collisions on
     boilerplate text) before the join.
+
+    The signature pass ends in a groupBy exchange, so band projection and both
+    self-join sides read materialized signatures, never recompute shingle
+    hashes; identical subplans let Spark reuse the shuffle (ReusedExchange).
     """
-    sigs = docs.select(
-        F.col(id_col).alias("id"), minhash_signature(text_col).alias("sig")
-    )
+    sigs = minhash_signatures(docs, id_col, text_col)
     exploded = sigs.select(
         "id", "sig", F.explode(minhash_bands(F.col("sig"))).alias("band")
     ).select("id", "sig", "band.band_id", "band.band_hash")
@@ -121,25 +144,30 @@ def minhash_candidate_pairs(
     )
 
 
-def simhash16(text_col: Column | str) -> Column:
-    """16-bit SimHash over whitespace tokens: per-bit majority vote of token
-    hashes (Charikar 2002). 16 bits keeps the expression tree small while
-    demonstrating the full pattern; widen via a second column for 32/64."""
-    toks = F.array_distinct(F.split(F.trim(F.col(text_col) if isinstance(text_col, str) else text_col), r"\s+"))
-    h = F.transform(toks, lambda t: portable_hash64(t))
-    bits = []
-    for i in range(16):
-        vote = F.aggregate(
-            h,
-            F.lit(0),
-            lambda acc, v, i=i: acc
-            + F.when(F.shiftright(v, i).bitwiseAND(F.lit(1)) == 1, F.lit(1)).otherwise(F.lit(-1)),
-        )
-        bits.append(F.when(vote > 0, F.lit(1 << i)).otherwise(F.lit(0)))
-    out = bits[0]
-    for bcol in bits[1:]:
-        out = out + bcol
-    return out
+def simhash_signatures(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 16
+) -> DataFrame:
+    """(id, simhash int) — 16-bit SimHash: per-bit majority vote over distinct
+    token hashes (Charikar 2002). Same explode → groupBy shape as MinHash so
+    the whole pass is codegen'd aggregation: one md5 per token, then ``bits``
+    conditional-sum aggregates."""
+    toks = F.array_distinct(
+        F.split(F.trim(F.col(text_col)), r"\s+")
+    )
+    exploded = docs.select(
+        F.col(id_col).alias("id"), F.explode(toks).alias("tok")
+    ).select("id", portable_hash64(F.col("tok")).alias("h"))
+    votes = [
+        F.sum(
+            F.when(F.shiftright("h", i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v{i}")
+        for i in range(bits)
+    ]
+    grouped = exploded.groupBy("id").agg(*votes)
+    out = F.lit(0)
+    for i in range(bits):
+        out = out + F.when(F.col(f"v{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
+    return grouped.select("id", out.cast("int").alias("simhash"))
 
 
 def ngram_jaccard_pairs(
@@ -152,18 +180,20 @@ def ngram_jaccard_pairs(
     """Exact n-gram Jaccard near-dup pairs, candidate-bounded by a shared
     min-shingle-hash anchor (each doc joins through exactly one anchor value,
     so candidates are linear in anchor-bucket sizes, never all-pairs)."""
-    sh = docs.select(
+    # One pass: explode shingles, hash each once (codegen), then per-doc
+    # distinct-hash set + min-hash anchor behind a single groupBy exchange.
+    # Jaccard then works on bigint sets (cheap compares, small shuffle) and
+    # |A∪B| = |A| + |B| - |A∩B| avoids building union arrays.
+    exploded = docs.select(
         F.col(id_col).alias("id"),
-        word_shingles(text_col, shingle_n).alias("shingles"),
-    ).where(F.size("shingles") > 0)
-    anchored = sh.select(
-        "id",
-        "shingles",
-        F.array_min(F.transform("shingles", lambda s: portable_hash64(s))).alias("anchor"),
+        F.explode(word_shingles(text_col, shingle_n)).alias("s"),
+    ).select("id", portable_hash64(F.col("s")).alias("h"))
+    anchored = exploded.groupBy("id").agg(
+        F.collect_set("h").alias("shingles"), F.min("h").alias("anchor")
     )
     a, b = anchored.alias("a"), anchored.alias("b")
     inter = F.size(F.array_intersect(F.col("a.shingles"), F.col("b.shingles")))
-    uni = F.size(F.array_union(F.col("a.shingles"), F.col("b.shingles")))
+    uni = F.size(F.col("a.shingles")) + F.size(F.col("b.shingles")) - inter
     return (
         a.join(b, (F.col("a.anchor") == F.col("b.anchor")) & (F.col("a.id") < F.col("b.id")))
         .select(

@@ -27,6 +27,8 @@ from fdp_dynamically_controlled_streams_spark.operators import dedup as dedup_op
 from fdp_dynamically_controlled_streams_spark.operators import similarity as sim_ops
 from fdp_dynamically_controlled_streams_spark.operators import text as text_ops
 from fdp_dynamically_controlled_streams_spark.functions.hashing import (
+    MINHASH_COEFFS,
+    affine_hash_sql,
     portable_hash64_sql,
 )
 from fdp_dynamically_controlled_streams_spark.functions.vectors import (
@@ -739,3 +741,319 @@ def range_join_event_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("a.event_id").alias("id_a"))
         .agg(F.count(F.lit(1)).alias("n_following"))
     )
+
+
+# =========================================================================
+# 7. Deduplication (charter extension: exact + MinHash-LSH + SimHash +
+#    n-gram Jaccard + embedding near-dup)  — operators/dedup.py
+# =========================================================================
+
+_SHINGLES_SQL = (
+    "list_distinct(list_transform(range(1, greatest(len(t) - 2, 0) + 1), "
+    "i -> array_to_string(t[i:i+2], ' ')))"
+)
+_TOKS_CTE = (
+    "toks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents)"
+)
+
+
+@query(
+    "dedup_exact_documents",
+    """
+SELECT md5(text) AS dup_key, min(doc_id) AS keep_id, count(*) AS n_dups
+  FROM documents GROUP BY text
+""",
+    tags=("dedup", "exact"),
+)
+def dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup groups (only actual duplicate groups reported)."""
+    d = _t(spark, sf_dir, "documents")
+    return dedup_ops.exact_dedup(d, ["text"], "doc_id").select(
+        F.md5("text").alias("dup_key"), "keep_id", "n_dups"
+    )
+
+
+def _minhash_sig_ctes() -> str:
+    """DuckDB twin of dedup.minhash_signatures: unnest shingles, one md5 base
+    per shingle, then 16 affine-permutation mins (same coefficients)."""
+    mins = ", ".join(
+        f"min({affine_hash_sql('h', a, b)})"
+        for (a, b) in MINHASH_COEFFS[: dedup_ops.N_HASHES]
+    )
+    return f"""
+ex AS (SELECT doc_id, {portable_hash64_sql("s")} AS h
+         FROM (SELECT doc_id, unnest(shingles) AS s FROM sh)),
+sig AS (SELECT doc_id, [{mins}] AS sig FROM ex GROUP BY doc_id)"""
+
+
+_MINHASH_ORACLE = f"""
+WITH {_TOKS_CTE},
+sh AS (SELECT doc_id, {_SHINGLES_SQL} AS shingles FROM toks),
+{_minhash_sig_ctes()},
+bands AS (
+  SELECT doc_id, sig, r.b AS band_id,
+         {portable_hash64_sql("CAST(sig[2*r.b+1] AS VARCHAR) || ',' || CAST(sig[2*r.b+2] AS VARCHAR)")} AS band_hash
+    FROM sig CROSS JOIN range(0, {dedup_ops.N_BANDS}) r(b)
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM bands a JOIN bands b
+      ON a.band_id = b.band_id AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+)
+SELECT p.id_a, p.id_b,
+       round(len(list_filter(list_zip(sa.sig, sb.sig), z -> z[1] = z[2])) / 16.0, 6) AS est_jaccard
+  FROM pairs p
+       JOIN sig sa ON sa.doc_id = p.id_a
+       JOIN sig sb ON sb.doc_id = p.id_b
+ WHERE len(list_filter(list_zip(sa.sig, sb.sig), z -> z[1] = z[2])) / 16.0 >= 0.3
+"""
+
+
+@query("dedup_minhash_lsh", _MINHASH_ORACLE, tags=("dedup", "minhash", "lsh"))
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup candidate pairs (8 bands × 2 rows, est >= 0.3)."""
+    d = _t(spark, sf_dir, "documents")
+    return dedup_ops.minhash_candidate_pairs(d, est_threshold=0.3)
+
+
+def _simhash_sql() -> str:
+    """DuckDB twin of dedup.simhash_signatures (unnest + per-bit vote aggs)."""
+    bits = " + ".join(
+        f"CASE WHEN sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) > 0 "
+        f"THEN {1 << i} ELSE 0 END"
+        for i in range(16)
+    )
+    return bits
+
+
+@query(
+    "dedup_simhash_signatures",
+    f"""
+WITH {_TOKS_CTE},
+ex AS (SELECT doc_id, {portable_hash64_sql("tok")} AS h
+         FROM (SELECT doc_id, unnest(list_distinct(t)) AS tok FROM toks))
+SELECT doc_id, CAST({_simhash_sql()} AS INT) AS simhash
+  FROM ex GROUP BY doc_id
+""",
+    tags=("dedup", "simhash"),
+)
+def dedup_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document 16-bit SimHash signatures (near-dup = small hamming dist;
+    a pairs query blocks on equal signatures / prefix bits)."""
+    d = _t(spark, sf_dir, "documents")
+    return dedup_ops.simhash_signatures(d).select(F.col("id").alias("doc_id"), "simhash")
+
+
+@query(
+    "dedup_ngram_jaccard",
+    f"""
+WITH {_TOKS_CTE},
+sh AS (SELECT doc_id, {_SHINGLES_SQL} AS shingles FROM toks),
+ex AS (SELECT doc_id, {portable_hash64_sql("s")} AS h
+         FROM (SELECT doc_id, unnest(shingles) AS s FROM sh)),
+anch AS (
+  SELECT doc_id AS id, list(DISTINCT h) AS shingles, min(h) AS anchor
+    FROM ex GROUP BY doc_id
+),
+pairs AS (
+  SELECT a.id AS id_a, b.id AS id_b,
+         len(list_intersect(a.shingles, b.shingles)) AS inter,
+         len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles)) AS uni
+    FROM anch a JOIN anch b ON a.anchor = b.anchor AND a.id < b.id
+)
+SELECT id_a, id_b, round(inter / CAST(uni AS DOUBLE), 6) AS jaccard
+  FROM pairs WHERE inter / CAST(uni AS DOUBLE) >= 0.30
+""",
+    tags=("dedup", "ngram"),
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard similarity on min-hash-anchored candidate pairs."""
+    d = _t(spark, sf_dir, "documents")
+    return dedup_ops.ngram_jaccard_pairs(d, threshold=0.30)
+
+
+@query(
+    "dedup_embedding_near",
+    f"""
+WITH b AS (
+  SELECT vec_id AS id, embedding AS vec, {sign_bucket_sql("embedding", 6)} AS bucket
+    FROM embeddings
+)
+SELECT a.id AS id_a, bb.id AS id_b,
+       round({cosine_sql("a.vec", "bb.vec")}, 6) AS cos_sim
+  FROM b a JOIN b bb ON a.bucket = bb.bucket AND a.id < bb.id
+ WHERE round({cosine_sql("a.vec", "bb.vec")}, 6) >= 0.25
+""",
+    tags=("dedup", "embedding"),
+)
+def dedup_embedding_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, sign-LSH-bucketed self-join."""
+    e = _t(spark, sf_dir, "embeddings")
+    return sim_ops.embedding_near_dup_pairs(e, threshold=0.25, bits=6)
+
+
+# =========================================================================
+# 8. Similarity search (charter extension) — operators/similarity.py
+# =========================================================================
+
+_PROBE_IDS = [0, 1, 2, 3, 4, 5, 6, 7]
+_PROBE_LIST = ", ".join(str(p) for p in _PROBE_IDS)
+
+
+@query(
+    "ann_brute_force_topk",
+    f"""
+WITH probes AS (
+  SELECT vec_id AS probe_id, embedding AS probe_vec FROM embeddings
+   WHERE vec_id IN ({_PROBE_LIST})
+),
+scored AS (
+  SELECT p.probe_id, c.vec_id AS cand_id,
+         round({cosine_sql("p.probe_vec", "c.embedding")}, 6) AS score
+    FROM probes p JOIN embeddings c ON c.vec_id != p.probe_id
+),
+ranked AS (
+  SELECT probe_id, cand_id, score,
+         row_number() OVER (PARTITION BY probe_id ORDER BY score DESC, cand_id) AS rank
+    FROM scored
+)
+SELECT probe_id, cand_id, score, rank FROM ranked WHERE rank <= 5
+""",
+    tags=("similarity", "ann"),
+)
+def ann_brute_force_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 for 8 probe vectors (probes broadcast; corpus scans once)."""
+    e = _t(spark, sf_dir, "embeddings")
+    return sim_ops.brute_force_topk(e, _PROBE_IDS, k=5)
+
+
+@query(
+    "ann_lsh_bucketed_topk",
+    f"""
+WITH b AS (
+  SELECT vec_id AS cand_id, embedding AS cand_vec,
+         {sign_bucket_sql("embedding", 8)} AS bucket
+    FROM embeddings
+),
+probes AS (
+  SELECT cand_id AS probe_id, cand_vec AS probe_vec, bucket AS probe_bucket
+    FROM b WHERE cand_id IN ({_PROBE_LIST})
+),
+scored AS (
+  SELECT p.probe_id, c.cand_id,
+         round({cosine_sql("p.probe_vec", "c.cand_vec")}, 6) AS score
+    FROM probes p JOIN b c ON c.bucket = p.probe_bucket AND c.cand_id != p.probe_id
+),
+ranked AS (
+  SELECT probe_id, cand_id, score,
+         row_number() OVER (PARTITION BY probe_id ORDER BY score DESC, cand_id) AS rank
+    FROM scored
+)
+SELECT probe_id, cand_id, score, rank FROM ranked WHERE rank <= 5
+""",
+    tags=("similarity", "ann", "lsh"),
+)
+def ann_lsh_bucketed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-5: candidates restricted to the probe's sign-LSH bucket
+    (the 100 TB path — bucket-partitioned corpus, no full scan per probe)."""
+    e = _t(spark, sf_dir, "embeddings")
+    return sim_ops.lsh_bucketed_topk(e, _PROBE_IDS, k=5, bits=8)
+
+
+# =========================================================================
+# 9. Text analysis (charter extension) — operators/text.py
+# =========================================================================
+
+@query(
+    "text_token_stats",
+    r"""
+SELECT doc_id,
+       len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+       len(list_distinct(string_split_regex(trim(text), '\s+'))) AS n_distinct_tokens,
+       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]', 0)) AS n_bpe_ish
+  FROM documents
+""",
+    tags=("text",),
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        text_ops.token_count("text").alias("n_tokens"),
+        F.size(F.array_distinct(text_ops.tokens("text"))).alias("n_distinct_tokens"),
+        text_ops.bpe_ish_token_count("text").alias("n_bpe_ish"),
+    )
+
+
+def _marker_hits_sql(markers: tuple[str, ...]) -> str:
+    arr = "[" + ", ".join(f"'{m}'" for m in markers) + "]"
+    return (
+        f"len(list_filter(string_split_regex(trim(text), '\\s+'), "
+        f"x -> list_contains({arr}, lower(x))))"
+    )
+
+
+@query(
+    "text_quality_score",
+    f"""
+WITH feat AS (
+  SELECT doc_id,
+         len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+         length(text) AS n_chars2,
+         len(regexp_extract_all(text, '[^\\w\\s]', 0)) AS n_punct,
+         {_marker_hits_sql(text_ops.STOPWORDS)} AS n_stop
+    FROM documents
+)
+SELECT doc_id, n_tokens, n_chars2,
+       round(n_punct / greatest(n_chars2, 1), 6) AS punct_ratio,
+       round(n_stop / greatest(n_tokens, 1), 6) AS stopword_ratio,
+       round((n_chars2 - (n_tokens - 1)) / n_tokens, 6) AS mean_token_len
+  FROM feat
+""",
+    tags=("text", "quality"),
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return text_ops.quality_features(d, "text")
+
+
+def _lang_id_sql() -> str:
+    """Generate the same argmax-with-priority CASE chain as text.lang_id."""
+    hit = {lang: _marker_hits_sql(m) for lang, m in text_ops.LANG_MARKERS.items()}
+    langs = list(text_ops.LANG_MARKERS)
+    best_lang = f"CASE WHEN {hit[langs[0]]} > 0 THEN '{langs[0]}' ELSE 'und' END"
+    best = hit[langs[0]]
+    for lang in langs[1:]:
+        best_lang = f"CASE WHEN {hit[lang]} > ({best}) THEN '{lang}' ELSE ({best_lang}) END"
+        best = f"greatest({best}, {hit[lang]})"
+    return best_lang
+
+
+@query(
+    "text_lang_id",
+    f"""
+SELECT doc_id, {_lang_id_sql()} AS predicted_lang
+  FROM documents
+""",
+    tags=("text", "langid"),
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-lexicon language ID heuristic (n-gram/stopword family)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", text_ops.lang_id("text").alias("predicted_lang"))
+
+
+@query(
+    "text_fingerprint",
+    r"""
+SELECT doc_id,
+       md5(array_to_string(list_sort(list_distinct(
+           string_split_regex(trim(lower(text)), '\s+'))), ' ')) AS fingerprint
+  FROM documents
+""",
+    tags=("text", "fingerprint"),
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-insensitive content fingerprint (sorted distinct token md5)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", text_ops.fingerprint("text").alias("fingerprint"))
