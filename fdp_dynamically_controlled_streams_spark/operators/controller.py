@@ -177,6 +177,37 @@ SELECT sensor_id, action AS command, seq
 """
 
 
+def controller_from_bytes(control_bytes: DataFrame, sensor_bytes: DataFrame) -> DataFrame:
+    """The reference's full pipeline from raw protobuf bytes
+    (SparkStructuredController.scala:42-78): decode (P1) -> bad-record filter
+    (P4, sentinel -1) -> tag-union (J1) -> stateful controller -> encoded
+    HeaterControl bytes (K1 payload).
+
+    Inputs carry (value binary, seq long) — the Kafka wire shape. Works on
+    batch or streaming DataFrames (swap controller_batch for the streaming
+    processor upstream when the inputs are streams).
+    """
+    from fdp_dynamically_controlled_streams_spark.functions.protowire import (
+        decode_control_udf,
+        decode_sensor_udf,
+        encode_heater_control_udf,
+    )
+
+    control = control_bytes.select(
+        decode_control_udf("value").alias("d"), "seq"
+    ).select("d.sensor_id", "d.desired", "d.up_delta", "d.down_delta", "seq")
+    sensor = sensor_bytes.select(
+        decode_sensor_udf("value").alias("d"), "seq"
+    ).select("d.sensor_id", "d.temperature", "seq")
+    out = controller_batch(control, sensor)  # applies the P4 filter itself
+    return out.select(
+        "sensor_id",
+        "command",
+        "seq",
+        encode_heater_control_udf("sensor_id", "command").alias("value"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Deriving controller inputs from the driver's `events` table (TESTDATA.md),
 # so the oracle can check the controller on shared data: 'error' events act as

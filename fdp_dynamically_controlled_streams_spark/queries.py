@@ -1057,3 +1057,113 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order-insensitive content fingerprint (sorted distinct token md5)."""
     d = _t(spark, sf_dir, "documents")
     return d.select("doc_id", text_ops.fingerprint("text").alias("fingerprint"))
+
+
+# =========================================================================
+# 10. Streaming & bytes-pipeline parity entries. The streaming entry executes
+# the real Structured Streaming stateful processor (applyInPandasWithState)
+# over a file replay and STILL checks against the same SQL oracle as the
+# batch twin — one semantics, two runtimes, both oracle-gated.
+# =========================================================================
+
+@query(
+    "controller_streaming_replay",
+    ctl.controller_batch_sql_oracle(ctl.EVENTS_CONTROL_SQL, ctl.EVENTS_SENSOR_SQL),
+    tags=("controller", "streaming", "stateful"),
+)
+def controller_streaming_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference pipeline on the streaming runtime: events-derived control +
+    sensor streams replayed through applyInPandasWithState in micro-batches
+    (availableNow), output collected and returned as a DataFrame."""
+    import tempfile
+
+    from fdp_dynamically_controlled_streams_spark.operators.controller import (
+        controller_inputs_from_events,
+        unify_streams,
+    )
+    from fdp_dynamically_controlled_streams_spark.sources.registry import (
+        replay_dir,
+        write_replay_chunks,
+    )
+    from fdp_dynamically_controlled_streams_spark.streaming.controller import (
+        controller_streaming,
+    )
+
+    events = _t(spark, sf_dir, "events")
+    control, sensor = controller_inputs_from_events(events)
+    unified = unify_streams(control, sensor).orderBy("seq", "record_kind")
+    pdf = unified.toPandas()
+    n = max(len(pdf) // 3, 1)
+    chunks = [pdf.iloc[i : i + n] for i in range(0, len(pdf), n)]
+
+    tmp = tempfile.mkdtemp(prefix="dcs-replay-")
+    write_replay_chunks(chunks, f"{tmp}/data")
+    stream = replay_dir(
+        spark,
+        f"{tmp}/data",
+        "sensor_id int, record_kind int, temperature double, "
+        "desired double, up_delta double, down_delta double, seq long",
+        files_per_trigger=1,
+    )
+    collected: list = []
+    q = (
+        controller_streaming(stream)
+        .writeStream.outputMode("update")
+        .foreachBatch(lambda bdf, bid: collected.extend(bdf.collect()))
+        .option("checkpointLocation", f"{tmp}/chk")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.createDataFrame(
+        [(r.sensor_id, r.command, r.seq) for r in collected],
+        "sensor_id int, command int, seq long",
+    )
+
+
+@query(
+    "pipeline_bytes_roundtrip",
+    ctl.controller_batch_sql_oracle(ctl.EVENTS_CONTROL_SQL, ctl.EVENTS_SENSOR_SQL),
+    tags=("controller", "protobuf", "udf"),
+)
+def pipeline_bytes_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1/K1 surface oracle-checked: events encoded to protobuf wire bytes,
+    then decode (pandas UDF) -> controller -> HeaterControl bytes; the decoded
+    command columns must match the plain-column oracle exactly."""
+    from fdp_dynamically_controlled_streams_spark.functions.protowire import (
+        encode_sensor_data_udf as enc_sensor,
+        encode_temperature_control_udf as enc_control,
+    )
+    from fdp_dynamically_controlled_streams_spark.operators.controller import (
+        controller_from_bytes,
+        controller_inputs_from_events,
+    )
+
+    events = _t(spark, sf_dir, "events")
+    control, sensor = controller_inputs_from_events(events)
+
+    control_bytes = control.select(
+        enc_control("sensor_id", "desired", "up_delta", "down_delta").alias("value"),
+        "seq",
+    )
+    sensor_bytes = sensor.select(
+        enc_sensor("sensor_id", "temperature").alias("value"), "seq"
+    )
+    return controller_from_bytes(control_bytes, sensor_bytes).select(
+        "sensor_id", "command", "seq"
+    )
+
+
+# =========================================================================
+# 11. Multimodal plumbing (rows-only: binary payloads are engine-internal)
+# =========================================================================
+
+@query("multimodal_decode_features", None, tags=("multimodal", "rows_only"))
+def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attach deterministic media blobs to documents, decode + feature-extract
+    via mapInPandas, return per-media features (decode stubbed per charter —
+    plumbing is real, see operators/multimodal.py)."""
+    from fdp_dynamically_controlled_streams_spark.operators import multimodal as mm
+
+    docs = _t(spark, sf_dir, "documents")
+    return mm.decode_media(mm.attach_fake_media(docs))

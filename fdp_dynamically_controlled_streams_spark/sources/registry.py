@@ -1,0 +1,108 @@
+"""Source/sink registry.
+
+The reference's I/O surface is Kafka-only (SURVEY §2.1 S1-S6, K1-K5:
+``readStream.format("kafka")`` with earliest offsets + no-fail-on-data-loss,
+``writeStream.format("kafka")``). The engine keeps that path verbatim (Spark's
+Kafka connector has the same API the reference uses) and adds file formats —
+which the reference lacks entirely — plus a deterministic file-replay source
+used by the hermetic streaming tests (SURVEY §5.2: file sources instead of an
+embedded broker; the reference tests manually against KafkaLocalServer).
+
+Kafka calls are gated: the connector JAR isn't in the test container, so
+building a Kafka reader raises a clear error at use, not import, time.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+_BATCH_FORMATS = ("parquet", "json", "csv", "orc")
+
+
+def read_batch(spark: SparkSession, fmt: str, path: str, **options: Any) -> DataFrame:
+    if fmt not in _BATCH_FORMATS:
+        raise ValueError(f"unsupported batch format {fmt!r}; one of {_BATCH_FORMATS}")
+    return spark.read.options(**options).format(fmt).load(path)
+
+
+def read_stream(
+    spark: SparkSession,
+    fmt: str,
+    path: str | None = None,
+    schema: T.StructType | str | None = None,
+    **options: Any,
+) -> DataFrame:
+    """Streaming source.
+
+    fmt='kafka'  -> options must carry kafka.bootstrap.servers + subscribe;
+                    defaults mirror the reference (earliest, no fail-on-loss,
+                    SparkStructuredController.scala:42-53).
+    fmt='rate'   -> synthetic load (rowsPerSecond option).
+    file formats -> ``path`` + explicit ``schema`` (required for streams).
+    """
+    if fmt == "kafka":
+        opts = {"startingOffsets": "earliest", "failOnDataLoss": "false", **options}
+        return spark.readStream.format("kafka").options(**opts).load()
+    if fmt == "rate":
+        return spark.readStream.format("rate").options(**options).load()
+    if fmt in _BATCH_FORMATS:
+        if schema is None:
+            raise ValueError("file streams require an explicit schema")
+        reader = spark.readStream.options(**options).schema(schema)
+        return reader.format(fmt).load(path)
+    raise ValueError(f"unsupported stream format {fmt!r}")
+
+
+def replay_dir(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | str,
+    files_per_trigger: int = 1,
+) -> DataFrame:
+    """Deterministic replay: stream a directory of parquet chunk files,
+    ``files_per_trigger`` files per micro-batch, in file-mtime order — the
+    hermetic substitute for a Kafka topic in tests (chunk = offset range)."""
+    return read_stream(
+        spark,
+        "parquet",
+        path=path,
+        schema=schema,
+        maxFilesPerTrigger=str(files_per_trigger),
+    )
+
+
+def write_replay_chunks(
+    df_chunks: list[Any], path: str, order_col: str = "seq"
+) -> None:
+    """Write ordered pandas chunks as one parquet file each, with strictly
+    increasing mtimes so the file stream source replays them in order."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(path, exist_ok=True)
+    t0 = 1_700_000_000
+    for i, chunk in enumerate(df_chunks):
+        fp = os.path.join(path, f"chunk-{i:05d}.parquet")
+        pq.write_table(pa.Table.from_pandas(chunk, preserve_index=False), fp)
+        os.utime(fp, (t0 + i, t0 + i))
+
+
+def write_stream_kafka(
+    df: DataFrame, brokers: str, topic: str, checkpoint: str, **options: Any
+):
+    """Kafka sink with reference parity: update mode, 1 s processing-time
+    trigger, checkpointing (K1/O1/O2/O4, SparkStructuredController.scala:80-86)."""
+    return (
+        df.writeStream.outputMode("update")
+        .format("kafka")
+        .option("kafka.bootstrap.servers", brokers)
+        .option("topic", topic)
+        .option("checkpointLocation", checkpoint)
+        .options(**options)
+        .trigger(processingTime="1 second")
+        .start()
+    )

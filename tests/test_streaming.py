@@ -1,0 +1,170 @@
+"""Streaming controller tests: real Structured Streaming execution over a
+deterministic file replay (micro-batches = chunk files), checking (a) exact
+output parity with the batch twin — one semantics, two runtimes — and
+(b) state carry-over across micro-batches and restarts."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from fdp_dynamically_controlled_streams_spark.operators.controller import (
+    controller_batch,
+    unify_streams,
+)
+from fdp_dynamically_controlled_streams_spark.schemas import UNIFIED_SCHEMA
+from fdp_dynamically_controlled_streams_spark.sources.registry import (
+    replay_dir,
+    write_replay_chunks,
+)
+from fdp_dynamically_controlled_streams_spark.streaming.controller import (
+    controller_streaming,
+)
+
+UNIFIED_DDL = (
+    "sensor_id int, record_kind int, temperature double, "
+    "desired double, up_delta double, down_delta double, seq long"
+)
+
+
+def _scenario_unified() -> pd.DataFrame:
+    """Two sensors, interleaved control + data, including in-band readings,
+    duplicate actions, a mid-stream setpoint change, and a bad record."""
+    rows = []
+
+    def control(sid, desired, seq, delta=1.0):
+        rows.append((sid, 0, None, desired, delta, delta, seq))
+
+    def sensor(sid, temp, seq):
+        rows.append((sid, 1, temp, None, None, None, seq))
+
+    sensor(1, 50.0, 0)  # before control: no output
+    control(1, 45.0, 1)
+    sensor(1, 50.0, 2)  # -> Off(1)
+    sensor(1, 50.5, 3)  # dup Off suppressed
+    sensor(1, 45.2, 4)  # in band
+    sensor(1, 40.0, 5)  # -> On(0)
+    control(2, 60.0, 6)
+    sensor(2, 70.0, 7)  # -> Off(1)
+    sensor(-1, 99.0, 8)  # bad record sentinel
+    control(1, 30.0, 9)  # setpoint change; lastAction carried (On)
+    sensor(1, 40.0, 10)  # 40 > 31 -> Off(1)
+    sensor(2, 55.0, 11)  # 55 < 59 -> On(0)
+    sensor(1, 28.0, 12)  # 28 < 29 -> On(0)
+    pdf = pd.DataFrame(
+        rows,
+        columns=[
+            "sensor_id",
+            "record_kind",
+            "temperature",
+            "desired",
+            "up_delta",
+            "down_delta",
+            "seq",
+        ],
+    )
+    return pdf.astype(
+        {"sensor_id": "int32", "record_kind": "int32", "seq": "int64"}
+    )
+
+
+EXPECTED = [(1, 1, 2), (1, 0, 5), (2, 1, 7), (1, 1, 10), (2, 0, 11), (1, 0, 12)]
+
+
+def _run_stream(spark, chunks, tmp, checkpoint=None):
+    data_dir = f"{tmp}/replay"
+    write_replay_chunks(chunks, data_dir)
+    unified = replay_dir(spark, data_dir, UNIFIED_DDL, files_per_trigger=1)
+    out = controller_streaming(unified)
+    collected: list = []
+    q = (
+        out.writeStream.outputMode("update")
+        .foreachBatch(lambda bdf, bid: collected.extend(bdf.collect()))
+        .option("checkpointLocation", checkpoint or f"{tmp}/chk")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    return sorted((r.sensor_id, r.command, r.seq) for r in collected)
+
+
+@pytest.fixture()
+def tmpdir():
+    d = tempfile.mkdtemp(prefix="dcs-stream-")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_streaming_matches_batch_twin_single_batch(spark, tmpdir):
+    pdf = _scenario_unified()
+    got = _run_stream(spark, [pdf], tmpdir)
+    assert got == sorted(EXPECTED)
+
+
+def test_streaming_state_across_micro_batches(spark, tmpdir):
+    """Split mid-stream: setting + lastAction must survive batch boundaries."""
+    pdf = _scenario_unified()
+    chunks = [pdf.iloc[:4], pdf.iloc[4:9], pdf.iloc[9:]]
+    got = _run_stream(spark, chunks, tmpdir)
+    assert got == sorted(EXPECTED)
+
+
+def test_streaming_equals_batch_operator(spark, tmpdir):
+    """Same semantics, two runtimes: streaming output == batch twin output."""
+    pdf = _scenario_unified()
+    control_pdf = pdf[pdf.record_kind == 0][
+        ["sensor_id", "desired", "up_delta", "down_delta", "seq"]
+    ]
+    sensor_pdf = pdf[pdf.record_kind == 1][["sensor_id", "temperature", "seq"]]
+    control = spark.createDataFrame(
+        control_pdf, "sensor_id int, desired double, up_delta double, down_delta double, seq long"
+    )
+    sensor = spark.createDataFrame(sensor_pdf, "sensor_id int, temperature double, seq long")
+    batch = sorted(
+        (r.sensor_id, r.command, r.seq)
+        for r in controller_batch(control, sensor).collect()
+    )
+    got = _run_stream(spark, [pdf.iloc[:6], pdf.iloc[6:]], tmpdir)
+    assert got == batch == sorted(EXPECTED)
+
+
+def test_streaming_resume_from_checkpoint(spark, tmpdir):
+    """Restart semantics: run chunk 1, stop, add chunk 2, resume from the
+    same checkpoint — state (setting + lastAction) must persist."""
+    pdf = _scenario_unified()
+    data_dir = f"{tmpdir}/replay"
+    chk = f"{tmpdir}/chk"
+
+    write_replay_chunks([pdf.iloc[:6]], data_dir)
+    collected: list = []
+
+    def start():
+        unified = replay_dir(spark, data_dir, UNIFIED_DDL, files_per_trigger=1)
+        q = (
+            controller_streaming(unified)
+            .writeStream.outputMode("update")
+            .foreachBatch(lambda bdf, bid: collected.extend(bdf.collect()))
+            .option("checkpointLocation", chk)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    start()
+    first = sorted((r.sensor_id, r.command, r.seq) for r in collected)
+    assert first == sorted([(1, 1, 2), (1, 0, 5)])
+
+    # append the rest as a new chunk file; resume from checkpoint
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import os
+
+    fp = f"{data_dir}/chunk-99999.parquet"
+    pq.write_table(pa.Table.from_pandas(pdf.iloc[6:], preserve_index=False), fp)
+    os.utime(fp, (1_700_000_100, 1_700_000_100))
+    start()
+    assert sorted((r.sensor_id, r.command, r.seq) for r in collected) == sorted(EXPECTED)
