@@ -1,0 +1,123 @@
+"""Plan-quality audits: assert key catalog queries compile to the physical
+plan the 100 TB design calls for (SURVEY §4.2) — not merely one that returns
+correct rows locally.
+
+Each assertion encodes a scale invariant:
+  * dimension joins broadcast (no sort-merge shuffle of the fact table against
+    region/nation/customer-sized sides at test SF);
+  * filters reach the parquet scan (PushedFilters non-empty);
+  * scans are column-pruned (no unused wide columns in ReadSchema);
+  * hot relational paths stay JVM-side (zero Python eval nodes);
+  * operators don't exchange more than the operator fundamentally needs.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from fdp_dynamically_controlled_streams_spark.plans.audit import (
+    assert_pruned,
+    assert_pushed,
+    audit_plan,
+)
+from fdp_dynamically_controlled_streams_spark.queries import spark_queries
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def audits(spark):
+    qs = spark_queries()
+
+    def run(name, execute=False):
+        return audit_plan(qs[name](spark, SF_DIR), execute=execute)
+
+    return run
+
+
+def test_pricing_summary_scan_shape(audits):
+    a = audits("agg_pricing_summary", execute=True)
+    # Two exchanges, both fundamental: the group-by hash exchange (partial agg
+    # runs map-side before it) and the final ORDER BY range exchange.
+    assert a.n_exchanges == 2
+    assert_pushed(a, "l_shipdate")
+    # The 16-column lineitem scan must be pruned to the 7 used columns.
+    assert_pruned(a, ["l_orderkey", "l_partkey", "l_comment", "l_shipmode"])
+    assert a.n_python_evals == 0
+    assert a.n_codegen_spans >= 1
+
+
+def test_shipping_priority_broadcasts_dims(audits):
+    a = audits("join_shipping_priority")
+    # customer + orders sides broadcast at this SF; no sort-merge join.
+    assert a.n_broadcast_joins == 2
+    assert a.n_sortmerge_joins == 0
+    assert_pushed(a, "o_orderkey")
+    assert a.n_python_evals == 0
+
+
+def test_local_supplier_volume_all_dims_broadcast(audits):
+    a = audits("join_local_supplier_volume")
+    # 5-way star join: every dimension side broadcasts against lineitem.
+    assert a.n_broadcast_joins == 5
+    assert a.n_sortmerge_joins == 0
+    assert a.n_nestedloop_joins == 0
+    # region scan pruned to the join key (+ filter column).
+    assert any("r_regionkey" in s for s in a.read_schemas)
+    assert_pruned(a, ["r_comment", "n_comment", "s_address", "c_address"])
+
+
+def test_minhash_lsh_no_recompute(audits):
+    a = audits("dedup_minhash_lsh")
+    # Signature pass (1 groupBy exchange) + pair join; the self-join reads the
+    # same signature subplan on both sides — Catalyst must not plan a python
+    # eval or a cartesian product anywhere.
+    assert a.n_nestedloop_joins == 0
+    assert a.n_python_evals == 0
+
+
+def test_window_topk_single_exchange(audits):
+    a = audits("window_topk_orders_per_customer")
+    # rank-filter top-k: exactly one hash-partition exchange on the window key.
+    assert a.n_exchanges == 1
+    assert a.n_python_evals == 0
+
+
+def test_asof_join_is_union_window_not_nested_loop(audits):
+    a = audits("asof_latest_order_before_event")
+    # The as-of join compiles to union + window (last ignorenulls), never a
+    # per-row nested-loop/cartesian time probe.
+    assert a.n_nestedloop_joins == 0
+    assert a.n_python_evals == 0
+
+
+def test_scalar_surface_is_pure_codegen(audits):
+    a = audits("scalar_function_surface", execute=True)
+    assert a.n_python_evals == 0
+    assert a.n_exchanges == 0  # pure projection: no shuffle at all
+    assert a.n_codegen_spans >= 1
+
+
+def test_text_ops_are_jvm_side(audits):
+    for name in ("text_token_stats", "text_quality_score", "text_lang_id",
+                 "text_fingerprint"):
+        a = audits(name)
+        assert a.n_python_evals == 0, name
+        assert a.n_exchanges == 0, name  # per-row exprs: no shuffle
+
+
+def test_embedding_brute_force_broadcasts_query_side(audits):
+    a = audits("ann_brute_force_topk")
+    # Non-equi probe×corpus condition ⇒ the right plan is a broadcast
+    # NESTED-loop with the tiny probe side broadcast (corpus never shuffles);
+    # what must NOT appear is a corpus-shuffling sort-merge join.
+    assert a.n_nestedloop_joins == 1
+    assert a.n_sortmerge_joins == 0
+    assert a.n_exchanges <= 1  # only the per-probe top-k window exchange
+
+
+def test_lsh_bucketed_topk_is_equi_join(audits):
+    a = audits("ann_lsh_bucketed_topk")
+    # The scale path: bucket equi-join, probes broadcast — no nested loop.
+    assert a.n_nestedloop_joins == 0
+    assert a.n_broadcast_joins >= 1
