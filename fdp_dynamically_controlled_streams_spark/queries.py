@@ -629,6 +629,43 @@ def events_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_sliding_window",
+    """
+WITH grid AS (
+  SELECT ts, event_type, value,
+         time_bucket(INTERVAL 30 MINUTE, ts) - i * INTERVAL 30 MINUTE AS w_start
+    FROM events CROSS JOIN (SELECT unnest([0, 1]) AS i)
+)
+SELECT strftime(w_start, '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type,
+       count(*) AS n_events,
+       round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 2) AS total_value
+  FROM grid
+ GROUP BY w_start, event_type
+""",
+    tags=("event_time", "window_agg", "sliding"),
+)
+def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding event-time window (1 h window, 30 min slide): each event lands
+    in exactly duration/slide = 2 windows. The oracle materializes the same
+    assignment as an explicit 2-row grid join — what window() expands to."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            _dsum(F.col("value")).alias("total_value"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@query(
     "events_sessionization",
     """
 WITH ordered AS (
@@ -1151,6 +1188,62 @@ def pipeline_bytes_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return controller_from_bytes(control_bytes, sensor_bytes).select(
         "sensor_id", "command", "seq"
+    )
+
+
+@query(
+    "streaming_dedup_replay",
+    "SELECT DISTINCT user_id, event_type FROM events",
+    tags=("streaming", "dedup", "watermark"),
+)
+def streaming_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup (SURVEY §2.7): dropDuplicates over an event-time-
+    ordered replay of `events` in micro-batches — global keyed dedup state
+    across batches, exactly batch DISTINCT (the oracle). Projecting only the
+    dedup key makes the kept-row choice immaterial, so the streaming result
+    is deterministic. The state-bounded dropDuplicatesWithinWatermark variant
+    (state TTL = watermark delay; duplicates beyond the horizon re-emit by
+    design) is exercised with controlled timing in tests/test_streaming.py."""
+    import tempfile
+
+    from fdp_dynamically_controlled_streams_spark.sources.registry import (
+        replay_dir,
+        write_replay_chunks,
+    )
+
+    events = _t(spark, sf_dir, "events")
+    pdf = (
+        events.select("user_id", "event_type", "ts")
+        .orderBy("ts", "event_id")
+        .toPandas()
+    )
+    # Parquet replay chunks must carry micros (the declared stream schema);
+    # pandas defaults to nanos which Spark reads as raw INT64.
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    n = max(len(pdf) // 3, 1)
+    chunks = [pdf.iloc[i : i + n] for i in range(0, len(pdf), n)]
+    tmp = tempfile.mkdtemp(prefix="dcs-dedup-")
+    write_replay_chunks(chunks, f"{tmp}/data")
+    stream = replay_dir(
+        spark,
+        f"{tmp}/data",
+        "user_id long, event_type string, ts timestamp",
+        files_per_trigger=1,
+    )
+    deduped = stream.dropDuplicates(["user_id", "event_type"])
+    collected: list = []
+    q = (
+        deduped.select("user_id", "event_type")
+        .writeStream.outputMode("append")
+        .foreachBatch(lambda bdf, bid: collected.extend(bdf.collect()))
+        .option("checkpointLocation", f"{tmp}/chk")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.createDataFrame(
+        [(r.user_id, r.event_type) for r in collected],
+        "user_id long, event_type string",
     )
 
 

@@ -132,6 +132,85 @@ def test_streaming_equals_batch_operator(spark, tmpdir):
     assert got == batch == sorted(EXPECTED)
 
 
+def _replay_ts_stream(spark, chunks, tmpdir, ddl):
+    """Replay pandas chunks (with a micros ts column) as one-file micro-batches."""
+    for c in chunks:
+        c["ts"] = c["ts"].astype("datetime64[us]")
+    data_dir = f"{tmpdir}/replay"
+    write_replay_chunks(chunks, data_dir)
+    return replay_dir(spark, data_dir, ddl, files_per_trigger=1)
+
+
+def _ts(minute: float):
+    return pd.Timestamp("2024-01-01") + pd.Timedelta(minutes=minute)
+
+
+def test_dedup_within_watermark_bounds_state_and_drops_late(spark, tmpdir):
+    """dropDuplicatesWithinWatermark semantics (SURVEY §2.7 streaming dedup):
+    (a) duplicates within the watermark horizon are suppressed;
+    (b) key state is evicted once the watermark passes first-arrival + delay,
+        so a far-later duplicate re-emits — this TTL is what bounds state at
+        100 TB key cardinalities (vs. unbounded dropDuplicates);
+    (c) rows older than the watermark are discarded as late data.
+    Note Spark's two-watermark batch semantics: late-event filtering uses the
+    PREVIOUS batch's watermark, eviction the current one — hence the spacer
+    batch between the advancer (C@30) and the probes."""
+    mk = lambda rows: pd.DataFrame(rows, columns=["key", "ts"])
+    chunks = [
+        mk([("A", _ts(0)), ("B", _ts(5))]),          # both emit
+        mk([("A", _ts(6)), ("C", _ts(30))]),         # A dup suppressed; C emits
+        # after the C@30 batch the eviction watermark is 00:30-10min = 00:20
+        # -> A (expiry 00:10) and B (00:15) evicted.
+        mk([("D", _ts(31))]),                        # spacer: late-filter wm -> 00:20
+        mk([("A", _ts(25)), ("B", _ts(15))]),        # A re-emits; B@15 late -> dropped
+    ]
+    stream = _replay_ts_stream(spark, chunks, tmpdir, "key string, ts timestamp")
+    deduped = stream.withWatermark("ts", "10 minutes").dropDuplicatesWithinWatermark(
+        ["key"]
+    )
+    collected: list = []
+    q = (
+        deduped.writeStream.outputMode("append")
+        .foreachBatch(lambda bdf, bid: collected.extend(bdf.collect()))
+        .option("checkpointLocation", f"{tmpdir}/chk")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = sorted((r.key, r.ts.minute) for r in collected)
+    assert got == [("A", 0), ("A", 25), ("B", 5), ("C", 30), ("D", 31)]
+
+
+def test_windowed_agg_watermark_finalizes_and_discards_late(spark, tmpdir):
+    """Append-mode tumbling window agg: a window emits exactly once, when the
+    watermark passes its end; late rows (event time < watermark) never land."""
+    mk = lambda rows: pd.DataFrame(rows, columns=["key", "ts"])
+    chunks = [
+        mk([("x", _ts(1)), ("y", _ts(5))]),   # window [00:00, 00:10): 2 rows
+        mk([("z", _ts(30))]),                 # eviction watermark -> 00:20
+        mk([("w", _ts(31))]),                 # spacer: late-filter wm -> 00:20
+        mk([("late", _ts(2))]),               # < watermark -> discarded
+    ]
+    stream = _replay_ts_stream(spark, chunks, tmpdir, "key string, ts timestamp")
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "10 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("start"), "n")
+    )
+    collected: list = []
+    q = (
+        agg.writeStream.outputMode("append")
+        .foreachBatch(lambda bdf, bid: collected.extend(bdf.collect()))
+        .option("checkpointLocation", f"{tmpdir}/chk")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    # Exactly one finalized window; the late row did not reopen or change it.
+    assert [(r.start.minute, r.n) for r in collected] == [(0, 2)]
+
+
 def test_streaming_resume_from_checkpoint(spark, tmpdir):
     """Restart semantics: run chunk 1, stop, add chunk 2, resume from the
     same checkpoint — state (setting + lastAction) must persist."""
