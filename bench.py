@@ -26,8 +26,25 @@ def main() -> None:
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark(app_name="fdp-dcs-bench")
 
-    # Warm the JVM/codegen path once with a trivial action.
+    # Warm the JVM once: codegen, the vectorized parquet reader, and the
+    # window/agg exec paths (JVM startup & JIT excluded from per-query times).
     spark.range(1000).count()
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from fdp_dynamically_controlled_streams_spark.schemas import load_table
+
+    warm = load_table(spark, sf_dir, "region")
+    warm.groupBy("r_regionkey").count().count()
+    warm.select(F.row_number().over(Window.orderBy("r_regionkey"))).count()
+    # Streaming runtime warmup (state store provider, Python state workers,
+    # file-stream source) at the smoke SF — not counted.
+    try:
+        spark_queries()["controller_streaming_replay"](
+            spark, "/root/testdata/sf0.001"
+        ).count()
+    except Exception:
+        pass  # warmup only; the measured run below will surface real errors
 
     timings: dict[str, float] = {}
     qs = spark_queries()

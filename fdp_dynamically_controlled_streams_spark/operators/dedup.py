@@ -27,7 +27,7 @@ from fdp_dynamically_controlled_streams_spark.functions.hashing import (
     MINHASH_COEFFS,
     affine_hash,
     portable_hash64,
-    word_shingles,
+    shingle_rows,
 )
 
 # MinHash geometry: 16 hashes = 8 bands × 2 rows (s-curve threshold ≈ (1/8)^(1/2) ≈ 0.35).
@@ -54,17 +54,18 @@ def minhash_signatures(
 ) -> DataFrame:
     """(id, sig array<bigint>) MinHash signatures via explode → groupBy.
 
-    Shape matters for speed: one md5 per shingle (codegen'd), then k affine
-    permutations as plain integer agg expressions — everything stays inside
-    whole-stage codegen. The naive form (k seeded md5s inside a higher-order
-    ``transform`` lambda) is interpreted per element and measured ~30× slower.
-    One shuffle on the doc id (the groupBy); at 100 TB this is the signature
+    Shape matters for speed: shingles come from the codegen'd row form
+    (functions.hashing.shingle_rows — no interpreted lambda HOFs), one md5
+    per shingle, then k affine permutations as plain integer agg
+    expressions — everything stays inside whole-stage codegen. The naive
+    form (k seeded md5s inside a higher-order ``transform`` lambda) measured
+    ~30× slower. One shuffle on the doc id (the groupBy; shingle
+    construction itself is map-side); at 100 TB this is the signature
     materialization pass you would persist to a bucketed table.
     """
-    exploded = docs.select(
-        F.col(id_col).alias("id"),
-        F.explode(word_shingles(text_col, shingle_n)).alias("shingle"),
-    ).select("id", portable_hash64(F.col("shingle")).alias("h"))
+    exploded = shingle_rows(docs, id_col, text_col, shingle_n).select(
+        "id", portable_hash64(F.col("s")).alias("h")
+    )
     aggs = [
         F.min(affine_hash(F.col("h"), a, b)).alias(f"s{i}")
         for i, (a, b) in enumerate(MINHASH_COEFFS[:n_hashes])
@@ -180,14 +181,13 @@ def ngram_jaccard_pairs(
     """Exact n-gram Jaccard near-dup pairs, candidate-bounded by a shared
     min-shingle-hash anchor (each doc joins through exactly one anchor value,
     so candidates are linear in anchor-bucket sizes, never all-pairs)."""
-    # One pass: explode shingles, hash each once (codegen), then per-doc
-    # distinct-hash set + min-hash anchor behind a single groupBy exchange.
-    # Jaccard then works on bigint sets (cheap compares, small shuffle) and
-    # |A∪B| = |A| + |B| - |A∩B| avoids building union arrays.
-    exploded = docs.select(
-        F.col(id_col).alias("id"),
-        F.explode(word_shingles(text_col, shingle_n)).alias("s"),
-    ).select("id", portable_hash64(F.col("s")).alias("h"))
+    # One pass: shingle rows (codegen, map-side), hash each once, then
+    # per-doc distinct-hash set + min-hash anchor behind a single groupBy
+    # exchange. Jaccard then works on bigint sets (cheap compares, small
+    # shuffle) and |A∪B| = |A| + |B| - |A∩B| avoids building union arrays.
+    exploded = shingle_rows(docs, id_col, text_col, shingle_n).select(
+        "id", portable_hash64(F.col("s")).alias("h")
+    )
     anchored = exploded.groupBy("id").agg(
         F.collect_set("h").alias("shingles"), F.min("h").alias("anchor")
     )

@@ -1143,15 +1143,23 @@ def controller_streaming_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         files_per_trigger=1,
     )
     collected: list = []
-    q = (
-        controller_streaming(stream)
-        .writeStream.outputMode("update")
-        .foreachBatch(lambda bdf, bid: collected.extend(bdf.collect()))
-        .option("checkpointLocation", f"{tmp}/chk")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
+    # State-partition count is a per-streaming-query deploy decision (sized to
+    # key cardinality / executor count, fixed at checkpoint creation). For
+    # this replay 8 is right; the session-wide batch setting is restored.
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            controller_streaming(stream)
+            .writeStream.outputMode("update")
+            .foreachBatch(lambda bdf, bid: collected.extend(bdf.collect()))
+            .option("checkpointLocation", f"{tmp}/chk")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.createDataFrame(
         [(r.sensor_id, r.command, r.seq) for r in collected],
         "sensor_id int, command int, seq long",
@@ -1232,15 +1240,20 @@ def streaming_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     deduped = stream.dropDuplicates(["user_id", "event_type"])
     collected: list = []
-    q = (
-        deduped.select("user_id", "event_type")
-        .writeStream.outputMode("append")
-        .foreachBatch(lambda bdf, bid: collected.extend(bdf.collect()))
-        .option("checkpointLocation", f"{tmp}/chk")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")  # see note above
+    try:
+        q = (
+            deduped.select("user_id", "event_type")
+            .writeStream.outputMode("append")
+            .foreachBatch(lambda bdf, bid: collected.extend(bdf.collect()))
+            .option("checkpointLocation", f"{tmp}/chk")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.createDataFrame(
         [(r.user_id, r.event_type) for r in collected],
         "user_id long, event_type string",
