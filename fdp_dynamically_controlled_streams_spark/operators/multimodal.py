@@ -140,6 +140,69 @@ def decode_media(media: DataFrame) -> DataFrame:
     return media.select("media_id", "content").mapInPandas(run, DECODED_SCHEMA)
 
 
+_VMAGIC = b"DCSV"
+
+
+def encode_fake_video(
+    n_frames: int, width: int, height: int, channels: int = 3, seed: int = 0
+) -> bytes:
+    """Deterministic fake video: header + n_frames DCSM-payload frames."""
+    frames = b"".join(
+        encode_fake_image(width, height, channels, seed=seed * 1000 + f)[9:]
+        for f in range(n_frames)
+    )
+    return _VMAGIC + struct.pack("<HHHB", n_frames, width, height, channels) + frames
+
+
+def _decode_fake_video(buf: bytes):
+    if buf is None or len(buf) < 11 or buf[:4] != _VMAGIC:
+        return None
+    n, w, h, c = struct.unpack_from("<HHHB", buf, 4)
+    frame_len = w * h * c
+    body = buf[11:]
+    if len(body) != n * frame_len:
+        return None
+    return n, w, h, c, [body[i * frame_len : (i + 1) * frame_len] for i in range(n)]
+
+
+def frame_sample(media: DataFrame, every_nth: int = 2) -> DataFrame:
+    """Sample every ``every_nth`` frame of a video column into image rows —
+    the fan-out transform of a video pipeline (one input row -> k frame
+    rows), as ``mapInPandas`` so frame extraction is per-partition streaming
+    (a partition of videos never materializes all frames at once in Python).
+
+    Output: (media_id, frame_no, content) where content is a standalone DCSM
+    image — downstream decode/resize/feature ops compose unchanged.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, frame_nos, blobs = [], [], []
+            for mid, buf in zip(pdf["media_id"], pdf["content"]):
+                v = _decode_fake_video(bytes(buf)) if buf is not None else None
+                if v is None:
+                    continue
+                _n, w, h, c, frames = v
+                for fno in range(0, len(frames), every_nth):
+                    ids.append(int(mid))
+                    frame_nos.append(fno)
+                    blobs.append(
+                        _MAGIC + struct.pack("<HHB", w, h, c) + frames[fno]
+                    )
+            yield pd.DataFrame(
+                {"media_id": ids, "frame_no": frame_nos, "content": blobs}
+            )
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("frame_no", T.IntegerType()),
+            T.StructField("content", T.BinaryType()),
+        ]
+    )
+    return media.select("media_id", "content").mapInPandas(run, schema)
+
+
 def resize_media(media: DataFrame, width: int, height: int) -> DataFrame:
     """'Resize' = nearest-neighbor re-sample of the fake payload — exercises
     binary-out transforms (new payload, updated metadata)."""

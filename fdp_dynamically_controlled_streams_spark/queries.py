@@ -1199,6 +1199,65 @@ def pipeline_bytes_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# =========================================================================
+# 9b. UDAF / UDTF extension surface (SURVEY §2.7) — oracle-checked
+# =========================================================================
+
+@query(
+    "udaf_geomean_chars_by_source",
+    """
+SELECT source,
+       round(exp(avg(ln(n_chars))), 6) AS geomean_chars
+  FROM documents
+ WHERE n_chars > 0
+ GROUP BY source
+""",
+    tags=("udaf", "pandas_udf"),
+)
+def udaf_geomean_chars_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom aggregation via pandas_udf GROUPED_AGG (Arrow-batched): the
+    geometric mean — not a Spark built-in — checked exactly against the
+    exp(avg(ln)) SQL identity."""
+    from fdp_dynamically_controlled_streams_spark.functions.udx import geometric_mean
+
+    d = _t(spark, sf_dir, "documents").where(F.col("n_chars") > 0)
+    # Grouped-agg pandas UDFs cannot mix with built-in aggs in one agg();
+    # composite outputs join two aggs on the grouping key (exchange reused).
+    return d.groupBy("source").agg(
+        F.round(geometric_mean(F.col("n_chars").cast("double")), 6).alias(
+            "geomean_chars"
+        )
+    )
+
+
+@query(
+    "udtf_token_counts",
+    """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS token
+    FROM documents WHERE doc_id < 40
+)
+SELECT doc_id, token, CAST(count(*) AS INT) AS cnt
+  FROM toks GROUP BY doc_id, token
+""",
+    tags=("udtf", "lateral"),
+)
+def udtf_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (row -> many rows) lateral-joined per document; token
+    frequency expansion checked against DuckDB unnest+group."""
+    from fdp_dynamically_controlled_streams_spark.functions.udx import register_udtfs
+
+    register_udtfs(spark)
+    _t(spark, sf_dir, "documents").createOrReplaceTempView("__docs_udtf")
+    return spark.sql(
+        """
+        SELECT d.doc_id, t.token, t.cnt
+          FROM (SELECT doc_id, text FROM __docs_udtf WHERE doc_id < 40) d,
+               LATERAL token_counts(d.text) t
+        """
+    )
+
+
 @query(
     "streaming_dedup_replay",
     "SELECT DISTINCT user_id, event_type FROM events",

@@ -51,6 +51,25 @@ def test_resize_roundtrip(media):
     assert all(r.width == 4 and r.height == 4 and r.ok for r in decoded)
 
 
+def test_frame_sample_fan_out_and_compose(spark):
+    vids = spark.createDataFrame(
+        [
+            (1, mm.encode_fake_video(6, 4, 3, seed=1)),
+            (2, mm.encode_fake_video(3, 5, 2, seed=2)),
+            (3, b"NOPE"),  # corrupt container -> skipped, not fatal
+        ],
+        "media_id long, content binary",
+    )
+    frames = mm.frame_sample(vids, every_nth=2).orderBy("media_id", "frame_no")
+    got = [(r.media_id, r.frame_no) for r in frames.collect()]
+    assert got == [(1, 0), (1, 2), (1, 4), (2, 0), (2, 2)]
+    # sampled frames are standalone images: decode composes unchanged
+    decoded = mm.decode_media(frames.withColumn(
+        "media_id", F.col("media_id") * 10 + F.col("frame_no"))).collect()
+    assert all(r.ok for r in decoded)
+    assert {(r.width, r.height) for r in decoded} == {(4, 3), (5, 2)}
+
+
 def test_real_codec_stub_raises():
     with pytest.raises(NotImplementedError):
         mm.decode_image(b"\x89PNG\r\n\x1a\n" + b"\x00" * 16)
