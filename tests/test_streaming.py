@@ -211,6 +211,32 @@ def test_windowed_agg_watermark_finalizes_and_discards_late(spark, tmpdir):
     assert [(r.start.minute, r.n) for r in collected] == [(0, 2)]
 
 
+def test_progress_listener_records_batches_and_state(spark, tmpdir):
+    """O7 diagnostics: the listener sees every micro-batch with row counts
+    and stateful-operator totals (the reference's println traces, structured)."""
+    import time
+
+    from fdp_dynamically_controlled_streams_spark.streaming.monitor import (
+        ProgressRecorder,
+    )
+
+    rec = ProgressRecorder()
+    spark.streams.addListener(rec)
+    try:
+        pdf = _scenario_unified()
+        got = _run_stream(spark, [pdf.iloc[:6], pdf.iloc[6:]], tmpdir)
+        assert got == sorted(EXPECTED)
+        # listener events are delivered asynchronously
+        for _ in range(50):
+            if sum(b.num_input_rows for b in rec.batches) >= len(pdf):
+                break
+            time.sleep(0.2)
+    finally:
+        spark.streams.removeListener(rec)
+    assert sum(b.num_input_rows for b in rec.batches) == len(pdf)
+    assert any((b.state_rows or 0) > 0 for b in rec.batches)  # keyed state seen
+
+
 def test_streaming_resume_from_checkpoint(spark, tmpdir):
     """Restart semantics: run chunk 1, stop, add chunk 2, resume from the
     same checkpoint — state (setting + lastAction) must persist."""
