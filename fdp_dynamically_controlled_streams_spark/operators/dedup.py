@@ -145,6 +145,63 @@ def minhash_candidate_pairs(
     )
 
 
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Cluster near-dup pairs into connected components: (id, cluster_id)
+    where cluster_id = min member id — the canonical-representative step of a
+    dedup pipeline (pairs alone don't dedupe; A~B, B~C must collapse to one
+    keeper even when A~C was never a candidate pair).
+
+    Iterative min-label propagation: labels start as own id; each round every
+    node takes the min of its label and its neighbors' labels; converged when
+    no label changes. Rounds needed = graph diameter (near-dup clusters are
+    shallow — a handful). The loop is DRIVER CONTROL ONLY: per round one
+    shuffle join + agg, all data stays distributed; ``localCheckpoint`` cuts
+    the growing lineage so round N's plan doesn't replay rounds 1..N-1.
+    Convergence is detected distributedly (count of changed labels).
+    """
+    edges = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+    edges = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint()
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .select("id", F.col("id").alias("label"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(labels, edges.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels.id == nbr_min.src, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("label"), F.coalesce("nbr_label", "label")
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .where(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("id", F.col("label").alias("cluster_id"))
+
+
 def simhash_signatures(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 16
 ) -> DataFrame:

@@ -236,6 +236,96 @@ def agg_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "agg_pivot_orderstatus_by_nation",
+    """
+SELECT n.n_name,
+       CAST(count(*) FILTER (WHERE o.o_orderstatus = 'O') AS BIGINT) AS n_open,
+       CAST(count(*) FILTER (WHERE o.o_orderstatus = 'F') AS BIGINT) AS n_filled,
+       CAST(count(*) FILTER (WHERE o.o_orderstatus = 'P') AS BIGINT) AS n_partial
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+       JOIN nation n ON c.c_nationkey = n.n_nationkey
+ GROUP BY n.n_name
+""",
+    tags=("agg", "pivot"),
+)
+def agg_pivot_orderstatus_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (wide conditional aggregation): order-status counts per nation.
+    Explicit pivot values keep the plan single-pass (no distinct-values
+    pre-scan) — the declared-schema discipline a 100 TB pivot needs."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    piv = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .count()
+    )
+    return piv.select(
+        "n_name",
+        F.coalesce("O", F.lit(0)).alias("n_open"),
+        F.coalesce("F", F.lit(0)).alias("n_filled"),
+        F.coalesce("P", F.lit(0)).alias("n_partial"),
+    )
+
+
+@query(
+    "agg_percentiles_quantity",
+    """
+SELECT l_returnflag,
+       round(quantile_cont(l_quantity, 0.25), 6) AS q25,
+       round(quantile_cont(l_quantity, 0.5), 6) AS q50,
+       round(quantile_cont(l_quantity, 0.75), 6) AS q75,
+       round(quantile_cont(l_quantity, 0.95), 6) AS q95
+  FROM lineitem GROUP BY l_returnflag
+""",
+    tags=("agg", "percentile"),
+)
+def agg_percentiles_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (order statistics, so bit-stable across
+    engines — unlike accumulation-order-dependent floats). The approximate
+    tier at scale is approx_percentile (t-digest), same call shape."""
+    li = _t(spark, sf_dir, "lineitem")
+    pct = F.expr("percentile(l_quantity, array(0.25D, 0.5D, 0.75D, 0.95D))")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(pct.alias("p"))
+        .select(
+            "l_returnflag",
+            *[
+                F.round(F.element_at("p", i + 1), 6).alias(n)
+                for i, n in enumerate(["q25", "q50", "q75", "q95"])
+            ],
+        )
+    )
+
+
+@query(
+    "agg_corr_covar_price_qty",
+    """
+SELECT l_linestatus,
+       round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+       round(covar_samp(l_quantity, l_extendedprice), 2) AS covar_qty_price,
+       round(stddev_samp(l_quantity), 4) AS sd_qty
+  FROM lineitem GROUP BY l_linestatus
+""",
+    tags=("agg", "statistics"),
+)
+def agg_corr_covar_price_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates (corr/covar/stddev, sample semantics). Rounding
+    absorbs accumulation-order float noise between engines."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_linestatus").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qty_price"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias(
+            "covar_qty_price"
+        ),
+        F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
+    )
+
+
 # =========================================================================
 # 2. Join family (SURVEY §2.3 extension rows: equi/broadcast/semi/anti/outer)
 # =========================================================================
@@ -851,6 +941,57 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup candidate pairs (8 bands × 2 rows, est >= 0.3)."""
     d = _t(spark, sf_dir, "documents")
     return dedup_ops.minhash_candidate_pairs(d, est_threshold=0.3)
+
+
+_MINHASH_CLUSTERS_ORACLE = f"""
+WITH RECURSIVE {_TOKS_CTE},
+sh AS (SELECT doc_id, {_SHINGLES_SQL} AS shingles FROM toks),
+{_minhash_sig_ctes()},
+bands AS (
+  SELECT doc_id, sig, r.b AS band_id,
+         {portable_hash64_sql("CAST(sig[2*r.b+1] AS VARCHAR) || ',' || CAST(sig[2*r.b+2] AS VARCHAR)")} AS band_hash
+    FROM sig CROSS JOIN range(0, {dedup_ops.N_BANDS}) r(b)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM bands a JOIN bands b
+      ON a.band_id = b.band_id AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+),
+p AS (
+  SELECT c.id_a, c.id_b
+    FROM cand c JOIN sig sa ON sa.doc_id = c.id_a JOIN sig sb ON sb.doc_id = c.id_b
+   WHERE len(list_filter(list_zip(sa.sig, sb.sig), z -> z[1] = z[2])) / 16.0 >= 0.3
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM p
+  UNION
+  SELECT id_b, id_a FROM p
+),
+reach AS (
+  SELECT src AS id, src AS lbl FROM edges
+  UNION
+  SELECT e.dst AS id, r.lbl FROM reach r JOIN edges e ON e.src = r.id
+),
+comp AS (SELECT id, min(lbl) AS cluster_id FROM reach GROUP BY id)
+SELECT id, cluster_id, count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+  FROM comp
+"""
+
+
+@query("dedup_clusters", _MINHASH_CLUSTERS_ORACLE, tags=("dedup", "clusters", "iterative"))
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS: connected components over the MinHash-LSH pair
+    graph via iterative min-label propagation (driver-controlled loop, data
+    fully distributed) — the canonical-doc selection step of fuzzy dedup.
+    Oracle: the same component labels from a DuckDB recursive CTE, an
+    entirely different fixpoint algorithm — strong cross-check."""
+    d = _t(spark, sf_dir, "documents")
+    pairs = dedup_ops.minhash_candidate_pairs(d, est_threshold=0.3)
+    comp = dedup_ops.connected_components(pairs)
+    w = Window.partitionBy("cluster_id")
+    return comp.select(
+        "id", "cluster_id", F.count(F.lit(1)).over(w).alias("cluster_size")
+    )
 
 
 def _simhash_sql() -> str:

@@ -1,0 +1,39 @@
+"""Connected-components clustering unit tests (hand-built graphs; the
+catalog's dedup_clusters entry cross-checks the full MinHash pipeline
+against a DuckDB recursive CTE)."""
+
+from __future__ import annotations
+
+from fdp_dynamically_controlled_streams_spark.operators.dedup import (
+    connected_components,
+)
+
+
+def _cc(spark, edges):
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    return {
+        r.id: r.cluster_id for r in connected_components(df).collect()
+    }
+
+
+def test_chain_collapses_transitively(spark):
+    # A~B, B~C, C~D: one component even though A~D never paired
+    got = _cc(spark, [(1, 2), (2, 3), (3, 4)])
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1}
+
+
+def test_separate_components_and_min_label(spark):
+    got = _cc(spark, [(10, 20), (30, 40), (40, 50), (7, 9)])
+    assert got == {10: 10, 20: 10, 30: 30, 40: 30, 50: 30, 7: 7, 9: 7}
+
+
+def test_long_chain_needs_many_rounds(spark):
+    # diameter 12: exercises the iteration loop + lineage checkpointing
+    n = 13
+    got = _cc(spark, [(i, i + 1) for i in range(n)])
+    assert set(got.values()) == {0} and len(got) == n + 1
+
+
+def test_empty_pairs(spark):
+    df = spark.createDataFrame([(1, 2)], "id_a long, id_b long").where("id_a < 0")
+    assert connected_components(df).count() == 0
