@@ -51,9 +51,10 @@ def main() -> None:
     for name, fn in qs.items():
         t0 = time.perf_counter()
         df = fn(spark, sf_dir)
-        n = df.count()
+        # noop sink: materializes EVERY column of every row (count() would let
+        # Catalyst prune the projections of map-only queries to a bare scan).
+        df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 4)
-        _ = n
     total = round(sum(timings.values()), 4)
     print(
         json.dumps(

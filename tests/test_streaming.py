@@ -75,11 +75,11 @@ def _scenario_unified() -> pd.DataFrame:
 EXPECTED = [(1, 1, 2), (1, 0, 5), (2, 1, 7), (1, 1, 10), (2, 0, 11), (1, 0, 12)]
 
 
-def _run_stream(spark, chunks, tmp, checkpoint=None):
+def _run_stream(spark, chunks, tmp, checkpoint=None, runtime=controller_streaming):
     data_dir = f"{tmp}/replay"
     write_replay_chunks(chunks, data_dir)
     unified = replay_dir(spark, data_dir, UNIFIED_DDL, files_per_trigger=1)
-    out = controller_streaming(unified)
+    out = runtime(unified)
     collected: list = []
     q = (
         out.writeStream.outputMode("update")
@@ -102,6 +102,26 @@ def tmpdir():
 def test_streaming_matches_batch_twin_single_batch(spark, tmpdir):
     pdf = _scenario_unified()
     got = _run_stream(spark, [pdf], tmpdir)
+    assert got == sorted(EXPECTED)
+
+
+def test_tws_runtime_matches_spec_across_batches(spark, tmpdir):
+    """transformWithStateInPandas (Spark 4 runtime) — same semantics, third
+    runtime: output must equal the applyInPandasWithState + batch results."""
+    from fdp_dynamically_controlled_streams_spark.streaming.controller_tws import (
+        TWS_AVAILABLE,
+        controller_streaming_tws,
+    )
+
+    if not TWS_AVAILABLE:
+        pytest.skip(
+            "transformWithState state protocol needs the protobuf package "
+            "(absent in this container); applyInPandasWithState covers the "
+            "same semantics in test_streaming_state_across_micro_batches"
+        )
+    pdf = _scenario_unified()
+    chunks = [pdf.iloc[:4], pdf.iloc[4:9], pdf.iloc[9:]]
+    got = _run_stream(spark, chunks, tmpdir, runtime=controller_streaming_tws)
     assert got == sorted(EXPECTED)
 
 
