@@ -1,0 +1,133 @@
+"""Deterministic sampling and dataset splitting for training-data pipelines.
+
+The reference has no sampling surface (SURVEY.md §2.7 — the only data
+selection anywhere is the bad-record filter, SparkStructuredController.scala:72).
+A 100 TB training pipeline needs sampling that is:
+
+  (a) **reproducible** — `df.sample()` draws from Spark's per-partition RNG,
+      so the picked rows change whenever partitioning changes (repartition,
+      AQE coalesce, a different cluster size). A sample that shifts under
+      re-execution poisons dedup caches and train/eval splits.
+  (b) **pushable** — the gate must be a plain scan predicate so sampled
+      pipelines read less, not filter after a full materialization.
+  (c) **stratifiable / splittable** — per-source rates (mixture weighting)
+      and disjoint train/valid/test assignment from one hash draw.
+
+Hash-gate sampling gives all three: keep a row iff
+
+    portable_hash64(key, seed) % DENOM  <  rate * DENOM
+
+The gate is a codegen'd column expression (md5 + conv — no Python, no
+shuffle, evaluates map-side at the scan), and the 60-bit hash is
+bit-identical in ANSI SQL (functions/hashing.py), so every sample is
+oracle-checkable. Different `seed`s give independent draws; one seed gives
+consistent membership across tables sharing the key domain.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from fdp_dynamically_controlled_streams_spark.functions.hashing import (
+    portable_hash64,
+    portable_hash64_sql,
+)
+
+#: gate resolution: rates are expressed in basis points (1/10_000).
+DENOM = 10_000
+
+
+def hash_gate(key: Column | str, seed: int = 0) -> Column:
+    """Uniform pseudo-random draw in [0, DENOM) from a key column.
+
+    The key is cast to string first so int64 and string keys hash the same
+    way as the SQL twin (DuckDB ``CAST(x AS VARCHAR)``).
+    """
+    c = F.col(key) if isinstance(key, str) else key
+    return portable_hash64(c.cast("string"), seed=seed) % F.lit(DENOM)
+
+
+def hash_gate_sql(expr: str, seed: int = 0) -> str:
+    """DuckDB twin of :func:`hash_gate`. ``expr`` must already be VARCHAR
+    (wrap integer keys in ``CAST(... AS VARCHAR)``)."""
+    return f"({portable_hash64_sql(expr, seed)} % {DENOM})"
+
+
+def _bp(rate: float) -> int:
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate must be in [0, 1], got {rate}")
+    return int(round(rate * DENOM))
+
+
+def bernoulli_sample(
+    df: DataFrame, key: str, rate: float, seed: int = 0
+) -> DataFrame:
+    """Deterministic ~``rate`` sample: row kept iff its hash gate falls
+    below ``rate * DENOM``. Same key + seed ⇒ same membership, on any
+    cluster, any partitioning, any engine."""
+    return df.where(hash_gate(key, seed) < F.lit(_bp(rate)))
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata: str,
+    key: str,
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+    seed: int = 0,
+) -> DataFrame:
+    """Per-stratum rates (mixture weighting over data sources): the gate is
+    compared against a threshold chosen by the stratum column. The threshold
+    map is a literal when-chain — still a single map-side predicate, no join.
+    Strata absent from ``rates`` fall back to ``default_rate``."""
+    thr: Column = F.lit(_bp(default_rate))
+    for value, rate in sorted(rates.items()):
+        thr = F.when(F.col(strata) == F.lit(value), F.lit(_bp(rate))).otherwise(thr)
+    return df.where(hash_gate(key, seed) < thr)
+
+
+def stratified_threshold_sql(
+    strata_expr: str, rates: dict[str, float], default_rate: float = 0.0
+) -> str:
+    """DuckDB twin of the stratified threshold when-chain."""
+    whens = " ".join(
+        f"WHEN {strata_expr} = '{v}' THEN {_bp(r)}"
+        for v, r in sorted(rates.items())
+    )
+    return f"(CASE {whens} ELSE {_bp(default_rate)} END)"
+
+
+def assign_split(
+    df: DataFrame,
+    key: str,
+    weights: dict[str, float],
+    seed: int = 0,
+    split_col: str = "split",
+) -> DataFrame:
+    """Disjoint, exhaustive dataset split (train/valid/test) from one hash
+    draw: cumulative weight thresholds partition [0, DENOM). Weights must sum
+    to 1. Insertion order of ``weights`` fixes the interval layout, so
+    growing one split later (e.g. train 0.8→0.9) keeps earlier intervals'
+    membership stable for rows already below their threshold."""
+    if abs(sum(weights.values()) - 1.0) > 1e-9:
+        raise ValueError(f"split weights must sum to 1, got {weights}")
+    g = hash_gate(key, seed)
+    expr: Column | None = None
+    cum = 0.0
+    for name, w in weights.items():
+        cum += w
+        cond = g < F.lit(min(_bp(cum), DENOM))
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    assert expr is not None
+    return df.withColumn(split_col, expr)
+
+
+def assign_split_sql(key_expr: str, weights: dict[str, float], seed: int = 0) -> str:
+    """DuckDB twin of :func:`assign_split` (a CASE over the same gate)."""
+    g = hash_gate_sql(key_expr, seed)
+    cum, whens = 0.0, []
+    for name, w in weights.items():
+        cum += w
+        whens.append(f"WHEN {g} < {min(_bp(cum), DENOM)} THEN '{name}'")
+    return "(CASE " + " ".join(whens) + " END)"

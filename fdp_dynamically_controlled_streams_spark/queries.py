@@ -1473,3 +1473,91 @@ def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     return mm.decode_media(mm.attach_fake_media(docs))
+
+
+# =========================================================================
+# 12. Deterministic sampling / splits / sketches (training-data pipeline)
+# =========================================================================
+
+from fdp_dynamically_controlled_streams_spark.operators import sampling as smp
+from fdp_dynamically_controlled_streams_spark.operators import sketches as skt
+
+_STRATA_RATES = {f"src{i}": (0.8 if i < 5 else 0.3 if i < 10 else 0.05) for i in range(20)}
+_SPLIT_WEIGHTS = {"train": 0.8, "valid": 0.1, "test": 0.1}
+
+
+@query(
+    "sample_bernoulli_orders",
+    f"""
+    SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) AS price
+    FROM orders
+    WHERE {smp.hash_gate_sql("CAST(o_orderkey AS VARCHAR)", seed=7)} < 1000
+    """,
+    tags=("sampling",),
+)
+def sample_bernoulli_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 10% Bernoulli sample of orders by hash gate — membership
+    is invariant to partitioning/cluster size, and the gate is a codegen'd
+    scan predicate (operators/sampling.py). [ABSENT in reference: SURVEY §2.7]."""
+    return smp.bernoulli_sample(_t(spark, sf_dir, "orders"), "o_orderkey", 0.10, seed=7).select(
+        "o_orderkey", "o_orderstatus", F.round("o_totalprice", 2).alias("price")
+    )
+
+
+@query(
+    "sample_stratified_documents",
+    f"""
+    SELECT source, COUNT(*) AS n_sampled, SUM(n_chars) AS sum_chars
+    FROM documents
+    WHERE {smp.hash_gate_sql("CAST(doc_id AS VARCHAR)", seed=11)}
+          < {smp.stratified_threshold_sql("source", _STRATA_RATES)}
+    GROUP BY source
+    """,
+    tags=("sampling",),
+)
+def sample_stratified_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source mixture weighting: sources src0-4 keep 80%, src5-9 30%,
+    the long tail 5% — the threshold is a literal when-chain, still one
+    map-side predicate (no join, no shuffle before the count)."""
+    docs = _t(spark, sf_dir, "documents")
+    sampled = smp.stratified_sample(docs, "source", "doc_id", _STRATA_RATES, seed=11)
+    return sampled.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_sampled"), F.sum("n_chars").alias("sum_chars")
+    )
+
+
+@query(
+    "split_train_valid_test",
+    f"""
+    SELECT {smp.assign_split_sql("CAST(doc_id AS VARCHAR)", _SPLIT_WEIGHTS, seed=13)} AS split,
+           source, COUNT(*) AS n_docs, SUM(n_chars) AS sum_chars
+    FROM documents GROUP BY 1, 2
+    """,
+    tags=("sampling",),
+)
+def split_train_valid_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """80/10/10 train/valid/test assignment from one hash draw: disjoint,
+    exhaustive, stable under re-execution; growing the train share later
+    never moves a row OUT of train (cumulative-interval layout)."""
+    docs = _t(spark, sf_dir, "documents")
+    split = smp.assign_split(docs, "doc_id", _SPLIT_WEIGHTS, seed=13)
+    return split.groupBy("split", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("sum_chars")
+    )
+
+
+@query(
+    "sketch_kmv_distinct_customers",
+    skt.kmv_distinct_sql(
+        "orders", "o_orderpriority", "o_orderpriority", "o_custkey", k=64
+    ),
+    tags=("sketch",),
+)
+def sketch_kmv_distinct_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV bottom-k distinct-count sketch (k=64) of customers per order
+    priority, alongside the exact count and realized relative error. Unlike
+    HLL++, the estimate is engine-reproducible, so it is value-hash-checked
+    against the oracle — see operators/sketches.py for the 100 TB shape."""
+    return skt.kmv_distinct(
+        _t(spark, sf_dir, "orders"), ["o_orderpriority"], "o_custkey", k=64
+    )

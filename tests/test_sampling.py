@@ -1,0 +1,79 @@
+"""Deterministic sampling: reproducibility, stratification, split laws."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from fdp_dynamically_controlled_streams_spark.operators.sampling import (
+    assign_split,
+    bernoulli_sample,
+    stratified_sample,
+)
+
+
+def _ids(spark, n=10_000):
+    return spark.range(n).select(F.col("id"), (F.col("id") % 7).alias("grp"))
+
+
+def test_bernoulli_rate_and_determinism(spark):
+    df = _ids(spark)
+    a = bernoulli_sample(df, "id", 0.2, seed=1)
+    n = a.count()
+    assert abs(n / 10_000 - 0.2) < 0.02  # hash-uniformity at n=10k
+    # membership survives arbitrary repartitioning (df.sample would not)
+    b = bernoulli_sample(df.repartition(17, "grp"), "id", 0.2, seed=1)
+    assert sorted(r.id for r in a.collect()) == sorted(r.id for r in b.collect())
+    # a different seed is an independent draw, not a shifted copy
+    c = set(r.id for r in bernoulli_sample(df, "id", 0.2, seed=2).collect())
+    overlap = len(c & set(r.id for r in a.collect()))
+    assert abs(overlap / 10_000 - 0.04) < 0.02  # ≈ rate² under independence
+
+
+def test_bernoulli_nesting(spark):
+    # same seed: a 10% sample is a strict subset of the 30% sample
+    # (gate < 1000 implies gate < 3000) — lets pipelines grow a sample
+    # without invalidating work done on the smaller one.
+    df = _ids(spark)
+    small = set(r.id for r in bernoulli_sample(df, "id", 0.1, seed=5).collect())
+    big = set(r.id for r in bernoulli_sample(df, "id", 0.3, seed=5).collect())
+    assert small <= big
+
+
+def test_stratified_rates(spark):
+    df = _ids(spark)  # grp in 0..6, ~1429 rows each
+    rates = {"0": 0.5, "1": 0.1}
+    got = (
+        stratified_sample(
+            df.withColumn("grp", F.col("grp").cast("string")),
+            "grp",
+            "id",
+            rates,
+            default_rate=0.0,
+            seed=3,
+        )
+        .groupBy("grp")
+        .count()
+        .collect()
+    )
+    by = {r.grp: r["count"] for r in got}
+    assert set(by) == {"0", "1"}  # default 0 ⇒ other strata absent
+    assert abs(by["0"] / 1429 - 0.5) < 0.06
+    assert abs(by["1"] / 1429 - 0.1) < 0.06
+
+
+def test_split_disjoint_exhaustive_stable(spark):
+    df = _ids(spark)
+    out = assign_split(df, "id", {"train": 0.8, "valid": 0.1, "test": 0.1}, seed=9)
+    counts = {r.split: r["count"] for r in out.groupBy("split").count().collect()}
+    assert sum(counts.values()) == 10_000  # exhaustive (every row labeled)
+    assert abs(counts["train"] / 10_000 - 0.8) < 0.02
+    assert abs(counts["valid"] / 10_000 - 0.1) < 0.02
+    # growing train 0.8 → 0.85 only reassigns rows INTO train
+    grown = assign_split(df, "id", {"train": 0.85, "valid": 0.1, "test": 0.05}, seed=9)
+    moved = (
+        out.select("id", "split")
+        .join(grown.select("id", F.col("split").alias("split2")), "id")
+        .where("split = 'train' AND split2 != 'train'")
+        .count()
+    )
+    assert moved == 0

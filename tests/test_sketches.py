@@ -1,0 +1,46 @@
+"""KMV distinct sketch: exactness below k, error bound above it."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from fdp_dynamically_controlled_streams_spark.operators.sketches import kmv_distinct
+
+
+def test_kmv_exact_when_small(spark):
+    # 3 groups with 10/40/63 distinct values — all below k=64 ⇒ exact.
+    # (q = id div 3 is uniform per group; id % 63 would alias with g = id % 3)
+    df = spark.range(0, 1000).select(
+        (F.col("id") % 3).alias("g"), F.floor(F.col("id") / 3).alias("q")
+    ).select(
+        "g",
+        F.when(F.col("g") == 0, F.col("q") % 10)
+        .when(F.col("g") == 1, F.col("q") % 40)
+        .otherwise(F.col("q") % 63)
+        .alias("v"),
+    )
+    rows = {r.g: r for r in kmv_distinct(df, ["g"], "v", k=64).collect()}
+    for g, true_n in [(0, 10), (1, 40), (2, 63)]:
+        assert rows[g].n_exact == true_n
+        assert rows[g].kmv_estimate == float(true_n)
+        assert rows[g].rel_err == 0.0
+
+
+def test_kmv_estimate_within_error_bound(spark):
+    # one group, 50k distinct values; k=64 ⇒ stderr ≈ 1/sqrt(62) ≈ 12.7%.
+    # assert within 4 sigma (~50%) to keep the test deterministic-safe,
+    # and record that the realized error is what rel_err reports.
+    df = spark.range(0, 50_000).select(F.lit(0).alias("g"), F.col("id").alias("v"))
+    r = kmv_distinct(df, ["g"], "v", k=64).collect()[0]
+    assert r.n_exact == 50_000
+    assert abs(r.kmv_estimate - 50_000) / 50_000 < 0.5
+    assert r.rel_err == round(abs(r.kmv_estimate - 50_000) / 50_000, 6)
+
+
+def test_kmv_duplicate_insensitive(spark):
+    # 10x duplication of every value must not move the estimate
+    base = spark.range(0, 5_000).select(F.lit(0).alias("g"), F.col("id").alias("v"))
+    dup = base.unionAll(base).unionAll(base)
+    a = kmv_distinct(base, ["g"], "v", k=64).collect()[0]
+    b = kmv_distinct(dup, ["g"], "v", k=64).collect()[0]
+    assert (a.n_exact, a.kmv_estimate) == (b.n_exact, b.kmv_estimate)
