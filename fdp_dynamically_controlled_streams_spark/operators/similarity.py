@@ -95,6 +95,101 @@ def lsh_bucketed_topk(
     )
 
 
+def ivf_topk(
+    embeddings: DataFrame,
+    probe_ids: list[int],
+    k: int = 5,
+    n_cells: int = 8,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF (inverted-file) ANN tier: the corpus is partitioned into cells by
+    nearest centroid; a probe searches only its ``n_probe`` closest cells.
+
+    Centroids here are the embeddings of ``n_cells`` fixed ids (0..n_cells-1)
+    — a deterministic stand-in for k-means init so the whole query is
+    oracle-checkable; a trained centroid table drops in without changing the
+    plan shape. The scale properties this tier adds over sign-LSH:
+
+      * cell ASSIGNMENT is map-side and shuffle-free — the centroid set is
+        collected (it is tiny, the same way a broadcast dim is) and inlined
+        as literal arrays, so `argmax cosine` is one codegen'd projection
+        over the scan, not a corpus × centroids join;
+      * recall/fan-out tunes CONTINUOUSLY via (n_cells, n_probe), where
+        sign-LSH only has the bit count;
+      * at rest, the corpus is written partitioned/bucketed by `cell`, so
+        probe-time reads touch n_probe directories of the corpus only.
+
+    Ties (equal cosine to two centroids) break to the lowest centroid id in
+    both engines (array_position = first occurrence; SQL orders by cid).
+    """
+    cents = sorted(
+        embeddings.where(F.col(id_col) < n_cells)
+        .select(id_col, vec_col)
+        .collect(),
+        key=lambda r: r[0],
+    )
+    cent_vecs = [
+        F.array(*[F.lit(float(x)) for x in r[1]]) for r in cents
+    ]
+    cent_ids = F.array(*[F.lit(int(r[0])) for r in cents])
+
+    def scores(vec):
+        return F.array(*[cosine(vec, cv) for cv in cent_vecs])
+
+    corpus = embeddings.select(
+        F.col(id_col).alias("cand_id"),
+        F.col(vec_col).alias("cand_vec"),
+        scores(F.col(vec_col)).alias("_s"),
+    )
+    # argmax via first occurrence of the max score: deterministic tie-break,
+    # zero shuffle (array_position is 1-based; element_at maps back to cid).
+    assigned = corpus.select(
+        "cand_id",
+        "cand_vec",
+        F.element_at(cent_ids, F.array_position("_s", F.array_max("_s")).cast("int")).alias(
+            "cell"
+        ),
+    )
+    probe_scored = (
+        corpus.where(F.col("cand_id").isin(probe_ids))
+        .select(
+            F.col("cand_id").alias("probe_id"),
+            F.col("cand_vec").alias("probe_vec"),
+            F.posexplode("_s").alias("_pos", "_score"),
+        )
+        .select(
+            "probe_id",
+            "probe_vec",
+            F.element_at(cent_ids, (F.col("_pos") + 1).cast("int")).alias("cell"),
+            "_score",
+        )
+    )
+    wp = Window.partitionBy("probe_id").orderBy(F.desc("_score"), F.asc("cell"))
+    probe_cells = (
+        probe_scored.select("*", F.row_number().over(wp).alias("_prk"))
+        .where(F.col("_prk") <= n_probe)
+        .select("probe_id", "probe_vec", "cell")
+    )
+    scored = (
+        F.broadcast(probe_cells)
+        .join(assigned, "cell")
+        .where(F.col("probe_id") != F.col("cand_id"))
+        .select(
+            "probe_id",
+            "cand_id",
+            F.round(cosine(F.col("probe_vec"), F.col("cand_vec")), 6).alias("score"),
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.desc("score"), F.asc("cand_id"))
+    return (
+        scored.select("*", F.row_number().over(w).alias("rank"))
+        .where(F.col("rank") <= k)
+        .select("probe_id", "cand_id", "score", "rank")
+    )
+
+
 def embedding_near_dup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.9,

@@ -1561,3 +1561,134 @@ def sketch_kmv_distinct_customers(spark: SparkSession, sf_dir: str) -> DataFrame
     return skt.kmv_distinct(
         _t(spark, sf_dir, "orders"), ["o_orderpriority"], "o_custkey", k=64
     )
+
+
+# =========================================================================
+# 13. IVF ANN tier + PII scrubbing (training-data pipeline, continued)
+# =========================================================================
+
+from fdp_dynamically_controlled_streams_spark.operators import textnorm as tn
+
+_IVF_CELLS, _IVF_PROBE = 8, 2
+
+
+@query(
+    "ann_ivf_topk",
+    f"""
+WITH cent AS (
+  SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < {_IVF_CELLS}
+),
+scored0 AS (
+  SELECT e.vec_id AS cand_id, e.embedding AS cand_vec, c.cid,
+         {cosine_sql("e.embedding", "c.cvec")} AS s
+    FROM embeddings e CROSS JOIN cent c
+),
+assign0 AS (
+  SELECT cand_id, cand_vec, cid, s,
+         row_number() OVER (PARTITION BY cand_id ORDER BY s DESC, cid) AS rk
+    FROM scored0
+),
+cells AS (
+  SELECT cand_id, cand_vec, cid AS cell FROM assign0 WHERE rk = 1
+),
+probe_cells AS (
+  SELECT cand_id AS probe_id, cand_vec AS probe_vec, cid AS cell
+    FROM assign0 WHERE cand_id IN ({_PROBE_LIST}) AND rk <= {_IVF_PROBE}
+),
+scored AS (
+  SELECT p.probe_id, c.cand_id,
+         round({cosine_sql("p.probe_vec", "c.cand_vec")}, 6) AS score
+    FROM probe_cells p JOIN cells c ON c.cell = p.cell AND c.cand_id != p.probe_id
+),
+ranked AS (
+  SELECT probe_id, cand_id, score,
+         row_number() OVER (PARTITION BY probe_id ORDER BY score DESC, cand_id) AS rank
+    FROM scored
+)
+SELECT probe_id, cand_id, score, rank FROM ranked WHERE rank <= 5
+""",
+    tags=("similarity", "ann", "ivf"),
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN tier: corpus partitioned by nearest-centroid cell (assignment
+    is a shuffle-free codegen'd projection — centroids inlined as literals,
+    the broadcast-dim pattern applied to expressions), probes search their 2
+    nearest of 8 cells. Same join shape as a trained-centroid deployment.
+    [ABSENT in reference — charter extension; see operators/similarity.py]."""
+    e = _t(spark, sf_dir, "embeddings")
+    return sim_ops.ivf_topk(
+        e, _PROBE_IDS, k=5, n_cells=_IVF_CELLS, n_probe=_IVF_PROBE
+    )
+
+
+# Deterministic PII injection (same expression both engines) so the scrub
+# path is exercised end-to-end on synthetic text that carries no real PII.
+_AUG_SPARK = (
+    "concat(text, ' contact user', CAST(doc_id AS STRING), '@example.com or ',"
+    " 'http://site.example/page?id=', CAST(doc_id AS STRING),"
+    " ' from 10.0.', CAST(doc_id % 256 AS STRING), '.7 call 555-012-',"
+    " lpad(CAST(doc_id % 10000 AS STRING), 4, '0'))"
+)
+_AUG_DUCK = (
+    "text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com or '"
+    " || 'http://site.example/page?id=' || CAST(doc_id AS VARCHAR)"
+    " || ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7 call 555-012-'"
+    " || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+)
+
+
+@query(
+    "text_scrub_normalize",
+    f"""
+SELECT doc_id,
+       {tn.normalize_text_sql(tn.scrub_pii_sql(_AUG_DUCK))} AS clean,
+       length({tn.normalize_text_sql(tn.scrub_pii_sql(_AUG_DUCK))}) AS n_chars_clean
+  FROM documents
+""",
+    tags=("text", "pii"),
+)
+def text_scrub_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing + normalization (operators/textnorm.py): emails, URLs,
+    IPs, phone-like runs → typed placeholders, then case/whitespace
+    canonicalization — the pass that must precede near-dup signatures."""
+    d = _t(spark, sf_dir, "documents")
+    clean = tn.normalize_text(tn.scrub_pii(F.expr(_AUG_SPARK)))
+    return d.select(
+        "doc_id", clean.alias("clean"), F.length(clean).alias("n_chars_clean")
+    )
+
+
+# =========================================================================
+# 14. Data layout: Z-order clustering key (operators/layout.py)
+# =========================================================================
+
+from fdp_dynamically_controlled_streams_spark.operators import layout as lay
+
+
+@query(
+    "layout_zorder_events",
+    f"""
+SELECT event_id,
+       (user_id % 1024) AS user_bucket,
+       ((dayofyear(ts) * 24 + hour(ts)) % 1024) AS time_bucket,
+       {lay.zorder_key_sql("(user_id % 1024)", "((dayofyear(ts) * 24 + hour(ts)) % 1024)", bits=10)} AS zkey
+  FROM events
+ WHERE event_id % 29 = 0
+""",
+    tags=("layout", "zorder"),
+)
+def layout_zorder_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustering key over (user bucket, time bucket): bit-interleave
+    so a table sorted by zkey prunes parquet row-groups on BOTH the user and
+    the time predicate (operators/layout.py; write path = write_zordered)."""
+    e = _t(spark, sf_dir, "events")
+    ub = (F.col("user_id") % 1024).alias("user_bucket")
+    tb = ((F.dayofyear("ts") * 24 + F.hour("ts")) % 1024).alias("time_bucket")
+    return e.where(F.col("event_id") % 29 == 0).select(
+        "event_id",
+        ub,
+        tb,
+        lay.zorder_key(F.col("user_id") % 1024,
+                       (F.dayofyear("ts") * 24 + F.hour("ts")) % 1024,
+                       bits=10).alias("zkey"),
+    )

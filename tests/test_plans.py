@@ -121,3 +121,40 @@ def test_lsh_bucketed_topk_is_equi_join(audits):
     # The scale path: bucket equi-join, probes broadcast — no nested loop.
     assert a.n_nestedloop_joins == 0
     assert a.n_broadcast_joins >= 1
+
+
+def test_sampling_is_map_side_predicate(audits):
+    # the hash gate is a plain scan predicate: zero shuffles, no Python
+    a = audits("sample_bernoulli_orders")
+    assert a.n_exchanges == 0
+    assert a.n_python_evals == 0
+    for name in ("sample_stratified_documents", "split_train_valid_test"):
+        b = audits(name)
+        assert b.n_exchanges == 1, name  # only the final count-by-group
+        assert b.n_python_evals == 0, name
+
+
+def test_kmv_sketch_two_fundamental_exchanges(audits):
+    # distinct (group,hash) + per-group window; the closing groupBy reuses
+    # the window's hash partitioning — no third exchange
+    a = audits("sketch_kmv_distinct_customers")
+    assert a.n_exchanges == 2
+    assert a.n_python_evals == 0
+
+
+def test_ivf_assignment_is_shuffle_free(audits):
+    # centroids inlined as literals: cell assignment adds NO exchange; the
+    # two exchanges are the probe-cell and final top-k windows, the cell
+    # join broadcasts the probe side, and nothing nested-loops
+    a = audits("ann_ivf_topk")
+    assert a.n_exchanges == 2
+    assert a.n_broadcast_joins == 1
+    assert a.n_nestedloop_joins == 0
+    assert a.n_python_evals == 0
+
+
+def test_scrub_and_zorder_are_pure_projection(audits):
+    for name in ("text_scrub_normalize", "layout_zorder_events"):
+        a = audits(name)
+        assert a.n_exchanges == 0, name
+        assert a.n_python_evals == 0, name
