@@ -293,3 +293,37 @@ def test_streaming_resume_from_checkpoint(spark, tmpdir):
     os.utime(fp, (1_700_000_100, 1_700_000_100))
     start()
     assert sorted((r.sensor_id, r.command, r.seq) for r in collected) == sorted(EXPECTED)
+
+
+def test_session_window_merges_and_finalizes(spark, tmpdir):
+    """Streaming session windows (SURVEY §2.7 event-time windows): events
+    within the 5-minute gap merge into one growing session; the session
+    emits once, when the watermark passes its close (last event + gap).
+    The batch lag()-based twin is catalog `events_sessionization`."""
+    mk = lambda rows: pd.DataFrame(rows, columns=["key", "ts"])
+    chunks = [
+        # u1: events at 0' and 2' (one session), then 20' (a second session)
+        mk([("u1", _ts(0)), ("u1", _ts(2)), ("u1", _ts(20))]),
+        # advancer: watermark (10' delay) -> 00:50; both u1 sessions close
+        mk([("u2", _ts(60))]),
+    ]
+    stream = _replay_ts_stream(spark, chunks, tmpdir, "key string, ts timestamp")
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy("key", F.session_window("ts", "5 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select("key", F.col("w.start").alias("start"), F.col("w.end").alias("end"), "n")
+    )
+    collected: list = []
+    q = (
+        agg.writeStream.outputMode("append")
+        .foreachBatch(lambda bdf, bid: collected.extend(bdf.collect()))
+        .option("checkpointLocation", f"{tmpdir}/chk")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = sorted((r.key, r.start.minute, r.end.minute, r.n) for r in collected)
+    # session 1 = [00:00, 00:07) with 2 events (0' and 2', end = 2'+5');
+    # session 2 = [00:20, 00:25) with 1; u2's session is still open -> absent
+    assert got == [("u1", 0, 7, 2), ("u1", 20, 25, 1)]
