@@ -1692,3 +1692,69 @@ def layout_zorder_events(spark: SparkSession, sf_dir: str) -> DataFrame:
                        (F.dayofyear("ts") * 24 + F.hour("ts")) % 1024,
                        bits=10).alias("zkey"),
     )
+
+
+# =========================================================================
+# 15. Data quality: profiling + constraint validation (operators/quality.py)
+# =========================================================================
+
+from fdp_dynamically_controlled_streams_spark.operators import quality as qual
+
+_ORDERS_PROFILE_COLS = [
+    ("o_orderkey", True),
+    ("o_custkey", True),
+    ("o_totalprice", True),
+    ("o_orderstatus", False),
+    ("o_orderpriority", False),
+]
+
+
+@query(
+    "quality_profile_orders",
+    qual.profile_table_sql("orders", _ORDERS_PROFILE_COLS),
+    tags=("quality", "profile"),
+)
+def quality_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profile of orders (nulls/distincts/extremes) in ONE aggregation
+    pass — row-per-column comes from inline() over the aggregated structs,
+    not per-column jobs (operators/quality.py; KMV swaps in at extreme
+    widths)."""
+    o = _t(spark, sf_dir, "orders")
+    return qual.profile_table(o, [c for c, _ in _ORDERS_PROFILE_COLS])
+
+
+@query(
+    "quality_check_lineitem",
+    """
+WITH agg AS (
+  SELECT count(*) AS _n,
+         sum(CASE WHEN NOT coalesce(l_quantity > 0, FALSE) THEN 1 ELSE 0 END) AS positive_quantity,
+         sum(CASE WHEN NOT coalesce(l_extendedprice >= 0, FALSE) THEN 1 ELSE 0 END) AS nonneg_price,
+         sum(CASE WHEN NOT coalesce(l_discount BETWEEN 0 AND 1, FALSE) THEN 1 ELSE 0 END) AS discount_unit_interval,
+         sum(CASE WHEN NOT coalesce(l_returnflag IN ('A','N','R'), FALSE) THEN 1 ELSE 0 END) AS returnflag_domain,
+         sum(CASE WHEN NOT coalesce(l_shipdate IS NOT NULL, FALSE) THEN 1 ELSE 0 END) AS shipdate_not_null
+    FROM lineitem
+)
+SELECT 'positive_quantity' AS rule, positive_quantity AS n_violations, _n AS n_rows FROM agg
+UNION ALL SELECT 'nonneg_price', nonneg_price, _n FROM agg
+UNION ALL SELECT 'discount_unit_interval', discount_unit_interval, _n FROM agg
+UNION ALL SELECT 'returnflag_domain', returnflag_domain, _n FROM agg
+UNION ALL SELECT 'shipdate_not_null', shipdate_not_null, _n FROM agg
+""",
+    tags=("quality", "constraints"),
+)
+def quality_check_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative row constraints over lineitem, violation counts in one
+    pass; the row-routing form (valid vs dead-letter with rule names) is
+    split_by_constraints, tested in tests/test_quality.py."""
+    li = _t(spark, sf_dir, "lineitem")
+    return qual.check_constraints(
+        li,
+        {
+            "positive_quantity": F.col("l_quantity") > 0,
+            "nonneg_price": F.col("l_extendedprice") >= 0,
+            "discount_unit_interval": F.col("l_discount").between(0, 1),
+            "returnflag_domain": F.col("l_returnflag").isin("A", "N", "R"),
+            "shipdate_not_null": F.col("l_shipdate").isNotNull(),
+        },
+    )

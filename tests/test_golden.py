@@ -201,11 +201,18 @@ _records = st.lists(
 
 
 def _materialize(raw):
-    # kind 0 -> control with desired=payload, deltas 2.0; unique seq per row
-    # is NOT forced: ties exercise the control-first ordering rule.
-    return [
-        (sid, k, (p, 2.0, 2.0) if k == 0 else p, seq) for sid, k, p, seq in raw
-    ]
+    # kind 0 -> control with desired=payload, deltas 2.0. control/data ties at
+    # one seq are kept (they exercise the control-first ordering rule), but
+    # duplicate (sensor, kind, seq) rows are dropped: their relative order is
+    # undefined in BOTH the engine (window has no further tie-break) and the
+    # interpreter (list order), so they don't define a testable semantics.
+    seen, out = set(), []
+    for sid, k, p, seq in raw:
+        if (sid, k, seq) in seen:
+            continue
+        seen.add((sid, k, seq))
+        out.append((sid, k, (p, 2.0, 2.0) if k == 0 else p, seq))
+    return out
 
 
 @settings(
@@ -216,9 +223,14 @@ def _materialize(raw):
 @given(raw=_records)
 def test_controller_properties(spark, raw):
     records = _materialize(raw)
-    got = _run_batch(spark, records)
+    # compare under the total order (seq, sensor_id): emissions of DIFFERENT
+    # sensors at one seq are causally independent, so their relative order is
+    # not part of the semantics (after _materialize, (sensor, seq) is unique
+    # per emission, making this a total order on both sides)
+    key = lambda t: (t[2], t[0])
+    got = sorted(_run_batch(spark, records), key=key)
     # (i) exact equivalence with the independent interpreter
-    assert got == reference_controller(records)
+    assert got == sorted(reference_controller(records), key=key)
     # (ii)-(iv) on the output itself
     by_key: dict[int, list] = {}
     for sid, cmd, seq in got:

@@ -1,0 +1,61 @@
+"""Profiling and constraint operators: crafted frames with known defects."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from fdp_dynamically_controlled_streams_spark.operators.quality import (
+    check_constraints,
+    profile_table,
+    split_by_constraints,
+)
+
+
+def _frame(spark):
+    rows = [
+        (1, 10.0, "ok"),
+        (2, -5.0, "ok"),      # bad: negative
+        (3, None, "ok"),      # bad: null value (rule must not pass via 3VL)
+        (4, 20.0, None),      # bad: null tag
+        (5, 30.0, "weird"),   # bad: tag outside domain
+    ]
+    return spark.createDataFrame(rows, "id long, val double, tag string")
+
+
+RULES = lambda: {
+    "val_positive": F.col("val") > 0,
+    "tag_domain": F.col("tag").isin("ok", "meh"),
+}
+
+
+def test_profile_counts_and_extremes(spark):
+    got = {r.column: r for r in profile_table(_frame(spark)).collect()}
+    assert got["val"].n_nulls == 1
+    assert got["val"].n_distinct == 4  # nulls not counted as distinct value
+    assert (got["val"].min_num, got["val"].max_num) == (-5.0, 30.0)
+    assert got["val"].min_str is None  # numeric column: _str pair empty
+    assert got["tag"].n_nulls == 1
+    assert (got["tag"].min_str, got["tag"].max_str) == ("ok", "weird")
+    assert got["tag"].max_num is None
+
+
+def test_check_constraints_counts_nulls_as_violations(spark):
+    got = {r.rule: r for r in check_constraints(_frame(spark), RULES()).collect()}
+    assert got["val_positive"].n_violations == 2  # -5.0 and NULL
+    assert got["tag_domain"].n_violations == 2  # NULL and 'weird'
+    assert got["val_positive"].n_rows == 5
+
+
+def test_split_routes_rows_with_rule_names(spark):
+    valid, bad = split_by_constraints(_frame(spark), RULES())
+    v_ids = sorted(r.id for r in valid.collect())
+    assert v_ids == [1]  # only row 1 passes both rules
+    bad_map = {r.id: sorted(r.failed_rules) for r in bad.collect()}
+    assert bad_map == {
+        2: ["val_positive"],
+        3: ["val_positive"],
+        4: ["tag_domain"],
+        5: ["tag_domain"],
+    }
+    # split preserves every row exactly once
+    assert valid.count() + bad.count() == 5
