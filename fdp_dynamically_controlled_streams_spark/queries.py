@@ -1758,3 +1758,119 @@ def quality_check_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
             "shipdate_not_null": F.col("l_shipdate").isNotNull(),
         },
     )
+
+
+# =========================================================================
+# 16. CDC merge: latest-wins snapshots + SCD2 history (operators/merge.py)
+# =========================================================================
+
+from fdp_dynamically_controlled_streams_spark.operators import merge as merge_ops
+
+_EVENT_STATE_COLS = ["user_id", "event_id", "ts", "event_type", "value"]
+
+
+@query(
+    "cdc_latest_event_per_user",
+    """
+SELECT user_id, event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts,
+       event_type, value
+  FROM (SELECT user_id, event_id, ts, event_type, value,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events)
+ WHERE rn = 1
+""",
+    tags=("cdc", "merge"),
+)
+def cdc_latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change log -> latest-row-per-key via one max_by(struct, struct)
+    aggregation (map-side partial combine; no window sort). The oracle's
+    row_number form is the semantics; max_by is the scale-correct plan
+    (operators/merge.py::latest_by_key)."""
+    ev = _t(spark, sf_dir, "events").select(*_EVENT_STATE_COLS)
+    latest = merge_ops.latest_by_key(ev, ["user_id"], ["ts", "event_id"])
+    return latest.withColumn(
+        "ts", F.date_format("ts", "yyyy-MM-dd HH:mm:ss")
+    )
+
+
+@query(
+    "cdc_merge_upsert_user_state",
+    """
+WITH latest AS (
+  SELECT user_id, event_id, ts, event_type, value
+    FROM (SELECT user_id, event_id, ts, event_type, value,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events)
+   WHERE rn = 1
+)
+SELECT user_id, event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts,
+       event_type, value
+  FROM latest WHERE event_type <> 'error'
+""",
+    tags=("cdc", "merge"),
+)
+def cdc_merge_upsert_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot maintenance: target = latest state from the log's first half,
+    changes = second half, merged latest-wins with 'error' as the tombstone
+    op (a key whose winning row is an error leaves the snapshot). Equivalent
+    to filtering the latest-over-all state -- which is what the oracle
+    checks; the Spark side actually executes the two-sided merge
+    (operators/merge.py::merge_upsert)."""
+    ev = _t(spark, sf_dir, "events").select(*_EVENT_STATE_COLS)
+    cutoff = F.lit("2024-01-15").cast("timestamp")
+    target = merge_ops.latest_by_key(
+        ev.where(F.col("ts") < cutoff), ["user_id"], ["ts", "event_id"]
+    )
+    changes = ev.where(F.col("ts") >= cutoff)
+    merged = merge_ops.merge_upsert(
+        target,
+        changes,
+        ["user_id"],
+        ["ts", "event_id"],
+        op_col="event_type",
+        delete_op="error",
+    )
+    return merged.withColumn("ts", F.date_format("ts", "yyyy-MM-dd HH:mm:ss"))
+
+
+@query(
+    "cdc_scd2_event_type_history",
+    """
+WITH ordered AS (
+  SELECT user_id, event_type, ts, event_id,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev
+    FROM events
+), changes AS (
+  SELECT user_id, event_type, ts, event_id
+    FROM ordered
+   WHERE prev IS NULL OR event_type <> prev
+)
+SELECT user_id, event_type,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
+       strftime(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                '%Y-%m-%d %H:%M:%S') AS valid_to,
+       lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+         AS is_current
+  FROM changes
+""",
+    tags=("cdc", "scd2"),
+)
+def cdc_scd2_event_type_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 history of each user's event_type: emit-on-change suppression
+    (the controller's G6 applied to dimension history), then
+    valid_from/valid_to intervals from lead() -- both window passes share one
+    shuffle on user_id (operators/merge.py::scd2_history)."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts", "event_id")
+    hist = merge_ops.scd2_history(
+        ev, ["user_id"], "ts", ["event_type"], tie_break=["event_id"]
+    )
+    return hist.select(
+        "user_id",
+        "event_type",
+        F.date_format("valid_from", "yyyy-MM-dd HH:mm:ss").alias("valid_from"),
+        F.date_format("valid_to", "yyyy-MM-dd HH:mm:ss").alias("valid_to"),
+        "is_current",
+    )
