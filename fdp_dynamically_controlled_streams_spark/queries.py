@@ -1874,3 +1874,60 @@ def cdc_scd2_event_type_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("valid_to", "yyyy-MM-dd HH:mm:ss").alias("valid_to"),
         "is_current",
     )
+
+
+# =========================================================================
+# 17. Multi-resolution time rollup (operators/rollup_time.py)
+# =========================================================================
+
+from fdp_dynamically_controlled_streams_spark.operators import (
+    rollup_time as rollup_ops,
+)
+
+
+@query(
+    "rollup_time_hierarchy_events",
+    """
+WITH base AS (
+  SELECT date_trunc('hour', ts)  AS t_hour,
+         date_trunc('day', ts)   AS t_day,
+         date_trunc('month', ts) AS t_month,
+         event_type, value
+    FROM events
+)
+SELECT CASE WHEN GROUPING(t_hour) = 0 THEN 'hour'
+            WHEN GROUPING(t_day)  = 0 THEN 'day'
+            ELSE 'month' END AS grain,
+       strftime(CASE WHEN GROUPING(t_hour) = 0 THEN t_hour
+                     WHEN GROUPING(t_day)  = 0 THEN t_day
+                     ELSE t_month END, '%Y-%m-%d %H:%M:%S') AS bucket_start,
+       event_type,
+       count(*) AS n_events,
+       round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 4)
+         AS total_value
+  FROM base
+ GROUP BY GROUPING SETS ((t_hour, event_type), (t_day, event_type),
+                         (t_month, event_type))
+""",
+    tags=("rollup", "agg"),
+)
+def rollup_time_hierarchy_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour/day/month rollup of events per event_type from ONE scan: native
+    groupingSets -> one Expand + one output-sized shuffle; level identity by
+    GROUPING(), not null-testing (operators/rollup_time.py)."""
+    ev = _t(spark, sf_dir, "events")
+    out = rollup_ops.rollup_time_hierarchy(
+        ev,
+        "ts",
+        ["hour", "day", "month"],
+        {
+            "n_events": F.count(F.lit(1)),
+            "total_value": F.round(
+                F.sum(F.col("value").cast("decimal(18,4)")).cast("double"), 4
+            ),
+        },
+        keys=["event_type"],
+    )
+    return out.withColumn(
+        "bucket_start", F.date_format("bucket_start", "yyyy-MM-dd HH:mm:ss")
+    )
