@@ -1931,3 +1931,121 @@ def rollup_time_hierarchy_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn(
         "bucket_start", F.date_format("bucket_start", "yyyy-MM-dd HH:mm:ss")
     )
+
+
+# =========================================================================
+# 18. Stream-stream interval join (streaming/interval_join.py)
+# =========================================================================
+
+
+@query(
+    "stream_interval_join_replay",
+    """
+SELECT p.user_id AS user_id,
+       strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+       strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts
+  FROM events p
+  JOIN events c
+    ON p.event_type = 'purchase' AND c.event_type = 'click'
+   AND c.user_id = p.user_id
+   AND c.ts >= p.ts AND c.ts <= p.ts + INTERVAL 1 HOUR
+""",
+    tags=("streaming", "join", "interval"),
+)
+def stream_interval_join_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream interval join on the streaming runtime:
+    purchase and click streams replayed in event-time order, joined within a
+    1-hour band per user; the finite replay's output must equal the batch
+    interval join the oracle runs (streaming/interval_join.py — watermarks
+    bound the join state to O(rate x band), proven in
+    tests/test_interval_join.py)."""
+    import tempfile
+
+    from fdp_dynamically_controlled_streams_spark.sources.registry import (
+        replay_dir,
+        write_replay_chunks,
+    )
+    from fdp_dynamically_controlled_streams_spark.streaming.interval_join import (
+        interval_join_streams,
+    )
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    tmp = tempfile.mkdtemp(prefix="dcs-ivj-")
+    ddl = "user_id long, ts timestamp"
+    for side, etype in (("left", "purchase"), ("right", "click")):
+        pdf = (
+            ev.where(F.col("event_type") == etype)
+            .select("user_id", "ts")
+            .toPandas()
+            .sort_values("ts")
+        )
+        pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+        n = max(len(pdf) // 4, 1)
+        write_replay_chunks(
+            [pdf.iloc[i : i + n] for i in range(0, len(pdf), n)], f"{tmp}/{side}"
+        )
+    joined = interval_join_streams(
+        replay_dir(spark, f"{tmp}/left", ddl, files_per_trigger=1),
+        replay_dir(spark, f"{tmp}/right", ddl, files_per_trigger=1),
+        "user_id",
+        "ts",
+        "ts",
+        F.expr("INTERVAL 0 SECONDS"),
+        F.expr("INTERVAL 1 HOUR"),
+        watermark="2 hours",
+    )
+    collected: list = []
+    q = (
+        joined.writeStream.outputMode("append")
+        .foreachBatch(lambda bdf, bid: collected.extend(bdf.collect()))
+        .option("checkpointLocation", f"{tmp}/chk")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.createDataFrame(
+        [
+            (r.l_user_id, r.l_ts.strftime("%Y-%m-%d %H:%M:%S"),
+             r.r_ts.strftime("%Y-%m-%d %H:%M:%S"))
+            for r in collected
+        ],
+        "user_id long, purchase_ts string, click_ts string",
+    )
+
+
+@query(
+    "reshape_unpivot_lineitem",
+    """
+SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure,
+       CAST(l_quantity AS DOUBLE) AS amount
+  FROM lineitem WHERE l_shipdate >= DATE '1995-06-01'
+                  AND l_shipdate <  DATE '1995-06-08'
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'l_extendedprice', CAST(l_extendedprice AS DOUBLE)
+  FROM lineitem WHERE l_shipdate >= DATE '1995-06-01'
+                  AND l_shipdate <  DATE '1995-06-08'
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'l_discount', CAST(l_discount AS DOUBLE)
+  FROM lineitem WHERE l_shipdate >= DATE '1995-06-01'
+                  AND l_shipdate <  DATE '1995-06-08'
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'l_tax', CAST(l_tax AS DOUBLE)
+  FROM lineitem WHERE l_shipdate >= DATE '1995-06-01'
+                  AND l_shipdate <  DATE '1995-06-08'
+""",
+    tags=("reshape", "unpivot"),
+)
+def reshape_unpivot_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide -> long melt of four lineitem measures via the built-in
+    DataFrame.unpivot (Expand under the hood: ONE scan fans each row out per
+    measure — the oracle's 4x self-union shape without 4 scans)."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1995-06-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1995-06-08").cast("timestamp"))
+    )
+    return li.unpivot(
+        ids=["l_orderkey", "l_linenumber"],
+        values=["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        variableColumnName="measure",
+        valueColumnName="amount",
+    ).withColumn("amount", F.col("amount").cast("double"))
