@@ -158,3 +158,33 @@ def test_scrub_and_zorder_are_pure_projection(audits):
         a = audits(name)
         assert a.n_exchanges == 0, name
         assert a.n_python_evals == 0, name
+
+
+def test_cdc_latest_single_exchange_partial_agg(audits):
+    # latest_by_key: ONE exchange on the merge key, with a map-side
+    # partial_max_by BEFORE it (the shuffle carries <=1 row/key/partition —
+    # the property that makes log compaction viable when the log is 1000x
+    # the key space). No window sort of the full input, no Python.
+    a = audits("cdc_latest_event_per_user")
+    assert a.n_exchanges == 1
+    assert "partial_max_by" in a.raw
+    assert a.n_python_evals == 0
+
+
+def test_rollup_hierarchy_one_expand_one_shuffle(audits):
+    # all three granularities from one scan: a single Expand (3x fan-out),
+    # partial agg map-side, one hash exchange sized by output buckets.
+    a = audits("rollup_time_hierarchy_events")
+    assert a.raw.count("Expand") >= 1
+    assert a.n_exchanges == 1
+    assert a.n_python_evals == 0
+
+
+def test_unpivot_is_map_only(audits):
+    # built-in unpivot = Expand over one pruned scan: ZERO exchanges, filter
+    # pushed to parquet, untouched measure columns pruned away.
+    a = audits("reshape_unpivot_lineitem")
+    assert a.n_exchanges == 0
+    assert_pushed(a, "l_shipdate")
+    assert_pruned(a, ["l_returnflag", "l_partkey", "l_suppkey"])
+    assert a.n_python_evals == 0
