@@ -2049,3 +2049,73 @@ def reshape_unpivot_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="measure",
         valueColumnName="amount",
     ).withColumn("amount", F.col("amount").cast("double"))
+
+
+# =========================================================================
+# 19. Vocabulary + TF-IDF (operators/tfidf.py)
+# =========================================================================
+
+from fdp_dynamically_controlled_streams_spark.operators import tfidf as tfidf_ops
+
+
+@query(
+    "text_vocabulary_topk",
+    """
+WITH toks AS (
+  SELECT doc_id, t.term
+    FROM documents,
+         UNNEST(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS t(term)
+   WHERE t.term <> ''
+), tdc AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term
+), per_term AS (
+  SELECT term, count(*) AS doc_freq, CAST(sum(tf) AS BIGINT) AS total_tf
+    FROM tdc GROUP BY term
+), top AS (
+  SELECT * FROM per_term ORDER BY doc_freq DESC, term LIMIT 200
+)
+SELECT term, doc_freq, total_tf,
+       row_number() OVER (ORDER BY doc_freq DESC, term) AS rank
+  FROM top
+""",
+    tags=("text", "vocabulary"),
+)
+def text_vocabulary_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-200 corpus vocabulary by document frequency (ties lexicographic):
+    the global rank is an ordered LIMIT (TakeOrderedAndProject — per-
+    partition top-K + K-sized merge), never a full sort of the term table
+    (operators/tfidf.py::vocabulary)."""
+    docs = _t(spark, sf_dir, "documents")
+    return tfidf_ops.vocabulary(docs, "text", "doc_id", top_k=200)
+
+
+@query(
+    "text_tfidf_weights",
+    """
+WITH toks AS (
+  SELECT doc_id, t.term
+    FROM documents,
+         UNNEST(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS t(term)
+   WHERE t.term <> ''
+), tdc AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+    FROM toks GROUP BY doc_id, term
+), df_t AS (
+  SELECT term, count(*) AS doc_freq FROM tdc GROUP BY term
+), n AS (
+  SELECT count(DISTINCT doc_id) AS n FROM documents
+)
+SELECT tdc.doc_id, tdc.term, tdc.tf,
+       round(tdc.tf * (ln((1 + n.n)::DOUBLE / (1 + df_t.doc_freq)) + 1.0), 6)
+         AS weight
+  FROM tdc JOIN df_t USING (term) CROSS JOIN n
+""",
+    tags=("text", "tfidf"),
+)
+def text_tfidf_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(doc, term) TF-IDF with smooth idf ln((1+N)/(1+df))+1: the
+    document-frequency side is vocabulary-sized and broadcasts; N is an
+    aggregate scalar cross-joined in — one corpus tokenization pass total
+    (operators/tfidf.py::tfidf)."""
+    docs = _t(spark, sf_dir, "documents")
+    return tfidf_ops.tfidf(docs, "text", "doc_id")
