@@ -2119,3 +2119,20 @@ def text_tfidf_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/tfidf.py::tfidf)."""
     docs = _t(spark, sf_dir, "documents")
     return tfidf_ops.tfidf(docs, "text", "doc_id")
+
+
+from fdp_dynamically_controlled_streams_spark.operators import histogram as hist_ops
+
+
+@query(
+    "quality_histogram_extendedprice",
+    hist_ops.histogram_sql("lineitem", "l_extendedprice", 24, 0.0, 120000.0),
+    tags=("quality", "histogram"),
+)
+def quality_histogram_extendedprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact equi-width histogram of l_extendedprice on a pinned 24-bin grid:
+    one scan, closed-form bin expression (codegen, no UDF), output-sized
+    shuffle; out-of-range mass clamps into the edge bins
+    (operators/histogram.py)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return hist_ops.histogram(li, "l_extendedprice", 24, lo=0.0, hi=120000.0)

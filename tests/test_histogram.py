@@ -1,0 +1,58 @@
+"""Equi-width histogram: crafted distributions, clamping, mergeability."""
+
+from __future__ import annotations
+
+import pytest
+
+from fdp_dynamically_controlled_streams_spark.operators.histogram import histogram
+
+
+def _vals(spark, xs):
+    return spark.createDataFrame([(float(x),) for x in xs], "v double")
+
+
+def test_counts_and_bounds(spark):
+    df = _vals(spark, [0, 1, 2, 3, 4, 5, 6, 7, 8, 9])
+    got = {r.bin: (r.lo, r.hi, r.n) for r in histogram(df, "v", n_bins=2).collect()}
+    # auto bounds [0, 9], width 4.5; 9.0 lands in the last bin (clamped edge)
+    assert got[0] == (0.0, 4.5, 5)
+    assert got[1] == (4.5, 9.0, 5)
+
+
+def test_clamping_with_pinned_grid(spark):
+    df = _vals(spark, [-100, 0.5, 1.5, 999])
+    got = {r.bin: r.n for r in histogram(df, "v", 2, lo=0.0, hi=2.0).collect()}
+    assert got == {0: 2, 1: 2}  # -100 -> bin 0, 999 -> bin 1: no lost mass
+
+
+def test_nulls_excluded_and_all_null_empty(spark):
+    df = spark.createDataFrame([(1.0,), (None,), (3.0,)], "v double")
+    assert sum(r.n for r in histogram(df, "v", 4).collect()) == 2
+    empty = spark.createDataFrame([(None,), (None,)], "v double")
+    assert histogram(empty, "v", 4).count() == 0
+
+
+def test_degenerate_range_single_bin(spark):
+    df = _vals(spark, [7, 7, 7])
+    got = histogram(df, "v", 5).collect()
+    assert len(got) == 1 and got[0].bin == 0 and got[0].n == 3
+
+
+def test_histograms_merge_binwise(spark):
+    # same pinned grid on two halves == one histogram over the union
+    all_ = list(range(100))
+    a, b = all_[:37], all_[37:]
+    kw = dict(n_bins=10, lo=0.0, hi=100.0)
+    ha = {r.bin: r.n for r in histogram(_vals(spark, a), "v", **kw).collect()}
+    hb = {r.bin: r.n for r in histogram(_vals(spark, b), "v", **kw).collect()}
+    merged = {k: ha.get(k, 0) + hb.get(k, 0) for k in set(ha) | set(hb)}
+    hu = {r.bin: r.n for r in histogram(_vals(spark, all_), "v", **kw).collect()}
+    assert merged == hu
+
+
+def test_rejects_bad_args(spark):
+    df = _vals(spark, [1])
+    with pytest.raises(ValueError):
+        histogram(df, "v", 0)
+    with pytest.raises(ValueError):
+        histogram(df, "v", 4, lo=0.0)
