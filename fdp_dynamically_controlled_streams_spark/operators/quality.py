@@ -19,6 +19,11 @@ bad-record parse filter (SURVEY §2.2 P4-P6). Two batch operators:
   ride along as a per-group constant. At extreme distinct cardinalities
   swap in the KMV sketch (operators/sketches.py) per column instead.
 
+* ``observe_constraints`` — the same rule metrics attached to a frame via
+  ``df.observe``: violation counts ride whatever job materializes the data
+  (the write path), zero extra scans — the at-scale default for monitoring;
+  ``check_constraints`` remains the standalone-report form.
+
 * ``check_constraints`` / ``split_by_constraints`` — declarative row rules
   (non-null, range, set membership, cross-column). `check_constraints`
   aggregates violation counts per rule in one pass; `split_by_constraints`
@@ -29,7 +34,7 @@ bad-record parse filter (SURVEY §2.2 P4-P6). Two batch operators:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Observation
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -125,6 +130,26 @@ def check_constraints(df: DataFrame, rules: dict[str, Column]) -> DataFrame:
         for name in rules
     ]
     return one.select(F.inline(F.array(*structs)))
+
+
+def observe_constraints(
+    df: DataFrame, rules: dict[str, Column], name: str = "quality"
+) -> tuple[DataFrame, Observation]:
+    """Attach constraint metrics to ``df`` WITHOUT a second scan: returns
+    (df, observation) where the observation yields ``{"n_rows": …,
+    "<rule>": violations, …}`` after any action on the returned frame.
+
+    This is the quality gate for the write path at 100 TB: violation counts
+    ride the job that materializes the data (``df.observe`` aggregates
+    inside the existing plan), instead of :func:`check_constraints`'s
+    separate aggregation job. Null rule results count as violations, same
+    3VL stance as the rest of this module."""
+    obs = Observation(name)
+    metrics = [F.count(F.lit(1)).alias("n_rows")] + [
+        F.sum((~F.coalesce(cond, F.lit(False))).cast("long")).alias(rule)
+        for rule, cond in rules.items()
+    ]
+    return df.observe(obs, *metrics), obs
 
 
 def split_by_constraints(

@@ -59,3 +59,17 @@ def test_split_routes_rows_with_rule_names(spark):
     }
     # split preserves every row exactly once
     assert valid.count() + bad.count() == 5
+
+
+def test_observe_constraints_piggybacks_on_the_writing_job(spark):
+    from fdp_dynamically_controlled_streams_spark.operators.quality import (
+        observe_constraints,
+    )
+
+    df, obs = observe_constraints(_frame(spark), RULES())
+    # the metrics materialize with the frame's OWN action - no second scan
+    df.write.format("noop").mode("overwrite").save()
+    got = obs.get
+    assert got["n_rows"] == 5
+    assert got["val_positive"] == 2  # -5.0 and NULL
+    assert got["tag_domain"] == 2  # NULL and 'weird'
