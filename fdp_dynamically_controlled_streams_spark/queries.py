@@ -2136,3 +2136,55 @@ def quality_histogram_extendedprice(spark: SparkSession, sf_dir: str) -> DataFra
     (operators/histogram.py)."""
     li = _t(spark, sf_dir, "lineitem")
     return hist_ops.histogram(li, "l_extendedprice", 24, lo=0.0, hi=120000.0)
+
+
+# =========================================================================
+# 20. Time-series resample + forward fill (operators/timeseries.py)
+# =========================================================================
+
+from fdp_dynamically_controlled_streams_spark.operators import (
+    timeseries as ts_ops,
+)
+
+
+@query(
+    "ts_resample_ffill_user_value",
+    """
+WITH obs AS (
+  SELECT user_id, b, v FROM (
+    SELECT user_id, date_trunc('day', ts) AS b, value AS v,
+           row_number() OVER (PARTITION BY user_id, date_trunc('day', ts)
+                              ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events)
+   WHERE rn = 1
+), span AS (
+  SELECT user_id, min(b) AS lo, max(b) AS hi FROM obs GROUP BY user_id
+), grid AS (
+  SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS b
+    FROM span
+)
+SELECT g.user_id,
+       strftime(g.b, '%Y-%m-%d') AS bucket_start,
+       round(last_value(o.v IGNORE NULLS)
+               OVER (PARTITION BY g.user_id ORDER BY g.b), 6) AS value,
+       o.v IS NULL AS filled
+  FROM grid g LEFT JOIN obs o ON g.user_id = o.user_id AND g.b = o.b
+""",
+    tags=("timeseries", "resample"),
+)
+def ts_resample_ffill_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user daily grid of `value`, gaps forward-filled: latest-per-bucket
+    via max_by, per-key ranges expanded executor-side (sequence+explode,
+    never a driver range), carried values from the latest-value window —
+    output contract: every (user, day) in range exactly once
+    (operators/timeseries.py)."""
+    ev = _t(spark, sf_dir, "events")
+    out = ts_ops.resample_ffill(
+        ev, "user_id", "ts", "value", unit="day", tie_break="event_id"
+    )
+    return out.select(
+        "user_id",
+        F.date_format("bucket_start", "yyyy-MM-dd").alias("bucket_start"),
+        F.round("value", 6).alias("value"),
+        "filled",
+    )
