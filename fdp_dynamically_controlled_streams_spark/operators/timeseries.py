@@ -80,3 +80,46 @@ def resample_ffill(
         F.last("__v", ignorenulls=True).over(w).alias(value_col),
         F.col("__v").isNull().alias("filled"),
     )
+
+
+def resample_interpolate(
+    df: DataFrame,
+    key: str,
+    ts_col: str,
+    value_col: str,
+    unit: str = "day",
+    tie_break: str | None = None,
+) -> DataFrame:
+    """Like :func:`resample_ffill` but gap buckets are LINEARLY interpolated
+    between the surrounding observations; trailing gaps (no later
+    observation) fall back to carry-forward. Same grid contract; both
+    direction passes share ONE partitioning on the key (two window frames,
+    no extra shuffle)."""
+    filled = resample_ffill(df, key, ts_col, value_col, unit, tie_break)
+    # recover the observed-only value column: ffill output marks gaps
+    v_obs = F.when(~F.col("filled"), F.col(value_col))
+    back = (
+        Window.partitionBy(key)
+        .orderBy("bucket_start")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    fwd = (
+        Window.partitionBy(key)
+        .orderBy("bucket_start")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    epoch = F.unix_timestamp("bucket_start")
+    prev_v = F.last(v_obs, ignorenulls=True).over(back)
+    prev_t = F.last(F.when(~F.col("filled"), epoch), ignorenulls=True).over(back)
+    next_v = F.first(v_obs, ignorenulls=True).over(fwd)
+    next_t = F.first(F.when(~F.col("filled"), epoch), ignorenulls=True).over(fwd)
+    interp = F.when(
+        ~F.col("filled"), F.col(value_col)  # observed: exact
+    ).when(
+        next_v.isNull(), prev_v  # trailing gap: carry forward
+    ).otherwise(
+        prev_v + (next_v - prev_v) * (epoch - prev_t) / (next_t - prev_t)
+    )
+    return filled.select(
+        key, "bucket_start", interp.alias(value_col), "filled"
+    )

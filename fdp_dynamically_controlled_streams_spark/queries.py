@@ -2188,3 +2188,63 @@ def ts_resample_ffill_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("value", 6).alias("value"),
         "filled",
     )
+
+
+@query(
+    "ts_resample_interp_user_value",
+    """
+WITH obs AS (
+  SELECT user_id, b, v FROM (
+    SELECT user_id, date_trunc('day', ts) AS b, value AS v,
+           row_number() OVER (PARTITION BY user_id, date_trunc('day', ts)
+                              ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events)
+   WHERE rn = 1
+), span AS (
+  SELECT user_id, min(b) AS lo, max(b) AS hi FROM obs GROUP BY user_id
+), grid AS (
+  SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS b
+    FROM span
+), j AS (
+  SELECT g.user_id, g.b, o.v,
+         epoch(g.b) AS e
+    FROM grid g LEFT JOIN obs o ON g.user_id = o.user_id AND g.b = o.b
+), nb AS (
+  SELECT user_id, b, v, e,
+         last_value(v IGNORE NULLS) OVER w_back AS prev_v,
+         last_value(CASE WHEN v IS NOT NULL THEN e END IGNORE NULLS)
+           OVER w_back AS prev_t,
+         first_value(v IGNORE NULLS) OVER w_fwd AS next_v,
+         first_value(CASE WHEN v IS NOT NULL THEN e END IGNORE NULLS)
+           OVER w_fwd AS next_t
+    FROM j
+  WINDOW w_back AS (PARTITION BY user_id ORDER BY b
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         w_fwd  AS (PARTITION BY user_id ORDER BY b
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT user_id,
+       strftime(b, '%Y-%m-%d') AS bucket_start,
+       round(CASE WHEN v IS NOT NULL THEN v
+                  WHEN next_v IS NULL THEN prev_v
+                  ELSE prev_v + (next_v - prev_v) * (e - prev_t)
+                                / (next_t - prev_t) END, 6) AS value,
+       v IS NULL AS filled
+  FROM nb
+""",
+    tags=("timeseries", "interpolate"),
+)
+def ts_resample_interp_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily grid with LINEAR interpolation across gaps (trailing gaps carry
+    forward): both direction passes share one key partitioning — two window
+    frames, no extra shuffle (operators/timeseries.py::resample_interpolate)."""
+    ev = _t(spark, sf_dir, "events")
+    out = ts_ops.resample_interpolate(
+        ev, "user_id", "ts", "value", unit="day", tie_break="event_id"
+    )
+    return out.select(
+        "user_id",
+        F.date_format("bucket_start", "yyyy-MM-dd").alias("bucket_start"),
+        F.round("value", 6).alias("value"),
+        "filled",
+    )

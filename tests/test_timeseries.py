@@ -63,3 +63,52 @@ def test_same_timestamp_ties_break_on_id(spark):
 def test_rejects_variable_width_units(spark):
     with pytest.raises(ValueError):
         resample_ffill(_frame(spark), "k", "ts", "v", unit="month")
+
+
+def test_linear_interpolation_between_observations(spark):
+    from fdp_dynamically_controlled_streams_spark.operators.timeseries import (
+        resample_interpolate,
+    )
+    import datetime as dt
+
+    d = dt.datetime
+    # key 1: day1=10, day4=40 -> day2=20, day3=30; day5+ none (no trailing gap)
+    # key 2: day1=5, then days 2-3 trailing after last obs? single obs only
+    df = spark.createDataFrame(
+        [
+            (1, d(2024, 1, 1), 10.0, 1),
+            (1, d(2024, 1, 4), 40.0, 2),
+            (2, d(2024, 2, 1), 5.0, 3),
+        ],
+        DDL,
+    )
+    out = resample_interpolate(df, "k", "ts", "v", unit="day", tie_break="id")
+    got = {(r.k, r.bucket_start.day): (round(r.v, 6), r.filled) for r in out.collect()}
+    assert got == {
+        (1, 1): (10.0, False),
+        (1, 2): (20.0, True),
+        (1, 3): (30.0, True),
+        (1, 4): (40.0, False),
+        (2, 1): (5.0, False),
+    }
+
+
+def test_trailing_gaps_carry_forward(spark):
+    from fdp_dynamically_controlled_streams_spark.operators.timeseries import (
+        resample_ffill,
+        resample_interpolate,
+    )
+    import datetime as dt
+
+    d = dt.datetime
+    # Each key's grid ends at its max OBSERVED bucket, so in-range gaps
+    # always have both neighbors; interpolation differs from ffill exactly
+    # on those interior gaps (the carry-forward branch guards callers who
+    # extend the grid past the last observation).
+    df = spark.createDataFrame(
+        [(1, d(2024, 1, 1), 1.0, 1), (1, d(2024, 1, 3), 3.0, 2)], DDL
+    )
+    fi = resample_interpolate(df, "k", "ts", "v", unit="day", tie_break="id")
+    ff = resample_ffill(df, "k", "ts", "v", unit="day", tie_break="id")
+    assert [r.v for r in fi.orderBy("bucket_start").collect()] == [1.0, 2.0, 3.0]
+    assert [r.v for r in ff.orderBy("bucket_start").collect()] == [1.0, 1.0, 3.0]
