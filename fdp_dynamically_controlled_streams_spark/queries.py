@@ -1980,7 +1980,7 @@ def stream_interval_join_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
             .sort_values("ts")
         )
         pdf["ts"] = pdf["ts"].astype("datetime64[us]")
-        n = max(len(pdf) // 4, 1)
+        n = max(len(pdf) // 2, 1)
         write_replay_chunks(
             [pdf.iloc[i : i + n] for i in range(0, len(pdf), n)], f"{tmp}/{side}"
         )
@@ -1995,14 +1995,23 @@ def stream_interval_join_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         watermark="2 hours",
     )
     collected: list = []
-    q = (
-        joined.writeStream.outputMode("append")
-        .foreachBatch(lambda bdf, bid: collected.extend(bdf.collect()))
-        .option("checkpointLocation", f"{tmp}/chk")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
+    # Stream-stream join keeps 4 state stores per shuffle partition per
+    # micro-batch; state-partition count is a per-query deploy decision
+    # (same rationale as controller_streaming_replay) — 8 is right for this
+    # replay's key cardinality, and the batch setting is restored after.
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            joined.writeStream.outputMode("append")
+            .foreachBatch(lambda bdf, bid: collected.extend(bdf.collect()))
+            .option("checkpointLocation", f"{tmp}/chk")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.createDataFrame(
         [
             (r.l_user_id, r.l_ts.strftime("%Y-%m-%d %H:%M:%S"),
