@@ -2257,3 +2257,69 @@ def ts_resample_interp_user_value(spark: SparkSession, sf_dir: str) -> DataFrame
         F.round("value", 6).alias("value"),
         "filled",
     )
+
+
+from fdp_dynamically_controlled_streams_spark.operators import packing as pack_ops
+
+
+@query(
+    "pack_token_stream",
+    """
+WITH sized AS (
+  SELECT doc_id, doc_id % 64 AS shard,
+         CAST(len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                              t -> t <> '')) AS BIGINT) AS n_tokens
+    FROM documents
+), ofs AS (
+  SELECT doc_id, shard, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS end_off
+    FROM sized
+)
+SELECT doc_id, shard, n_tokens,
+       CAST(end_off - n_tokens AS BIGINT) AS start_offset,
+       CAST((end_off - n_tokens) // 2048 AS BIGINT) AS pack_id,
+       (n_tokens > 0 AND (end_off - 1) // 2048 > (end_off - n_tokens) // 2048)
+         AS straddles
+  FROM ofs
+""",
+    tags=("packing", "training-data"),
+)
+def pack_token_stream_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style context-window packing of the document corpus: each doc gets
+    its interval in a concatenated per-shard token stream cut every 2048
+    tokens. One shuffle (by shard); the window sort is per-shard, so shard
+    count — not corpus size — bounds any single sort
+    (operators/packing.py::pack_token_stream)."""
+    docs = _t(spark, sf_dir, "documents")
+    return pack_ops.pack_token_stream(docs, "doc_id", "text", budget=2048, n_shards=64)
+
+
+@query(
+    "chunk_text_overlapping",
+    """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     t -> t <> '') AS tk
+    FROM documents
+), nz AS (
+  SELECT doc_id, tk, len(tk) AS n FROM toks WHERE len(tk) > 0
+)
+SELECT doc_id,
+       CAST(s // 48 AS INT) AS chunk_id,
+       CAST(s AS BIGINT) AS start_token,
+       CAST(least(64, n - s) AS BIGINT) AS n_chunk_tokens,
+       array_to_string(list_slice(tk, s + 1, s + 64), ' ') AS chunk_text
+  FROM nz, UNNEST(range(0, n, 48)) AS u(s)
+""",
+    tags=("packing", "chunking", "training-data"),
+)
+def chunk_text_overlapping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping retrieval chunks (64-token windows, 16-token overlap):
+    offsets generated executor-side with sequence+posexplode inside the scan
+    stage — zero shuffles, no driver loop
+    (operators/packing.py::chunk_text)."""
+    docs = _t(spark, sf_dir, "documents")
+    return pack_ops.chunk_text(docs, "doc_id", "text", size=64, overlap=16)
