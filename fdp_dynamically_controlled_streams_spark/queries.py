@@ -2259,7 +2259,92 @@ def ts_resample_interp_user_value(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+from fdp_dynamically_controlled_streams_spark.operators import funnel as funnel_ops
 from fdp_dynamically_controlled_streams_spark.operators import packing as pack_ops
+
+
+@query(
+    "funnel_view_click_purchase",
+    """
+WITH s1 AS (
+  SELECT user_id, ts, event_type,
+         min(CASE WHEN event_type = 'view' THEN ts END)
+           OVER (PARTITION BY user_id) AS step1_ts
+    FROM events
+), s2 AS (
+  SELECT *,
+         min(CASE WHEN event_type = 'click' AND ts >= step1_ts
+                       AND ts <= step1_ts + INTERVAL 7 DAY THEN ts END)
+           OVER (PARTITION BY user_id) AS step2_ts
+    FROM s1
+), s3 AS (
+  SELECT *,
+         min(CASE WHEN event_type = 'purchase' AND ts >= step2_ts
+                       AND ts <= step1_ts + INTERVAL 7 DAY THEN ts END)
+           OVER (PARTITION BY user_id) AS step3_ts
+    FROM s2
+), per_user AS (
+  SELECT DISTINCT user_id, step1_ts, step2_ts, step3_ts
+    FROM s3 WHERE step1_ts IS NOT NULL
+), c AS (
+  SELECT count(step1_ts) AS n1, count(step2_ts) AS n2, count(step3_ts) AS n3
+    FROM per_user
+)
+SELECT 1 AS step, 'view' AS step_name, n1 AS users_reached,
+       round(CAST(n1 AS DOUBLE) / n1, 6) AS conversion FROM c
+UNION ALL
+SELECT 2, 'click', n2, round(CAST(n2 AS DOUBLE) / n1, 6) FROM c
+UNION ALL
+SELECT 3, 'purchase', n3, round(CAST(n3 AS DOUBLE) / n1, 6) FROM c
+""",
+    tags=("analytics", "funnel"),
+)
+def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-step ordered funnel (view → click → purchase within 7 days of the
+    first view): every step timestamp is a conditional min() window over ONE
+    hash partitioning by user — a k-step funnel costs exactly one shuffle of
+    events, not k join+agg rounds (operators/funnel.py::funnel_counts)."""
+    ev = _t(spark, sf_dir, "events")
+    return funnel_ops.funnel_counts(
+        ev, "user_id", "ts", "event_type",
+        ["view", "click", "purchase"], max_span="7 days",
+    )
+
+
+@query(
+    "retention_daily_cohorts",
+    """
+WITH act AS (
+  SELECT user_id AS u, CAST(date_trunc('day', ts) AS DATE) AS period FROM events
+), coh AS (
+  SELECT u, period, min(period) OVER (PARTITION BY u) AS cohort FROM act
+), cells AS (
+  SELECT cohort, date_diff('day', cohort, period) AS day_offset,
+         count(DISTINCT u) AS n_users
+    FROM coh GROUP BY cohort, date_diff('day', cohort, period)
+)
+SELECT strftime(cohort, '%Y-%m-%d') AS cohort,
+       CAST(day_offset AS INT) AS day_offset, n_users,
+       round(CAST(n_users AS DOUBLE)
+             / max(CASE WHEN day_offset = 0 THEN n_users END)
+                 OVER (PARTITION BY cohort), 6) AS retention
+  FROM cells
+""",
+    tags=("analytics", "retention", "cohort"),
+)
+def retention_daily_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily retention triangle: cohort = first active day per user (shares
+    the same single shuffle by user), cell = distinct users active at each
+    day offset; final agg key space is days², independent of event volume
+    (operators/funnel.py::retention_cohorts)."""
+    ev = _t(spark, sf_dir, "events")
+    out = funnel_ops.retention_cohorts(ev, "user_id", "ts", unit="day")
+    return out.select(
+        F.date_format("cohort", "yyyy-MM-dd").alias("cohort"),
+        F.col("offset").alias("day_offset"),
+        "n_users",
+        "retention",
+    )
 
 
 @query(
