@@ -2264,6 +2264,127 @@ from fdp_dynamically_controlled_streams_spark.operators import packing as pack_o
 
 
 @query(
+    "quality_equidepth_extendedprice",
+    """
+WITH cuts AS (
+  SELECT quantile_cont(l_extendedprice,
+                       [0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875]) AS cs
+    FROM lineitem
+)
+SELECT len(list_filter(cs, c -> l_extendedprice > c)) AS bin,
+       count(*) AS n,
+       round(min(l_extendedprice), 6) AS bin_min,
+       round(max(l_extendedprice), 6) AS bin_max
+  FROM lineitem, cuts
+ WHERE l_extendedprice IS NOT NULL
+ GROUP BY 1
+""",
+    tags=("quality", "histogram", "equidepth"),
+)
+def quality_equidepth_extendedprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (quantile) histogram, 8 bins: cutpoints are ONE exact-
+    percentile aggregate row broadcast back, assignment a codegen'd array
+    fold — no global sort, unlike the single-partition ntile alternative
+    (operators/histogram.py::equidepth_histogram; approx=True swaps in the
+    mergeable t-digest for the 100 TB tier)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return hist_ops.equidepth_histogram(li, "l_extendedprice", n_bins=8)
+
+
+@query(
+    "window_distribution_ranks",
+    """
+WITH ranked AS (
+  SELECT o_orderkey, o_orderstatus,
+         round(percent_rank() OVER w, 6) AS pct_rank,
+         round(cume_dist() OVER w, 6) AS cume,
+         ntile(4) OVER w AS quartile,
+         row_number() OVER w AS rn
+    FROM orders
+  WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+)
+SELECT * FROM ranked WHERE o_orderkey % 20 = 0
+""",
+    tags=("window", "distribution"),
+)
+def window_distribution_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions (percent_rank/cume_dist/ntile) over a
+    per-status partition with a full tie-break (totalprice, orderkey) so
+    ntile — which is order-sensitive under ties — is deterministic. The
+    output filter sits ABOVE the window (windows see whole partitions)."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    return (
+        o.select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+            F.round(F.cume_dist().over(w), 6).alias("cume"),
+            F.ntile(4).over(w).alias("quartile"),
+            F.row_number().over(w).alias("rn"),
+        )
+        .where(F.col("o_orderkey") % 20 == 0)
+    )
+
+
+@query(
+    "window_range_frame_ties",
+    """
+SELECT o_custkey, o_orderkey,
+       round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4)))
+             OVER (PARTITION BY o_custkey ORDER BY o_orderdate
+                   RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS DOUBLE), 2) AS running_incl_ties
+  FROM orders
+""",
+    tags=("window", "range_frame"),
+)
+def window_range_frame_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame running sum: peers (same order date) all see the full
+    tie-group total — the frame semantics rowsBetween cannot express. Sum
+    goes through DECIMAL so the running totals are order-independent."""
+    o = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate")
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)")).over(w).cast("double"),
+            2,
+        ).alias("running_incl_ties"),
+    )
+
+
+_SUBQUERY_SQL = """
+SELECT c.c_custkey, c.c_name,
+       (SELECT count(*) FROM orders o
+         WHERE o.o_custkey = c.c_custkey) AS n_orders
+  FROM customer c
+ WHERE EXISTS (SELECT 1 FROM orders o
+                WHERE o.o_custkey = c.c_custkey
+                  AND o.o_totalprice > 0.5 * (SELECT max(o_totalprice)
+                                                FROM orders))
+   AND c.c_nationkey IN (SELECT n_nationkey FROM nation WHERE n_regionkey <= 2)
+"""
+
+
+@query("sql_subquery_surface", _SUBQUERY_SQL, tags=("sql", "subquery"))
+def sql_subquery_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI subquery surface — correlated scalar subquery (count per
+    customer), correlated EXISTS with a nested uncorrelated scalar (max is
+    exact, so the 0.5× threshold is bit-identical across engines), and IN.
+    Catalyst decorrelates all three into joins (scalar→left outer agg join,
+    EXISTS→left semi, IN→left semi); the SQL text is the oracle verbatim."""
+    for t in ("customer", "orders", "nation"):
+        _t(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_SUBQUERY_SQL)
+
+
+@query(
     "funnel_view_click_purchase",
     """
 WITH s1 AS (

@@ -4,7 +4,10 @@ from __future__ import annotations
 
 import pytest
 
-from fdp_dynamically_controlled_streams_spark.operators.histogram import histogram
+from fdp_dynamically_controlled_streams_spark.operators.histogram import (
+    equidepth_histogram,
+    histogram,
+)
 
 
 def _vals(spark, xs):
@@ -56,3 +59,38 @@ def test_rejects_bad_args(spark):
         histogram(df, "v", 0)
     with pytest.raises(ValueError):
         histogram(df, "v", 4, lo=0.0)
+
+
+def test_equidepth_equal_mass(spark):
+    # 0..99: quartile cutpoints land between data points -> 25 per bin
+    df = _vals(spark, list(range(100)))
+    got = {r.bin: (r.n, r.bin_min, r.bin_max) for r in equidepth_histogram(df, "v", 4).collect()}
+    assert {b: n for b, (n, _, _) in got.items()} == {0: 25, 1: 25, 2: 25, 3: 25}
+    assert got[0][1] == 0.0 and got[3][2] == 99.0
+
+
+def test_equidepth_value_on_cutpoint_goes_low(spark):
+    # n=5, median cut = exactly 3 (order stat): value 3 -> lower bin
+    df = _vals(spark, [1, 2, 3, 4, 5])
+    got = {r.bin: r.n for r in equidepth_histogram(df, "v", 2).collect()}
+    assert got == {0: 3, 1: 2}
+
+
+def test_equidepth_heavy_duplication_skips_bins(spark):
+    df = _vals(spark, [1] * 90 + list(range(2, 12)))
+    got = {r.bin: r.n for r in equidepth_histogram(df, "v", 4).collect()}
+    assert got[0] == 90  # all duplicates collapse into bin 0; middle bins empty
+    assert sum(got.values()) == 100
+
+
+def test_equidepth_excludes_nulls_and_validates(spark):
+    df = spark.createDataFrame([(1.0,), (None,), (2.0,), (3.0,)], "v double")
+    assert sum(r.n for r in equidepth_histogram(df, "v", 2).collect()) == 3
+    with pytest.raises(ValueError):
+        equidepth_histogram(df, "v", 1)
+
+
+def test_equidepth_approx_tier_runs(spark):
+    df = _vals(spark, list(range(1000)))
+    got = equidepth_histogram(df, "v", 4, approx=True).collect()
+    assert sum(r.n for r in got) == 1000 and len(got) == 4
