@@ -56,17 +56,41 @@ def main() -> None:
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 4)
     total = round(sum(timings.values()), 4)
-    print(
-        json.dumps(
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    # Full per-query detail goes to a file; the stdout line must stay compact
+    # (the driver captures a bounded tail of output — a >2 KB line gets
+    # truncated mid-JSON and fails to parse, as happened in round 1).
+    detail = {
+        "metric": "catalog_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_val,
+    }
+    try:
+        Path(__file__).resolve().parent.joinpath("BENCH_DETAIL.json").write_text(
+            json.dumps(detail, indent=1) + "\n"
+        )
+    except OSError:
+        pass
+    line = json.dumps(detail, separators=(",", ":"))
+    if len(line) > 1600:
+        slowest = dict(
+            sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:20]
+        )
+        line = json.dumps(
             {
                 "metric": "catalog_total_wall",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
+                "queries": {k: round(v, 2) for k, v in slowest.items()},
+                "n_queries": len(timings),
+                "detail": "BENCH_DETAIL.json",
+                "sf": sf_val,
+            },
+            separators=(",", ":"),
         )
-    )
+    print(line)
 
 
 if __name__ == "__main__":

@@ -104,7 +104,7 @@ def profile_table_sql(table: str, columns: list[tuple[str, bool]]) -> str:
         max_str = "CAST(NULL AS VARCHAR)" if num else f"max(CAST({c} AS VARCHAR))"
         parts.append(
             f"SELECT '{c}' AS column, "
-            f"sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS n_nulls, "
+            f"CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls, "
             f"count(DISTINCT {c}) AS n_distinct, "
             f"{min_num} AS min_num, {max_num} AS max_num, "
             f"{min_str} AS min_str, {max_str} AS max_str FROM {table}"

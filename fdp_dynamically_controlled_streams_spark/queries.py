@@ -767,8 +767,8 @@ WITH ordered AS (
 ),
 sessions AS (
   SELECT user_id, ts, event_id,
-         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+         CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_no
     FROM ordered
 )
 SELECT user_id, session_no, count(*) AS n_events,
@@ -1507,7 +1507,7 @@ def sample_bernoulli_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "sample_stratified_documents",
     f"""
-    SELECT source, COUNT(*) AS n_sampled, SUM(n_chars) AS sum_chars
+    SELECT source, COUNT(*) AS n_sampled, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
     FROM documents
     WHERE {smp.hash_gate_sql("CAST(doc_id AS VARCHAR)", seed=11)}
           < {smp.stratified_threshold_sql("source", _STRATA_RATES)}
@@ -1530,7 +1530,7 @@ def sample_stratified_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     "split_train_valid_test",
     f"""
     SELECT {smp.assign_split_sql("CAST(doc_id AS VARCHAR)", _SPLIT_WEIGHTS, seed=13)} AS split,
-           source, COUNT(*) AS n_docs, SUM(n_chars) AS sum_chars
+           source, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
     FROM documents GROUP BY 1, 2
     """,
     tags=("sampling",),
@@ -1728,11 +1728,11 @@ def quality_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 WITH agg AS (
   SELECT count(*) AS _n,
-         sum(CASE WHEN NOT coalesce(l_quantity > 0, FALSE) THEN 1 ELSE 0 END) AS positive_quantity,
-         sum(CASE WHEN NOT coalesce(l_extendedprice >= 0, FALSE) THEN 1 ELSE 0 END) AS nonneg_price,
-         sum(CASE WHEN NOT coalesce(l_discount BETWEEN 0 AND 1, FALSE) THEN 1 ELSE 0 END) AS discount_unit_interval,
-         sum(CASE WHEN NOT coalesce(l_returnflag IN ('A','N','R'), FALSE) THEN 1 ELSE 0 END) AS returnflag_domain,
-         sum(CASE WHEN NOT coalesce(l_shipdate IS NOT NULL, FALSE) THEN 1 ELSE 0 END) AS shipdate_not_null
+         CAST(sum(CASE WHEN NOT coalesce(l_quantity > 0, FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS positive_quantity,
+         CAST(sum(CASE WHEN NOT coalesce(l_extendedprice >= 0, FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS nonneg_price,
+         CAST(sum(CASE WHEN NOT coalesce(l_discount BETWEEN 0 AND 1, FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS discount_unit_interval,
+         CAST(sum(CASE WHEN NOT coalesce(l_returnflag IN ('A','N','R'), FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS returnflag_domain,
+         CAST(sum(CASE WHEN NOT coalesce(l_shipdate IS NOT NULL, FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS shipdate_not_null
     FROM lineitem
 )
 SELECT 'positive_quantity' AS rule, positive_quantity AS n_violations, _n AS n_rows FROM agg

@@ -33,7 +33,7 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
         elif pd.api.types.is_float_dtype(df[c]):
             df[c] = df[c].astype("float64")
         elif pd.api.types.is_integer_dtype(df[c]):
-            df[c] = df[c].astype("float64")  # unify int widths; NaN-safe
+            df[c] = df[c].astype("int64")  # unify widths; int-vs-float stays a FAIL
         elif df[c].dtype == object:
             df[c] = df[c].astype(str)
     return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
