@@ -180,6 +180,9 @@ def connected_components(
             .groupBy("src")
             .agg(F.min("label").alias("nbr_label"))
         )
+        # Change detection rides the same row (old vs new label), so each
+        # round is ONE join+agg pass; the convergence count then only scans
+        # the checkpointed partitions — no second shuffle join per round.
         new_labels = (
             labels.join(nbr_min, labels.id == nbr_min.src, "left")
             .select(
@@ -187,16 +190,12 @@ def connected_components(
                 F.least(
                     F.col("label"), F.coalesce("nbr_label", "label")
                 ).alias("label"),
+                (F.coalesce("nbr_label", "label") < F.col("label")).alias("__chg"),
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .where(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.where("__chg").count()
+        labels = new_labels.select("id", "label")
         if changed == 0:
             break
     return labels.select("id", F.col("label").alias("cluster_id"))

@@ -74,6 +74,32 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
+import contextlib
+
+
+@contextlib.contextmanager
+def _replay_conf(spark: SparkSession, partitions: int):
+    """Per-streaming-query deploy conf for the finite file replays: state
+    partition count sized to the replay's key cardinality, and the
+    HDFS-backed (in-memory + snapshot) state store instead of the session's
+    RocksDB default — RocksDB is the right posture for 100 TB key spaces
+    (session.ENGINE_CONF), but each instance pays open/commit overhead per
+    store per partition per micro-batch, which dominates a small replay.
+    Both settings are read at query start and restored after."""
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    prev_prov = spark.conf.get("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.shuffle.partitions", str(partitions))
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider",
+    )
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev_prov)
+
+
 # Decimal-exact money aggregation (see module docstring).
 def _dsum(col, scale: int = 2):
     return F.round(F.sum(col.cast("decimal(18,4)")).cast("double"), scale)
@@ -1271,7 +1297,10 @@ def controller_streaming_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     control, sensor = controller_inputs_from_events(events)
     unified = unify_streams(control, sensor).orderBy("seq", "record_kind")
     pdf = unified.toPandas()
-    n = max(len(pdf) // 3, 1)
+    # Two chunks = two micro-batches: proves state carries across batch
+    # boundaries while paying the fixed per-batch cost (state commit, Python
+    # worker round-trip, sink job) the minimum number of times.
+    n = max(len(pdf) // 2, 1)
     chunks = [pdf.iloc[i : i + n] for i in range(0, len(pdf), n)]
 
     tmp = tempfile.mkdtemp(prefix="dcs-replay-")
@@ -1283,27 +1312,23 @@ def controller_streaming_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         "desired double, up_delta double, down_delta double, seq long",
         files_per_trigger=1,
     )
-    collected: list = []
-    # State-partition count is a per-streaming-query deploy decision (sized to
-    # key cardinality / executor count, fixed at checkpoint creation). For
-    # this replay 8 is right; the session-wide batch setting is restored.
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
+    out = f"{tmp}/out"
+    with _replay_conf(spark, partitions=16):
         q = (
             controller_streaming(stream)
             .writeStream.outputMode("update")
-            .foreachBatch(lambda bdf, bid: collected.extend(bdf.collect()))
+            # Sink = executor-parallel parquet append, never a driver collect
+            # (SCALE.md rule 1); the read-back below is lazy.
+            .foreachBatch(lambda bdf, bid: bdf.write.mode("append").parquet(out))
             .option("checkpointLocation", f"{tmp}/chk")
             .trigger(availableNow=True)
             .start()
         )
         q.awaitTermination(300)
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
-    return spark.createDataFrame(
-        [(r.sensor_id, r.command, r.seq) for r in collected],
-        "sensor_id int, command int, seq long",
+    return (
+        spark.read.schema("sensor_id int, command int, seq long")
+        .parquet(out)
+        .select("sensor_id", "command", "seq")
     )
 
 
@@ -1428,7 +1453,7 @@ def streaming_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Parquet replay chunks must carry micros (the declared stream schema);
     # pandas defaults to nanos which Spark reads as raw INT64.
     pdf["ts"] = pdf["ts"].astype("datetime64[us]")
-    n = max(len(pdf) // 3, 1)
+    n = max(len(pdf) // 2, 1)  # two micro-batches (see controller replay note)
     chunks = [pdf.iloc[i : i + n] for i in range(0, len(pdf), n)]
     tmp = tempfile.mkdtemp(prefix="dcs-dedup-")
     write_replay_chunks(chunks, f"{tmp}/data")
@@ -1439,24 +1464,19 @@ def streaming_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         files_per_trigger=1,
     )
     deduped = stream.dropDuplicates(["user_id", "event_type"])
-    collected: list = []
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")  # see note above
-    try:
+    out = f"{tmp}/out"
+    with _replay_conf(spark, partitions=8):
         q = (
             deduped.select("user_id", "event_type")
             .writeStream.outputMode("append")
-            .foreachBatch(lambda bdf, bid: collected.extend(bdf.collect()))
+            .foreachBatch(lambda bdf, bid: bdf.write.mode("append").parquet(out))
             .option("checkpointLocation", f"{tmp}/chk")
             .trigger(availableNow=True)
             .start()
         )
         q.awaitTermination(300)
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
-    return spark.createDataFrame(
-        [(r.user_id, r.event_type) for r in collected],
-        "user_id long, event_type string",
+    return spark.read.schema("user_id long, event_type string").parquet(out).select(
+        "user_id", "event_type"
     )
 
 
@@ -1972,14 +1992,14 @@ def stream_interval_join_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events").select("user_id", "ts", "event_type")
     tmp = tempfile.mkdtemp(prefix="dcs-ivj-")
     ddl = "user_id long, ts timestamp"
+    both = (
+        ev.where(F.col("event_type").isin("purchase", "click"))
+        .toPandas()
+        .sort_values("ts")
+    )
+    both["ts"] = both["ts"].astype("datetime64[us]")
     for side, etype in (("left", "purchase"), ("right", "click")):
-        pdf = (
-            ev.where(F.col("event_type") == etype)
-            .select("user_id", "ts")
-            .toPandas()
-            .sort_values("ts")
-        )
-        pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+        pdf = both[both["event_type"] == etype][["user_id", "ts"]]
         n = max(len(pdf) // 2, 1)
         write_replay_chunks(
             [pdf.iloc[i : i + n] for i in range(0, len(pdf), n)], f"{tmp}/{side}"
@@ -1994,32 +2014,26 @@ def stream_interval_join_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("INTERVAL 1 HOUR"),
         watermark="2 hours",
     )
-    collected: list = []
+    shaped = joined.select(
+        F.col("l_user_id").alias("user_id"),
+        F.date_format("l_ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+        F.date_format("r_ts", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
+    )
+    out = f"{tmp}/out"
     # Stream-stream join keeps 4 state stores per shuffle partition per
-    # micro-batch; state-partition count is a per-query deploy decision
-    # (same rationale as controller_streaming_replay) — 8 is right for this
-    # replay's key cardinality, and the batch setting is restored after.
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
+    # micro-batch, so partition count is the store-commit multiplier here.
+    with _replay_conf(spark, partitions=8):
         q = (
-            joined.writeStream.outputMode("append")
-            .foreachBatch(lambda bdf, bid: collected.extend(bdf.collect()))
+            shaped.writeStream.outputMode("append")
+            .foreachBatch(lambda bdf, bid: bdf.write.mode("append").parquet(out))
             .option("checkpointLocation", f"{tmp}/chk")
             .trigger(availableNow=True)
             .start()
         )
         q.awaitTermination(300)
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
-    return spark.createDataFrame(
-        [
-            (r.l_user_id, r.l_ts.strftime("%Y-%m-%d %H:%M:%S"),
-             r.r_ts.strftime("%Y-%m-%d %H:%M:%S"))
-            for r in collected
-        ],
-        "user_id long, purchase_ts string, click_ts string",
-    )
+    return spark.read.schema(
+        "user_id long, purchase_ts string, click_ts string"
+    ).parquet(out).select("user_id", "purchase_ts", "click_ts")
 
 
 @query(

@@ -56,8 +56,17 @@ def _control_temperature(
     pdf_iter: Iterator[pd.DataFrame],
     state: GroupState,
 ) -> Iterator[pd.DataFrame]:
-    """Per-key micro-batch handler — a faithful translation of the spec above
-    to pandas (the loop runs over one key's records, already tiny)."""
+    """Per-key micro-batch handler — the spec above, vectorized.
+
+    The sequential state machine decomposes into array ops: settings
+    forward-fill from control rows (latest-value semantics), the hysteresis
+    CASE is a nested ``np.where``, and emit-on-change over the ``action>=0``
+    subsequence is exactly consecutive-duplicate suppression — ``a != shift(a)``
+    with the carried ``last_action`` seeding the first comparison (suppressed
+    records equal the previous action by definition, so tracking "last
+    emitted" and "last valid" coincide)."""
+    import numpy as np
+
     sensor_id = int(key[0])
     if state.exists:
         last_action, desired, up_delta, down_delta = state.get
@@ -65,34 +74,59 @@ def _control_temperature(
     else:
         last_action, desired, up_delta, down_delta = -1, None, None, None
         has_setting = False
+    nan = float("nan")
 
-    out_sensor: list[int] = []
-    out_command: list[int] = []
-    out_seq: list[int] = []
+    out_command: list[Any] = []
+    out_seq: list[Any] = []
 
     for pdf in pdf_iter:
+        seq = pdf["seq"].to_numpy()
+        kind = pdf["record_kind"].to_numpy()
         # Engine ordering rule: control (record_kind 0) before data on seq ties.
-        pdf = pdf.sort_values(["seq", "record_kind"], kind="mergesort")
-        for row in pdf.itertuples(index=False):
-            if row.record_kind == 0:  # control
-                desired, up_delta, down_delta = row.desired, row.up_delta, row.down_delta
-                has_setting = True
-            else:  # sensor
-                if not has_setting:
-                    continue
-                t = row.temperature
-                action = 1 if t > desired + up_delta else (0 if t < desired - down_delta else -1)
-                if action >= 0 and action != last_action:
-                    out_sensor.append(sensor_id)
-                    out_command.append(action)
-                    out_seq.append(int(row.seq))
-                    last_action = action
+        order = np.lexsort((kind, seq))
+        seq, kind = seq[order], kind[order]
+        ctrl = kind == 0
+        des_in = pdf["desired"].to_numpy()[order]
+        up_in = pdf["up_delta"].to_numpy()[order]
+        dn_in = pdf["down_delta"].to_numpy()[order]
+        temp_in = pdf["temperature"].to_numpy()[order]
+        n = len(seq)
+        # Forward-fill control settings by last-control-index propagation.
+        idx = np.where(ctrl, np.arange(n), -1)
+        np.maximum.accumulate(idx, out=idx)
+        have = idx >= 0
+        pick = np.maximum(idx, 0)
+        d = np.where(have, des_in[pick], desired if has_setting else nan)
+        u = np.where(have, up_in[pick], up_delta if has_setting else nan)
+        w = np.where(have, dn_in[pick], down_delta if has_setting else nan)
+        sensor_rows = ~ctrl & ~np.isnan(d)
+        t = temp_in[sensor_rows]
+        ds, us, ws = d[sensor_rows], u[sensor_rows], w[sensor_rows]
+        act = np.where(t > ds + us, 1, np.where(t < ds - ws, 0, -1))
+        valid = act >= 0
+        av, sv = act[valid], seq[sensor_rows][valid]
+        if len(av):
+            emit = av != np.concatenate(([last_action], av[:-1]))
+            out_command.append(av[emit])
+            out_seq.append(sv[emit])
+            last_action = int(av[-1])
+        if ctrl.any():
+            last_ci = idx[-1]
+            desired = float(des_in[last_ci])
+            up_delta = float(up_in[last_ci])
+            down_delta = float(dn_in[last_ci])
+            has_setting = True
 
     if has_setting:
         state.update((int(last_action), float(desired), float(up_delta), float(down_delta)))
-    if out_sensor:
+    if out_command:
+        cmd = np.concatenate(out_command)
         yield pd.DataFrame(
-            {"sensor_id": out_sensor, "command": out_command, "seq": out_seq}
+            {
+                "sensor_id": np.full(len(cmd), sensor_id, dtype="int64"),
+                "command": cmd,
+                "seq": np.concatenate(out_seq),
+            }
         )
 
 
