@@ -29,6 +29,7 @@ from fdp_dynamically_controlled_streams_spark.operators import text as text_ops
 from fdp_dynamically_controlled_streams_spark.functions.hashing import (
     MINHASH_COEFFS,
     affine_hash_sql,
+    portable_hash64,
     portable_hash64_sql,
 )
 from fdp_dynamically_controlled_streams_spark.functions.vectors import (
@@ -2543,3 +2544,251 @@ def chunk_text_overlapping(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/packing.py::chunk_text)."""
     docs = _t(spark, sf_dir, "documents")
     return pack_ops.chunk_text(docs, "doc_id", "text", size=64, overlap=16)
+
+
+# =========================================================================
+# 21. Round-2 surface growth: TPC-H-style correlated-min and big-volume
+# joins, skew-salted join mechanics, weighted sampling, binary-column
+# plumbing with an exact oracle, and live CSV/JSON source round-trips.
+# =========================================================================
+
+from fdp_dynamically_controlled_streams_spark.functions.skew import salted_join
+
+
+@query(
+    "join_min_cost_supplier",
+    """
+WITH costs AS (
+  SELECT l_partkey, l_suppkey,
+         round(min(l_extendedprice / l_quantity), 6) AS unit_cost
+    FROM lineitem GROUP BY l_partkey, l_suppkey
+),
+best AS (
+  SELECT l_partkey, min(unit_cost) AS best_cost FROM costs GROUP BY l_partkey
+)
+SELECT p.p_partkey, p.p_brand, s.s_name, n.n_name, c.unit_cost AS best_cost
+  FROM costs c
+  JOIN best b ON c.l_partkey = b.l_partkey AND c.unit_cost = b.best_cost
+  JOIN part p ON p.p_partkey = c.l_partkey
+  JOIN supplier s ON s.s_suppkey = c.l_suppkey
+  JOIN nation n ON n.n_nationkey = s.s_nationkey
+ WHERE p.p_size <= 10
+""",
+    tags=("join", "tpch", "correlated-min"),
+)
+def join_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape on the lineitem-derived cost table: per-part minimum
+    unit cost, then the supplier(s) achieving it (ties kept — deterministic).
+    The correlated-min subquery becomes aggregate + self-join (one shuffle on
+    l_partkey, reused by both sides); part/supplier/nation broadcast.
+    [ABSENT in reference: SURVEY §2.3 extension rows.]"""
+    li = _t(spark, sf_dir, "lineitem")
+    costs = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.round(F.min(F.col("l_extendedprice") / F.col("l_quantity")), 6).alias(
+            "unit_cost"
+        )
+    )
+    best = (
+        costs.groupBy("l_partkey")
+        .agg(F.min("unit_cost").alias("b_cost"))
+        .select(F.col("l_partkey").alias("b_partkey"), "b_cost")
+    )
+    p = _t(spark, sf_dir, "part").where(F.col("p_size") <= 10)
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        costs.join(best, (F.col("l_partkey") == F.col("b_partkey"))
+                   & (F.col("unit_cost") == F.col("b_cost")))
+        .join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(n), F.col("n_nationkey") == F.col("s_nationkey"))
+        .select(
+            "p_partkey", "p_brand", "s_name", "n_name",
+            F.col("unit_cost").alias("best_cost"),
+        )
+    )
+
+
+@query(
+    "join_large_volume_customers",
+    """
+WITH big AS (
+  SELECT l_orderkey, round(sum(l_quantity), 2) AS total_qty
+    FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 150
+)
+SELECT c.c_custkey, c.c_name, o.o_orderkey,
+       round(o.o_totalprice, 2) AS price, b.total_qty
+  FROM big b
+  JOIN orders o ON o.o_orderkey = b.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+""",
+    tags=("join", "tpch", "having"),
+)
+def join_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: orders whose total line quantity clears a threshold,
+    joined back to customer. The IN-subquery form becomes aggregate->filter->
+    join; the lineitem aggregation shuffles on l_orderkey and the orders join
+    reuses that key, so AQE plans one exchange for both."""
+    li = _t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .where(F.col("total_qty") > 150)
+    )
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        big.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .select(
+            "c_custkey", "c_name", "o_orderkey",
+            F.round("o_totalprice", 2).alias("price"), "total_qty",
+        )
+    )
+
+
+@query(
+    "skewjoin_salted_events_nation",
+    """
+SELECT n.n_name,
+       count(*) AS n_events,
+       round(CAST(sum(CAST(e.value AS DECIMAL(18,4))) AS DOUBLE), 2) AS total_value
+  FROM events e
+  JOIN customer c ON e.user_id = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+ GROUP BY n.n_name
+""",
+    tags=("join", "skew", "salted"),
+)
+def skewjoin_salted_events_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe salted join (functions/skew.py): the big fact side carries a
+    16-way salt, the small side explodes across salts, so one hot user_id
+    spreads over 16 tasks instead of stalling a straggler. Result is
+    identical to the plain join (the oracle) — salting only re-shapes the
+    physical shuffle. AQE's skew-join split is the declarative alternative;
+    this is the explicit form for engines/settings without it."""
+    e = _t(spark, sf_dir, "events").select("user_id", "value")
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_nationkey"
+    )
+    n = _t(spark, sf_dir, "nation")
+    joined = salted_join(e, c, on=["user_id"], n_salts=16)
+    return (
+        joined.join(F.broadcast(n), F.col("n_nationkey") == F.col("c_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            _dsum(F.col("value")).alias("total_value"),
+        )
+    )
+
+
+_WPRI = f"CAST({portable_hash64_sql('CAST(doc_id AS VARCHAR)', seed=17)} AS DOUBLE) / n_chars"
+
+
+@query(
+    "sample_weighted_priority",
+    f"""
+SELECT doc_id, source, n_chars
+  FROM documents
+ WHERE n_chars > 0
+ ORDER BY {_WPRI}, doc_id
+ LIMIT 50
+""",
+    tags=("sampling", "weighted"),
+)
+def sample_weighted_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted priority sample: priority = hash(id)/weight,
+    keep the k smallest — longer documents are proportionally more likely,
+    membership is reproducible across engines and cluster sizes. Spark's
+    orderBy+limit compiles to distributed TakeOrdered (per-partition top-k,
+    then a k-row merge on the driver) — no global sort, no single-partition
+    window."""
+    d = _t(spark, sf_dir, "documents").where(F.col("n_chars") > 0)
+    pri = (
+        portable_hash64(F.col("doc_id").cast("string"), seed=17).cast("double")
+        / F.col("n_chars")
+    )
+    return (
+        d.select("doc_id", "source", "n_chars", pri.alias("__pri"))
+        .orderBy("__pri", "doc_id")
+        .limit(50)
+        .select("doc_id", "source", "n_chars")
+    )
+
+
+@query(
+    "multimodal_payload_stats",
+    """
+WITH payloads AS (
+  SELECT source,
+         octet_length(encode(text)) AS n_bytes,
+         hex(encode(substring(text, 1, 4))) AS magic
+    FROM documents
+)
+SELECT source,
+       count(*) AS n_payloads,
+       CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+       CAST(max(n_bytes) AS BIGINT) AS max_bytes,
+       count(DISTINCT magic) AS n_magics
+  FROM payloads GROUP BY source
+""",
+    tags=("multimodal", "binary"),
+)
+def multimodal_payload_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-binary column plumbing with an EXACT oracle: text encoded to a
+    BinaryType payload column (stand-in for image/audio bytes), then
+    byte-length stats and a 4-byte magic-prefix fingerprint per source —
+    the schema/partitioning shape of the multimodal tier
+    (operators/multimodal.py) with value-hash-checkable outputs."""
+    d = _t(spark, sf_dir, "documents")
+    payloads = d.select(
+        "source",
+        F.octet_length(F.encode("text", "UTF-8")).alias("n_bytes"),
+        F.hex(F.encode(F.substring("text", 1, 4), "UTF-8")).alias("magic"),
+    )
+    return payloads.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_payloads"),
+        F.sum("n_bytes").cast("bigint").alias("total_bytes"),
+        F.max("n_bytes").cast("bigint").alias("max_bytes"),
+        F.countDistinct("magic").alias("n_magics"),
+    )
+
+
+@query(
+    "source_format_roundtrip",
+    """
+SELECT fmt, event_type, count(*) AS n,
+       round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 2) AS total_value
+  FROM events CROSS JOIN (SELECT unnest(['csv', 'json']) AS fmt)
+ GROUP BY fmt, event_type
+""",
+    tags=("sources", "formats"),
+)
+def source_format_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Live CSV and JSON source/sink round-trip (SURVEY §2.1 'file formats'
+    row): events projected and written to both formats, read back through
+    sources.registry with explicit schemas, unioned under a format tag, and
+    aggregated — both format paths must reproduce the parquet-sourced oracle
+    exactly (doubles survive both text formats via shortest-round-trip
+    repr)."""
+    import tempfile
+
+    from fdp_dynamically_controlled_streams_spark.sources import registry as reg
+
+    e = _t(spark, sf_dir, "events").select("event_type", "value")
+    tmp = tempfile.mkdtemp(prefix="dcs-fmt-")
+    ddl = "event_type string, value double"
+    e.write.mode("overwrite").option("header", "true").csv(f"{tmp}/csv")
+    e.write.mode("overwrite").json(f"{tmp}/json")
+    parts = []
+    for fmt in ("csv", "json"):
+        opts = {"header": "true"} if fmt == "csv" else {}
+        parts.append(
+            reg.read_batch(spark, fmt, f"{tmp}/{fmt}", schema=ddl, **opts)
+            .withColumn("fmt", F.lit(fmt))
+        )
+    both = parts[0].unionByName(parts[1])
+    return both.groupBy("fmt", "event_type").agg(
+        F.count(F.lit(1)).alias("n"), _dsum(F.col("value")).alias("total_value")
+    )

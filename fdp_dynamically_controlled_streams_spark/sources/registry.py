@@ -23,10 +23,19 @@ from pyspark.sql import types as T
 _BATCH_FORMATS = ("parquet", "json", "csv", "orc")
 
 
-def read_batch(spark: SparkSession, fmt: str, path: str, **options: Any) -> DataFrame:
+def read_batch(
+    spark: SparkSession,
+    fmt: str,
+    path: str,
+    schema: T.StructType | str | None = None,
+    **options: Any,
+) -> DataFrame:
     if fmt not in _BATCH_FORMATS:
         raise ValueError(f"unsupported batch format {fmt!r}; one of {_BATCH_FORMATS}")
-    return spark.read.options(**options).format(fmt).load(path)
+    reader = spark.read.options(**options)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.format(fmt).load(path)
 
 
 def read_stream(
