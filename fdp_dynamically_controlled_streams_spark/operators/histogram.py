@@ -84,6 +84,112 @@ SELECT bin,
 """
 
 
+def exact_quantiles(
+    df: DataFrame,
+    col: str,
+    probs: list[float],
+    n_buckets: int = 8192,
+    gather_cap: int = 2_000_000,
+) -> list[float]:
+    """Exact interpolated quantiles (DuckDB ``quantile_cont`` semantics)
+    WITHOUT funneling every value through one reducer.
+
+    Spark's exact ``percentile`` aggregate merges a value->count map of the
+    whole column on a single final task — the same centralization as a
+    global sort, plus hash-map overhead. This instead locates each needed
+    order statistic with a bucket-count pass, then gathers only the buckets
+    containing targets:
+
+      1. one scan: (min, max, count);
+      2. one scan: counts per equi-width bucket (``n_buckets`` rows total
+         cross the wire, regardless of data size);
+      3. cumulative counts locate the bucket + local rank of each of the
+         ≤ 2*len(probs) order statistics; only those buckets\' values are
+         gathered and locally selected (expected bucket population ≈
+         n/n_buckets — tiny).
+
+    Every stage is distributed and output-bounded, so the same code path
+    holds at 100 TB. If pathological duplication concentrates more than
+    ``gather_cap`` rows in the needed buckets (meaning those buckets are
+    dominated by one repeated value), it falls back to the classic
+    ``percentile`` aggregate for correctness.
+
+    Interpolation matches Spark\'s ``percentile`` / DuckDB\'s ``quantile_cont``:
+    pos = p*(n-1); result = v[floor] + (pos - floor) * (v[ceil] - v[floor]).
+    """
+    import bisect
+    import math
+
+    v = F.col(col).cast("double")
+    d = df.where(v.isNotNull()).select(v.alias("__v"))
+    row = d.agg(
+        F.min("__v").alias("lo"), F.max("__v").alias("hi"), F.count("__v").alias("n")
+    ).collect()[0]
+    lo, hi, n = row.lo, row.hi, row.n
+    if n == 0:
+        return [float("nan")] * len(probs)
+    if lo == hi:
+        return [float(lo)] * len(probs)
+
+    positions = [p * (n - 1) for p in probs]
+    ranks = sorted({r for pos in positions for r in (math.floor(pos), math.ceil(pos))})
+
+    width = (hi - lo) / n_buckets
+    b = F.least(
+        F.greatest(F.floor((F.col("__v") - F.lit(lo)) / F.lit(width)), F.lit(0)),
+        F.lit(n_buckets - 1),
+    ).cast("int")
+    counts = {
+        r["__b"]: r["__n"]
+        for r in d.groupBy(b.alias("__b"))
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .collect()
+    }
+    cumlist: list[int] = []
+    acc = 0
+    for bi in range(n_buckets):
+        acc += counts.get(bi, 0)
+        cumlist.append(acc)
+
+    by_bucket: dict[int, list[int]] = {}
+    for r in ranks:
+        bi = bisect.bisect_right(cumlist, r)  # first bucket with cum > r
+        by_bucket.setdefault(bi, []).append(r)
+    needed = sorted(by_bucket)
+
+    if sum(counts.get(bi, 0) for bi in needed) > gather_cap:
+        probs_sql = ", ".join(repr(p) + "D" for p in probs)
+        fallback = df.agg(
+            F.expr(f"percentile({col}, array({probs_sql}))").alias("__q")
+        ).collect()[0]["__q"]
+        return [float(x) for x in fallback]
+
+    cond = F.col("__v").isNull()  # vacuously false under the isNotNull filter
+    for bi in needed:
+        cond = cond | (b == F.lit(bi))
+    vals = sorted(r["__v"] for r in d.where(cond).select("__v").collect())
+
+    bucket_vals: dict[int, list[float]] = {}
+    offset = 0
+    for bi in needed:
+        cnt = counts.get(bi, 0)
+        bucket_vals[bi] = vals[offset : offset + cnt]
+        offset += cnt
+
+    stats: dict[int, float] = {}
+    for bi, rs in by_bucket.items():
+        base = cumlist[bi - 1] if bi > 0 else 0
+        for r in rs:
+            stats[r] = bucket_vals[bi][r - base]
+
+    out = []
+    for pos in positions:
+        lo_r, hi_r = math.floor(pos), math.ceil(pos)
+        vlo, vhi = stats[lo_r], stats[hi_r]
+        out.append(vlo + (pos - lo_r) * (vhi - vlo))
+    return out
+
+
 def equidepth_histogram(
     df: DataFrame,
     col: str,
@@ -101,30 +207,34 @@ def equidepth_histogram(
     excluded.
 
     Scale: the rank-based alternative (ntile over a global ORDER BY) needs a
-    single-partition window — a non-starter. Here the k-1 cutpoints are ONE
-    aggregate row broadcast back, and assignment is a codegen'd array fold:
-    two scans, no global sort. ``approx=True`` swaps the exact percentile
-    (which buffers values per partition) for approx_percentile's mergeable
-    t-digest — same call shape, bounded memory at 100 TB.
+    single-partition window — a non-starter. Exact cutpoints come from
+    :func:`exact_quantiles` (bucket-count order-statistic selection — every
+    stage distributed and output-bounded, unlike the ``percentile`` aggregate
+    whose final merge buffers the whole column on one task); assignment is a
+    codegen'd literal-array fold. ``approx=True`` swaps the cutpoint pass for
+    approx_percentile's mergeable t-digest — one aggregate, bounded memory,
+    when ±ε bin edges are acceptable at 100 TB.
     """
     if n_bins < 2:
         raise ValueError("n_bins must be >= 2")
     v = F.col(col).cast("double")
-    probs = ", ".join(repr(i / n_bins) + "D" for i in range(1, n_bins))
-    fn = "approx_percentile" if approx else "percentile"
-    acc = f", {accuracy}" if approx else ""
-    cuts = df.agg(F.expr(f"{fn}({col}, array({probs}){acc})").alias("__cuts"))
-    binned = (
-        df.where(v.isNotNull())
-        .crossJoin(F.broadcast(cuts))
-        .select(
-            F.aggregate(
-                "__cuts",
-                F.lit(0),
-                lambda acc_, c: acc_ + F.when(v > c, 1).otherwise(0),
-            ).alias("bin"),
-            v.alias("__v"),
-        )
+    probs = [i / n_bins for i in range(1, n_bins)]
+    if approx:
+        probs_sql = ", ".join(repr(p) + "D" for p in probs)
+        cut_vals = df.agg(
+            F.expr(f"approx_percentile({col}, array({probs_sql}), {accuracy})").alias("__q")
+        ).collect()[0]["__q"]
+        cut_vals = [float(x) for x in cut_vals]
+    else:
+        cut_vals = exact_quantiles(df, col, probs)
+    cuts = F.array(*[F.lit(c) for c in cut_vals])
+    binned = df.where(v.isNotNull()).select(
+        F.aggregate(
+            cuts,
+            F.lit(0),
+            lambda acc_, c: acc_ + F.when(v > c, 1).otherwise(0),
+        ).alias("bin"),
+        v.alias("__v"),
     )
     return binned.groupBy("bin").agg(
         F.count(F.lit(1)).alias("n"),

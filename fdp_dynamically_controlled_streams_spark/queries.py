@@ -2792,3 +2792,50 @@ def source_format_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return both.groupBy("fmt", "event_type").agg(
         F.count(F.lit(1)).alias("n"), _dsum(F.col("value")).alias("total_value")
     )
+
+
+@query(
+    "events_session_window_native",
+    """
+WITH ordered AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch(ts) - epoch(lag(ts) OVER w) >= 1800.0 THEN 1 ELSE 0 END AS is_new
+    FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessions AS (
+  SELECT user_id, ts,
+         CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS sno
+    FROM ordered
+)
+SELECT user_id,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       count(*) AS n_events,
+       CAST(floor(epoch(max(ts))) - floor(epoch(min(ts))) AS BIGINT) AS duration_sec
+  FROM sessions GROUP BY user_id, sno
+""",
+    tags=("event_time", "session", "native"),
+)
+def events_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's NATIVE session_window operator (batch mode) — the built-in
+    twin of the manual gap-CTE sessionization (`events_sessionization`).
+    Boundary semantics differ from the manual `> gap` form: two events
+    exactly `gap` apart do NOT merge (session windows are half-open
+    [start, start+gap)), so the oracle splits on `>= 1800`. In streaming
+    this same expression runs with a watermark and merging session state
+    (SURVEY §2.7 event-time row)."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts")))
+            .cast("bigint")
+            .alias("duration_sec"),
+            F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        )
+        .select("user_id", "session_start", "n_events", "duration_sec")
+    )
