@@ -108,11 +108,14 @@ def minhash_candidate_pairs(
     count. At 100 TB add a salt on huge buckets (band_hash collisions on
     boilerplate text) before the join.
 
-    The signature pass ends in a groupBy exchange, so band projection and both
-    self-join sides read materialized signatures, never recompute shingle
-    hashes; identical subplans let Spark reuse the shuffle (ReusedExchange).
+    The signature table is materialized once (localCheckpoint — one signature
+    row per doc, tiny next to the corpus) so the shingle-hash pass runs once,
+    not once per self-join side: exchange reuse alone is not guaranteed under
+    AQE re-planning. At 100 TB the same move is persisting signatures to a
+    table — which a production dedup pipeline does anyway (signatures are
+    reused across runs as the corpus grows).
     """
-    sigs = minhash_signatures(docs, id_col, text_col)
+    sigs = minhash_signatures(docs, id_col, text_col).localCheckpoint()
     exploded = sigs.select(
         "id", "sig", F.explode(minhash_bands(F.col("sig"))).alias("band")
     ).select("id", "sig", "band.band_id", "band.band_hash")

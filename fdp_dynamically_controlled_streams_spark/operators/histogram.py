@@ -114,8 +114,9 @@ def exact_quantiles(
     dominated by one repeated value), it falls back to the classic
     ``percentile`` aggregate for correctness.
 
-    Interpolation matches Spark\'s ``percentile`` / DuckDB\'s ``quantile_cont``:
-    pos = p*(n-1); result = v[floor] + (pos - floor) * (v[ceil] - v[floor]).
+    Interpolation matches Spark's ``percentile`` / DuckDB's ``quantile_cont``
+    bit-for-bit: pos = p*(n-1);
+    result = (ceil-pos) * v[floor] + (pos-floor) * v[ceil].
     """
     import bisect
     import math
@@ -186,7 +187,12 @@ def exact_quantiles(
     for pos in positions:
         lo_r, hi_r = math.floor(pos), math.ceil(pos)
         vlo, vhi = stats[lo_r], stats[hi_r]
-        out.append(vlo + (pos - lo_r) * (vhi - vlo))
+        if hi_r == lo_r:
+            out.append(vlo)
+        else:
+            # Spark's Percentile uses the two-sided weighted form — keep it
+            # bit-for-bit (1-ulp different from vlo + frac*(vhi-vlo)).
+            out.append((hi_r - pos) * vlo + (pos - lo_r) * vhi)
     return out
 
 

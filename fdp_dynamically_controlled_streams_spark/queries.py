@@ -2839,3 +2839,78 @@ def events_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("user_id", "session_start", "n_events", "duration_sec")
     )
+
+
+@query(
+    "controller_static_join_replay",
+    f"""
+WITH control AS ({ctl.EVENTS_CONTROL_SQL}),
+sensor AS ({ctl.EVENTS_SENSOR_SQL}),
+latest AS (
+  SELECT sensor_id,
+         max_by(desired, seq) AS desired,
+         max_by(up_delta, seq) AS up_delta,
+         max_by(down_delta, seq) AS down_delta
+    FROM control GROUP BY sensor_id
+)
+SELECT s.sensor_id, s.temperature,
+       CASE WHEN s.temperature > l.desired + l.up_delta THEN 1
+            WHEN s.temperature < l.desired - l.down_delta THEN 0 END AS command,
+       s.seq
+  FROM sensor s JOIN latest l ON l.sensor_id = s.sensor_id
+ WHERE s.temperature > l.desired + l.up_delta
+    OR s.temperature < l.desired - l.down_delta
+""",
+    tags=("controller", "streaming", "stream-static"),
+)
+def controller_static_join_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static realization of the control pattern (SURVEY §2.3 J3 /
+    the CORRECT form of the banned J5 restart pattern, §3.2): the control
+    log collapses to a latest-setting-per-key TABLE, the sensor stream
+    broadcast-joins it every micro-batch, hysteresis actions emit stateless
+    (emit-on-change chains downstream — see streaming/static_join.py scope
+    note). Oracle: the same join in plain SQL."""
+    import tempfile
+
+    from fdp_dynamically_controlled_streams_spark.operators.controller import (
+        controller_inputs_from_events,
+    )
+    from fdp_dynamically_controlled_streams_spark.sources.registry import (
+        replay_dir,
+        write_replay_chunks,
+    )
+    from fdp_dynamically_controlled_streams_spark.streaming.static_join import (
+        controller_stream_static,
+    )
+
+    events = _t(spark, sf_dir, "events")
+    control, sensor = controller_inputs_from_events(events)
+    tmp = tempfile.mkdtemp(prefix="dcs-ssj-")
+    control.write.mode("overwrite").parquet(f"{tmp}/control")
+    pdf = sensor.orderBy("seq").toPandas()
+    n = max(len(pdf) // 2, 1)
+    write_replay_chunks(
+        [pdf.iloc[i : i + n] for i in range(0, len(pdf), n)], f"{tmp}/sensor"
+    )
+    stream = replay_dir(
+        spark,
+        f"{tmp}/sensor",
+        "sensor_id int, temperature double, seq long",
+        files_per_trigger=1,
+    )
+    out = f"{tmp}/out"
+    with _replay_conf(spark, partitions=8):
+        q = (
+            controller_stream_static(spark, stream, f"{tmp}/control")
+            .writeStream.outputMode("append")
+            .foreachBatch(lambda bdf, bid: bdf.write.mode("append").parquet(out))
+            .option("checkpointLocation", f"{tmp}/chk")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    return (
+        spark.read.schema("sensor_id int, temperature double, command int, seq long")
+        .parquet(out)
+        .select("sensor_id", "temperature", "command", "seq")
+    )

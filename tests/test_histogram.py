@@ -94,3 +94,46 @@ def test_equidepth_approx_tier_runs(spark):
     df = _vals(spark, list(range(1000)))
     got = equidepth_histogram(df, "v", 4, approx=True).collect()
     assert sum(r.n for r in got) == 1000 and len(got) == 4
+
+
+def test_exact_quantiles_matches_percentile_aggregate(spark):
+    import random
+
+    from pyspark.sql import functions as F
+
+    from fdp_dynamically_controlled_streams_spark.operators.histogram import (
+        exact_quantiles,
+    )
+
+    rng = random.Random(7)
+    vals = [rng.uniform(-500, 500) for _ in range(5000)] + [42.0] * 50
+    df = _vals(spark, vals)
+    probs = [0.01, 0.125, 0.5, 0.875, 0.99]
+    got = exact_quantiles(df, "v", probs)
+    probs_sql = ", ".join(repr(p) + "D" for p in probs)
+    want = df.agg(F.expr(f"percentile(v, array({probs_sql}))").alias("q")).collect()[0].q
+    assert got == [float(x) for x in want]  # bit-exact, same interpolation
+
+
+def test_exact_quantiles_gather_cap_fallback(spark):
+    from fdp_dynamically_controlled_streams_spark.operators.histogram import (
+        exact_quantiles,
+    )
+
+    # 10k copies of one value in the median bucket forces the fallback path.
+    df = _vals(spark, [5.0] * 10_000 + [0.0, 10.0])
+    got = exact_quantiles(df, "v", [0.5], gather_cap=100)
+    assert got == [5.0]
+
+
+def test_exact_quantiles_degenerate_inputs(spark):
+    import math
+
+    from fdp_dynamically_controlled_streams_spark.operators.histogram import (
+        exact_quantiles,
+    )
+
+    all_equal = _vals(spark, [3.0] * 10)
+    assert exact_quantiles(all_equal, "v", [0.25, 0.75]) == [3.0, 3.0]
+    empty = spark.createDataFrame([(None,)], "v double")
+    assert all(math.isnan(x) for x in exact_quantiles(empty, "v", [0.5]))
