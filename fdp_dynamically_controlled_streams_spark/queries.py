@@ -2914,3 +2914,34 @@ def controller_static_join_replay(spark: SparkSession, sf_dir: str) -> DataFrame
         .parquet(out)
         .select("sensor_id", "temperature", "command", "seq")
     )
+
+
+from fdp_dynamically_controlled_streams_spark.sources import heater_sim as hsim
+
+_HSIM_SENSORS, _HSIM_STEPS = 8, 360
+
+
+@query(
+    "heater_sim_closed_loop",
+    hsim.heater_sim_oracle_sql(_HSIM_SENSORS, _HSIM_STEPS),
+    tags=("source", "simulator", "python-datasource"),
+)
+def heater_sim_closed_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's closed-loop heater simulator (SURVEY §2.6 H1-H4) as a
+    custom Python DataSource (Spark 4 API): per-sensor partitions generate
+    the thermal recurrence + hysteresis controller + emit-on-change feedback
+    distributed, `spark.read.format("heater_sim")`. Oracle: the identical
+    recurrence as a DuckDB recursive CTE — same double adds in the same
+    order, bit-equal temperatures (sources/heater_sim.py)."""
+    hsim.register(spark)
+    df = (
+        spark.read.format("heater_sim")
+        .option("n_sensors", _HSIM_SENSORS)
+        .option("n_steps", _HSIM_STEPS)
+        .load()
+    )
+    return df.select(
+        "sensor_id", "step",
+        F.round("temperature", 6).alias("temperature"),
+        "heater_on", "command",
+    )
