@@ -2947,3 +2947,35 @@ def heater_sim_closed_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("temperature", 6).alias("temperature"),
         "heater_on", "command",
     )
+
+
+@query(
+    "semistructured_variant_props",
+    """
+SELECT event_type,
+       count(*) AS n,
+       CAST(sum(CAST(json_extract(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+       CAST(min(CAST(json_extract(props, '$.k') AS INT)) AS INT) AS min_k,
+       CAST(max(CAST(json_extract(props, '$.k') AS INT)) AS INT) AS max_k
+  FROM events GROUP BY event_type
+""",
+    tags=("semistructured", "variant", "json"),
+)
+def semistructured_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT path for semi-structured columns: parse_json once into
+    the binary variant encoding, then typed variant_get extraction — the
+    open-schema alternative to from_json when the JSON shape drifts (shredded
+    storage at rest keeps extraction columnar at 100 TB). Oracle: plain
+    json_extract."""
+    e = _t(spark, sf_dir, "events")
+    k = F.try_variant_get(F.parse_json("props"), "$.k", "int")
+    return (
+        e.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").cast("bigint").alias("sum_k"),
+            F.min("k").cast("int").alias("min_k"),
+            F.max("k").cast("int").alias("max_k"),
+        )
+    )

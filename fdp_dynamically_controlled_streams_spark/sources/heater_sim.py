@@ -20,7 +20,12 @@ heater operation — HeaterCommand numbering On=0/Off=1, messages.proto:6-9).
 
 from __future__ import annotations
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 HEAT_PER_STEP = 1.0 / 6.0  # +10s / 60s  (up rate 1 min)
 COOL_PER_STEP = -1.0 / 12.0  # -10s / 120s (down rate 2 min)
@@ -66,6 +71,46 @@ class HeaterSimReader(DataSourceReader):
             yield (sid, step, temp, heater_on, cmd)
 
 
+class HeaterSimStreamReader(SimpleDataSourceStreamReader):
+    """Streaming form: the simulator as a LIVE publisher (H2 — the reference
+    emits one reading per 10 s per sensor; here each micro-batch advances
+    ``steps_per_batch`` simulated steps). Offsets are the step counter, so
+    replay-after-failure regenerates the identical rows (the recurrence is
+    deterministic from step 0); state never lives in the source."""
+
+    def __init__(self, options) -> None:
+        self.n_sensors = int(options.get("n_sensors", 8))
+        self.n_steps = int(options.get("n_steps", 360))
+        self.steps_per_batch = int(options.get("steps_per_batch", 30))
+
+    def initialOffset(self) -> dict:
+        return {"step": 0}
+
+    def _rows_between(self, lo: int, hi: int) -> list[tuple]:
+        out = []
+        for sid in range(self.n_sensors):
+            desired = desired_for(sid)
+            temp, heater_on, last_action = START_TEMP, 1, -1
+            for step in range(1, hi + 1):
+                temp += HEAT_PER_STEP if heater_on == 1 else COOL_PER_STEP
+                raw = 1 if temp > desired + DELTA else (0 if temp < desired - DELTA else None)
+                cmd = raw if raw is not None and raw != last_action else None
+                if cmd is not None:
+                    last_action = cmd
+                    heater_on = 1 if cmd == 0 else 0
+                if step > lo:
+                    out.append((sid, step, temp, heater_on, cmd))
+        return out
+
+    def read(self, start: dict):
+        lo = start["step"]
+        hi = min(lo + self.steps_per_batch, self.n_steps)
+        return iter(self._rows_between(lo, hi)), {"step": hi}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return iter(self._rows_between(start["step"], end["step"]))
+
+
 class HeaterSimDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -79,6 +124,9 @@ class HeaterSimDataSource(DataSource):
 
     def reader(self, schema) -> HeaterSimReader:
         return HeaterSimReader(self.options)
+
+    def simpleStreamReader(self, schema) -> HeaterSimStreamReader:
+        return HeaterSimStreamReader(self.options)
 
 
 def register(spark) -> None:

@@ -68,3 +68,37 @@ def test_heater_follows_command(spark):
     assert rows, "loop must emit commands"
     for r in rows:
         assert r.heater_on == (1 if r.command == 0 else 0)
+
+
+def test_streaming_source_matches_batch(spark, tmp_path):
+    # readStream over the sim must produce exactly the batch rows once all
+    # steps are consumed — offsets are the step counter, regeneration is
+    # deterministic, so replay == batch (S6/H2 parity, streaming form).
+    hsim.register(spark)
+    stream = (
+        spark.readStream.format("heater_sim")
+        .option("n_sensors", 2)
+        .option("n_steps", 90)
+        .option("steps_per_batch", 40)
+        .load()
+    )
+    import time
+
+    out: list = []
+    # availableNow only consumes the single prefetched read() of a simple
+    # stream reader; run on a continuous trigger and stop once the sim is
+    # exhausted (read() returns empty batches past n_steps).
+    q = (
+        stream.writeStream.outputMode("append")
+        .foreachBatch(lambda bdf, bid: out.extend(map(tuple, bdf.collect())))
+        .option("checkpointLocation", str(tmp_path / "chk"))
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    deadline = time.time() + 120
+    while len(out) < 2 * 90 and time.time() < deadline:
+        time.sleep(0.5)
+    q.stop()
+    batch = list(map(tuple, _sim(spark, n_sensors=2, n_steps=90).collect()))
+    assert sorted(out) == sorted(batch)
+    assert len(out) == 2 * 90
