@@ -188,3 +188,40 @@ def test_unpivot_is_map_only(audits):
     assert_pushed(a, "l_shipdate")
     assert_pruned(a, ["l_returnflag", "l_partkey", "l_suppkey"])
     assert a.n_python_evals == 0
+
+
+def test_min_cost_supplier_broadcasts_all_dims(audits):
+    # TPC-H Q2 shape: part/supplier/nation broadcast; the only exchanges are
+    # the two lineitem aggregations (costs, best) + their join alignment —
+    # the fact table never shuffles for a dimension.
+    # (At smoke SF the costs-best self-join broadcasts too — 4 total; at
+    # scale that join degrades gracefully to shuffle while the three
+    # dimension joins stay broadcast.)
+    a = audits("join_min_cost_supplier")
+    assert a.n_broadcast_joins >= 3
+    assert a.n_sortmerge_joins + a.n_nestedloop_joins == 0
+
+
+def test_salted_join_small_side_broadcasts(audits):
+    # Salting must not demote the join: the exploded small side still
+    # broadcasts (the salt rides the broadcast for free) and no sort-merge
+    # appears; one exchange for the final aggregation.
+    a = audits("skewjoin_salted_events_nation")
+    assert a.n_broadcast_joins >= 2
+    assert a.n_sortmerge_joins == 0
+    assert a.n_python_evals == 0
+
+
+def test_variant_path_stays_jvm_side(audits):
+    a = audits("semistructured_variant_props")
+    assert a.n_python_evals == 0
+    assert a.n_exchanges <= 2  # partial+final agg exchange only (AQE may split)
+
+
+def test_large_volume_customers_single_lineitem_exchange(audits):
+    # The HAVING aggregate and the orders join reuse the l_orderkey key;
+    # no nested-loop, no Python, and the plan stays within the agg + two
+    # join exchanges.
+    a = audits("join_large_volume_customers")
+    assert a.n_nestedloop_joins == 0
+    assert a.n_python_evals == 0
