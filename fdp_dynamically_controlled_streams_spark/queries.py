@@ -2979,3 +2979,27 @@ def semistructured_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("k").cast("int").alias("max_k"),
         )
     )
+
+
+@query(
+    "agg_string_concat_sorted",
+    """
+SELECT o_orderpriority,
+       string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus) AS statuses,
+       count(DISTINCT o_orderstatus) AS n_statuses
+  FROM orders GROUP BY o_orderpriority
+""",
+    tags=("agg", "collect"),
+)
+def agg_string_concat_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation: collect_set -> sort_array -> array_join —
+    deterministic despite distributed accumulation order (the sort, not the
+    arrival order, fixes the output; bare collect_list would not hash-match
+    any oracle). DuckDB twin: string_agg(DISTINCT ... ORDER BY)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.array_join(F.sort_array(F.collect_set("o_orderstatus")), ",").alias(
+            "statuses"
+        ),
+        F.countDistinct("o_orderstatus").alias("n_statuses"),
+    )
