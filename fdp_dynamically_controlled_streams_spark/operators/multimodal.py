@@ -131,9 +131,14 @@ def decode_media(media: DataFrame) -> DataFrame:
                     rows.append((int(mid), None, None, None, None, None, False))
                 else:
                     w, h, c, payload = d
-                    mean = sum(payload) / len(payload) if payload else 0.0
+                    # Exact integer truncation at 1e-6 instead of float round:
+                    # bit-reproducible across engines (the DuckDB oracle twin
+                    # computes the identical BIGINT quotient), no half-even vs
+                    # half-away tie ambiguity.
+                    n = len(payload)
+                    mean = (sum(payload) * 1_000_000 // n) / 1e6 if n else 0.0
                     rows.append(
-                        (int(mid), "application/x-dcsm", w, h, c, round(mean, 6), True)
+                        (int(mid), "application/x-dcsm", w, h, c, mean, True)
                     )
             yield pd.DataFrame(rows, columns=[f.name for f in DECODED_SCHEMA.fields])
 

@@ -1484,14 +1484,48 @@ def streaming_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =========================================================================
-# 11. Multimodal plumbing (rows-only: binary payloads are engine-internal)
+# 11. Multimodal plumbing
 # =========================================================================
 
-@query("multimodal_decode_features", None, tags=("multimodal", "rows_only"))
+# The DCSM fake payload is a 32-bit LCG over (doc_id-derived) seeds
+# (operators/multimodal.py encode_fake_image); DuckDB replays the identical
+# recurrence as a recursive CTE — same technique as heater_sim_oracle_sql —
+# so decode + feature-extract is exact-oracle-checked, not rows-only.
+# x>>16 & 0xFF is written as (x // 65536) % 256 (x is non-negative).
+_MULTIMODAL_ORACLE = """
+WITH RECURSIVE dims AS (
+  SELECT CAST(doc_id AS BIGINT) AS media_id,
+         CAST(8 + doc_id % 5 AS INT) AS width,
+         CAST(6 + doc_id % 3 AS INT) AS height,
+         CAST(3 AS INT) AS channels,
+         CAST((8 + doc_id % 5) * (6 + doc_id % 3) * 3 AS BIGINT) AS n
+  FROM documents
+), lcg AS (
+  SELECT media_id, width, height, channels, n, CAST(0 AS BIGINT) AS i,
+         (media_id * 2654435761 + 12345) % 4294967296 AS x,
+         CAST(0 AS BIGINT) AS acc
+  FROM dims
+  UNION ALL
+  SELECT media_id, width, height, channels, n, i + 1,
+         (x * 1103515245 + 12345) % 4294967296,
+         acc + (((x * 1103515245 + 12345) % 4294967296) // 65536) % 256
+  FROM lcg WHERE i < n
+)
+SELECT media_id,
+       'application/x-dcsm' AS content_type,
+       width, height, channels,
+       CAST(acc * 1000000 // n AS DOUBLE) / 1000000 AS mean_intensity,
+       TRUE AS ok
+FROM lcg WHERE i = n
+"""
+
+
+@query("multimodal_decode_features", _MULTIMODAL_ORACLE, tags=("multimodal",))
 def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Attach deterministic media blobs to documents, decode + feature-extract
-    via mapInPandas, return per-media features (decode stubbed per charter —
-    plumbing is real, see operators/multimodal.py)."""
+    via mapInPandas, return per-media features (real codecs stubbed per
+    charter — plumbing is real, see operators/multimodal.py). The DCSM LCG
+    payload is replayed exactly by the DuckDB recursive-CTE oracle above."""
     from fdp_dynamically_controlled_streams_spark.operators import multimodal as mm
 
     docs = _t(spark, sf_dir, "documents")
