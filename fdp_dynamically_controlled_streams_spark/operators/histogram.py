@@ -121,8 +121,15 @@ def exact_quantiles(
     import bisect
     import math
 
+    # NaN passes isNotNull and would poison max() (→ NULL bucket width);
+    # drop it explicitly — quantiles are over real values, matching DuckDB's
+    # NULL/NaN-ignoring quantile_cont. The three scans below assume `df` is
+    # deterministic across jobs (a rand()-derived input could make the
+    # bucket counts and the gathered values disagree — cache such inputs
+    # first); the cumlist-vs-n guard before the gather falls back to the
+    # single-pass `percentile` aggregate if that assumption is violated.
     v = F.col(col).cast("double")
-    d = df.where(v.isNotNull()).select(v.alias("__v"))
+    d = df.where(v.isNotNull() & ~F.isnan(v)).select(v.alias("__v"))
     row = d.agg(
         F.min("__v").alias("lo"), F.max("__v").alias("hi"), F.count("__v").alias("n")
     ).collect()[0]
@@ -158,10 +165,13 @@ def exact_quantiles(
         by_bucket.setdefault(bi, []).append(r)
     needed = sorted(by_bucket)
 
-    if sum(counts.get(bi, 0) for bi in needed) > gather_cap:
+    # Fall back to the single-pass percentile aggregate when the needed
+    # buckets are pathologically populated OR the second scan disagreed with
+    # the first (non-deterministic input): correctness over distribution.
+    if cumlist[-1] != n or sum(counts.get(bi, 0) for bi in needed) > gather_cap:
         probs_sql = ", ".join(repr(p) + "D" for p in probs)
-        fallback = df.agg(
-            F.expr(f"percentile({col}, array({probs_sql}))").alias("__q")
+        fallback = d.agg(
+            F.expr(f"percentile(__v, array({probs_sql}))").alias("__q")
         ).collect()[0]["__q"]
         return [float(x) for x in fallback]
 

@@ -101,6 +101,17 @@ def _replay_conf(spark: SparkSession, partitions: int):
         spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev_prov)
 
 
+def _read_replay_out(spark: SparkSession, ddl: str, path: str) -> DataFrame:
+    """Read back a replay sink directory. A replay that produced zero
+    micro-batches never creates the directory — return an empty typed frame
+    instead of raising PATH_NOT_FOUND (latent edge flagged in r2 ADVICE)."""
+    import os
+
+    if not os.path.isdir(path):
+        return spark.createDataFrame([], ddl)
+    return spark.read.schema(ddl).parquet(path)
+
+
 # Decimal-exact money aggregation (see module docstring).
 def _dsum(col, scale: int = 2):
     return F.round(F.sum(col.cast("decimal(18,4)")).cast("double"), scale)
@@ -1290,7 +1301,7 @@ def controller_streaming_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from fdp_dynamically_controlled_streams_spark.sources.registry import (
         replay_dir,
-        write_replay_chunks,
+        write_replay_chunks_df,
     )
     from fdp_dynamically_controlled_streams_spark.streaming.controller import (
         controller_streaming,
@@ -1298,16 +1309,18 @@ def controller_streaming_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     events = _t(spark, sf_dir, "events")
     control, sensor = controller_inputs_from_events(events)
-    unified = unify_streams(control, sensor).orderBy("seq", "record_kind")
-    pdf = unified.toPandas()
     # Two chunks = two micro-batches: proves state carries across batch
     # boundaries while paying the fixed per-batch cost (state commit, Python
-    # worker round-trip, sink job) the minimum number of times.
-    n = max(len(pdf) // 2, 1)
-    chunks = [pdf.iloc[i : i + n] for i in range(0, len(pdf), n)]
-
+    # worker round-trip, sink job) the minimum number of times. Chunks are
+    # written distributedly (range partition on replay order) — the input
+    # never lands on the driver, so the builder holds at any SF.
     tmp = tempfile.mkdtemp(prefix="dcs-replay-")
-    write_replay_chunks(chunks, f"{tmp}/data")
+    write_replay_chunks_df(
+        unify_streams(control, sensor),
+        f"{tmp}/data",
+        n_chunks=2,
+        order_cols=("seq", "record_kind"),
+    )
     stream = replay_dir(
         spark,
         f"{tmp}/data",
@@ -1328,10 +1341,8 @@ def controller_streaming_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         q.awaitTermination(300)
-    return (
-        spark.read.schema("sensor_id int, command int, seq long")
-        .parquet(out)
-        .select("sensor_id", "command", "seq")
+    return _read_replay_out(spark, "sensor_id int, command int, seq long", out).select(
+        "sensor_id", "command", "seq"
     )
 
 
@@ -1444,22 +1455,21 @@ def streaming_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from fdp_dynamically_controlled_streams_spark.sources.registry import (
         replay_dir,
-        write_replay_chunks,
+        write_replay_chunks_df,
     )
 
     events = _t(spark, sf_dir, "events")
-    pdf = (
-        events.select("user_id", "event_type", "ts")
-        .orderBy("ts", "event_id")
-        .toPandas()
-    )
-    # Parquet replay chunks must carry micros (the declared stream schema);
-    # pandas defaults to nanos which Spark reads as raw INT64.
-    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
-    n = max(len(pdf) // 2, 1)  # two micro-batches (see controller replay note)
-    chunks = [pdf.iloc[i : i + n] for i in range(0, len(pdf), n)]
+    # Two micro-batches, chunked distributedly on replay order (event_id
+    # rides along only as the range tiebreaker; the declared stream schema
+    # projects it away at read time). Spark-written parquet carries micros,
+    # so no nanos coercion is needed here.
     tmp = tempfile.mkdtemp(prefix="dcs-dedup-")
-    write_replay_chunks(chunks, f"{tmp}/data")
+    write_replay_chunks_df(
+        events.select("user_id", "event_type", "ts", "event_id"),
+        f"{tmp}/data",
+        n_chunks=2,
+        order_cols=("ts", "event_id"),
+    )
     stream = replay_dir(
         spark,
         f"{tmp}/data",
@@ -1478,7 +1488,7 @@ def streaming_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         q.awaitTermination(300)
-    return spark.read.schema("user_id long, event_type string").parquet(out).select(
+    return _read_replay_out(spark, "user_id long, event_type string", out).select(
         "user_id", "event_type"
     )
 
@@ -2020,7 +2030,7 @@ def stream_interval_join_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from fdp_dynamically_controlled_streams_spark.sources.registry import (
         replay_dir,
-        write_replay_chunks,
+        write_replay_chunks_df,
     )
     from fdp_dynamically_controlled_streams_spark.streaming.interval_join import (
         interval_join_streams,
@@ -2029,17 +2039,14 @@ def stream_interval_join_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events").select("user_id", "ts", "event_type")
     tmp = tempfile.mkdtemp(prefix="dcs-ivj-")
     ddl = "user_id long, ts timestamp"
-    both = (
-        ev.where(F.col("event_type").isin("purchase", "click"))
-        .toPandas()
-        .sort_values("ts")
-    )
-    both["ts"] = both["ts"].astype("datetime64[us]")
+    # Each side chunked distributedly in event-time order (two micro-batches
+    # per side); no driver materialization.
     for side, etype in (("left", "purchase"), ("right", "click")):
-        pdf = both[both["event_type"] == etype][["user_id", "ts"]]
-        n = max(len(pdf) // 2, 1)
-        write_replay_chunks(
-            [pdf.iloc[i : i + n] for i in range(0, len(pdf), n)], f"{tmp}/{side}"
+        write_replay_chunks_df(
+            ev.where(F.col("event_type") == etype).select("user_id", "ts"),
+            f"{tmp}/{side}",
+            n_chunks=2,
+            order_cols=("ts",),
         )
     joined = interval_join_streams(
         replay_dir(spark, f"{tmp}/left", ddl, files_per_trigger=1),
@@ -2068,9 +2075,9 @@ def stream_interval_join_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         q.awaitTermination(300)
-    return spark.read.schema(
-        "user_id long, purchase_ts string, click_ts string"
-    ).parquet(out).select("user_id", "purchase_ts", "click_ts")
+    return _read_replay_out(
+        spark, "user_id long, purchase_ts string, click_ts string", out
+    ).select("user_id", "purchase_ts", "click_ts")
 
 
 @query(
@@ -2913,7 +2920,7 @@ def controller_static_join_replay(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     from fdp_dynamically_controlled_streams_spark.sources.registry import (
         replay_dir,
-        write_replay_chunks,
+        write_replay_chunks_df,
     )
     from fdp_dynamically_controlled_streams_spark.streaming.static_join import (
         controller_stream_static,
@@ -2923,11 +2930,7 @@ def controller_static_join_replay(spark: SparkSession, sf_dir: str) -> DataFrame
     control, sensor = controller_inputs_from_events(events)
     tmp = tempfile.mkdtemp(prefix="dcs-ssj-")
     control.write.mode("overwrite").parquet(f"{tmp}/control")
-    pdf = sensor.orderBy("seq").toPandas()
-    n = max(len(pdf) // 2, 1)
-    write_replay_chunks(
-        [pdf.iloc[i : i + n] for i in range(0, len(pdf), n)], f"{tmp}/sensor"
-    )
+    write_replay_chunks_df(sensor, f"{tmp}/sensor", n_chunks=2, order_cols=("seq",))
     stream = replay_dir(
         spark,
         f"{tmp}/sensor",
@@ -2945,11 +2948,9 @@ def controller_static_join_replay(spark: SparkSession, sf_dir: str) -> DataFrame
             .start()
         )
         q.awaitTermination(300)
-    return (
-        spark.read.schema("sensor_id int, temperature double, command int, seq long")
-        .parquet(out)
-        .select("sensor_id", "temperature", "command", "seq")
-    )
+    return _read_replay_out(
+        spark, "sensor_id int, temperature double, command int, seq long", out
+    ).select("sensor_id", "temperature", "command", "seq")
 
 
 from fdp_dynamically_controlled_streams_spark.sources import heater_sim as hsim

@@ -54,7 +54,12 @@ class HeaterSimReader(DataSourceReader):
         sid = int(partition.value)
         desired = desired_for(sid)
         temp = START_TEMP
-        heater_on = 1  # reference heater starts heating toward the setpoint
+        # Deliberate deviation from Heater.scala:18 (which starts with
+        # heaterOperation=1 = Off, cooling from 42.0 until the controller
+        # commands On): starting hot-side-on reaches the hysteresis band in
+        # fewer steps, like the pinned per-sensor setpoint spread above. The
+        # DuckDB oracle (heater_sim_oracle_sql) replays this exact choice.
+        heater_on = 1
         last_action = -1
         for step in range(1, self.n_steps + 1):
             temp += HEAT_PER_STEP if heater_on == 1 else COOL_PER_STEP
@@ -130,11 +135,17 @@ class HeaterSimDataSource(DataSource):
 
 
 def register(spark) -> None:
-    """Idempotent registration of the heater_sim format."""
+    """Idempotent registration of the heater_sim format. Only the
+    already-registered collision is swallowed; anything else (e.g. a PySpark
+    build without the Python DataSource API) propagates instead of surfacing
+    later as a confusing DATA_SOURCE_NOT_FOUND."""
     try:
         spark.dataSource.register(HeaterSimDataSource)
-    except Exception:  # already registered in this session
-        pass
+    except Exception as exc:
+        msg = str(exc)
+        if "DATA_SOURCE_ALREADY_EXISTS" in msg or "already" in msg.lower():
+            return
+        raise
 
 
 def heater_sim_oracle_sql(n_sensors: int, n_steps: int) -> str:

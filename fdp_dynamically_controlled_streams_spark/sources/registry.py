@@ -100,6 +100,34 @@ def write_replay_chunks(
         os.utime(fp, (t0 + i, t0 + i))
 
 
+def write_replay_chunks_df(
+    df: DataFrame, path: str, n_chunks: int = 2, order_cols: tuple[str, ...] = ("seq",)
+) -> None:
+    """Distributed replay-fixture writer: range-partition the input on the
+    replay-order columns (one partition per chunk), sort within each
+    partition, write one parquet file per chunk, then stamp strictly
+    increasing mtimes in range order so the file stream source replays the
+    chunks in order.
+
+    Unlike a driver-side ``toPandas`` split (the r2 builders), the input
+    never materializes on the driver — executors write their own chunk —
+    so the identical builder holds at any SF. RangePartitioner boundaries
+    come from a fixed-seed sample of a deterministic scan, so the chunking
+    is reproducible run-to-run.
+    """
+    import glob
+
+    (
+        df.repartitionByRange(n_chunks, *order_cols)
+        .sortWithinPartitions(*order_cols)
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    t0 = 1_700_000_000
+    for i, fp in enumerate(sorted(glob.glob(os.path.join(path, "part-*")))):
+        os.utime(fp, (t0 + i, t0 + i))
+
+
 def write_stream_kafka(
     df: DataFrame, brokers: str, topic: str, checkpoint: str, **options: Any
 ):

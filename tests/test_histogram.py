@@ -137,3 +137,29 @@ def test_exact_quantiles_degenerate_inputs(spark):
     assert exact_quantiles(all_equal, "v", [0.25, 0.75]) == [3.0, 3.0]
     empty = spark.createDataFrame([(None,)], "v double")
     assert all(math.isnan(x) for x in exact_quantiles(empty, "v", [0.5]))
+
+
+def test_exact_quantiles_nan_safe(spark):
+    """NaN must not poison the bucket width (r2 ADVICE): quantiles are over
+    the real values only, and all-NaN behaves like empty."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from fdp_dynamically_controlled_streams_spark.operators.histogram import (
+        exact_quantiles,
+    )
+
+    vals = [float(i) for i in range(100)]
+    with_nan = _vals(spark, vals + [float("nan")] * 7)
+    clean = _vals(spark, vals)
+    probs = [0.1, 0.5, 0.9]
+    probs_sql = ", ".join(repr(p) + "D" for p in probs)
+    want = (
+        clean.agg(F.expr(f"percentile(v, array({probs_sql}))").alias("q"))
+        .collect()[0]
+        .q
+    )
+    assert exact_quantiles(with_nan, "v", probs) == [float(x) for x in want]
+    all_nan = _vals(spark, [float("nan")] * 5)
+    assert all(math.isnan(x) for x in exact_quantiles(all_nan, "v", [0.5]))
