@@ -21,11 +21,15 @@ from pyspark.sql import functions as F
 
 
 def with_salt(df: DataFrame, n_salts: int, salt_col: str = "_salt") -> DataFrame:
-    """Attach a uniform salt in [0, n_salts). monotonically_increasing_id is
-    contiguous per partition, so consecutive rows of a hot key round-robin
-    across salts — deterministic within a run, no rand() in the plan."""
+    """Attach a uniform salt in [0, n_salts): xxhash64 of the per-row
+    monotonic id, mod n_salts — deterministic within a run, no rand() in the
+    plan. The hash matters: a bare ``mid % n_salts`` round-robin correlates
+    with any key that tracks row position (e.g. a hot key defined on even
+    ids lands only on even salts — caught by the skewagg_hotkey_stress
+    test), while hashing decorrelates position from salt."""
     return df.withColumn(
-        salt_col, F.pmod(F.monotonically_increasing_id(), F.lit(n_salts)).cast("int")
+        salt_col,
+        F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(n_salts)).cast("int"),
     )
 
 

@@ -190,6 +190,59 @@ def ivf_topk(
     )
 
 
+def recall_report(
+    embeddings: DataFrame,
+    probe_ids: list[int],
+    k: int = 5,
+    bits: int = 8,
+    n_cells: int = 8,
+    n_probe: int = 2,
+) -> DataFrame:
+    """Recall@k of each approximate ANN tier against the exact brute-force
+    neighbors: one row per method (method, hits, n_exact, recall_at_k).
+
+    Membership is by (probe_id, cand_id) pair, pooled over probes
+    (hits / total exact pairs); the brute-force row is the 1.0 anchor.
+    recall_at_k uses exact integer division at 1e-6 so the value is
+    bit-reproducible against the SQL oracle. The exact tier is recomputed
+    per semi-join here (probe-set-sized work); a production evaluation at
+    scale would persist the exact pairs once and semi-join each tier
+    against the persisted table — same plan shape."""
+    exact = brute_force_topk(embeddings, probe_ids, k).select("probe_id", "cand_id")
+    tiers = [
+        ("brute_force", exact),
+        (
+            "sign_lsh",
+            lsh_bucketed_topk(embeddings, probe_ids, k, bits).select(
+                "probe_id", "cand_id"
+            ),
+        ),
+        (
+            "ivf",
+            ivf_topk(embeddings, probe_ids, k, n_cells, n_probe).select(
+                "probe_id", "cand_id"
+            ),
+        ),
+    ]
+    n_exact = exact.agg(F.count(F.lit(1)).alias("n_exact"))
+    out = None
+    for name, df in tiers:
+        hits = (
+            df.join(exact, ["probe_id", "cand_id"], "left_semi")
+            .agg(F.count(F.lit(1)).alias("hits"))
+            .select(F.lit(name).alias("method"), "hits")
+        )
+        out = hits if out is None else out.unionByName(hits)
+    return out.crossJoin(F.broadcast(n_exact)).select(
+        "method",
+        "hits",
+        "n_exact",
+        (F.expr("hits * 1000000 div n_exact") / F.lit(1000000.0)).alias(
+            "recall_at_k"
+        ),
+    )
+
+
 def embedding_near_dup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.9,

@@ -45,3 +45,19 @@ def test_ivf_full_probe_equals_exact(spark):
         for r in ivf_topk(e, PROBES, k=3, n_cells=8, n_probe=8).collect()
     )
     assert full == exact
+
+
+def test_recall_report_anchor_and_bounds(spark):
+    """The brute-force row is the 1.0 anchor; every tier's recall is a valid
+    proportion of the exact pair count."""
+    from fdp_dynamically_controlled_streams_spark.operators.similarity import (
+        recall_report,
+    )
+
+    e = load_table(spark, SF_DIR, "embeddings")
+    rows = {r.method: r for r in recall_report(e, list(range(8)), k=5).collect()}
+    assert set(rows) == {"brute_force", "sign_lsh", "ivf"}
+    assert rows["brute_force"].recall_at_k == 1.0
+    for r in rows.values():
+        assert 0.0 <= r.recall_at_k <= 1.0
+        assert r.hits <= r.n_exact

@@ -53,3 +53,31 @@ def test_salted_join_equals_plain_join(spark):
         for r in salted_join(big, small, ["k"], n_salts=8).collect()
     )
     assert salted == plain and len(plain) == 10000
+
+
+def test_hotkey_stress_entry_spreads_and_bounds_reducer_share(spark):
+    """The catalog's skewagg_hotkey_stress dataset (one key >= 50% of rows):
+    phase-1 salting must spread the hot key across every salt bucket and
+    bound any single reducer group's share of it to ~1/n_salts."""
+    from fdp_dynamically_controlled_streams_spark.queries import _HOTKEY_EXPR_SQL
+    from fdp_dynamically_controlled_streams_spark.schemas import load_table
+
+    n_salts = 16
+    ev = load_table(spark, "/root/testdata/sf0.001", "events").selectExpr(
+        f"{_HOTKEY_EXPR_SQL} AS hot_key"
+    )
+    total = ev.count()
+    hot_total = ev.where("hot_key = 0").count()
+    assert hot_total >= total // 2  # the premise: one genuinely hot key
+
+    groups = (
+        with_salt(ev, n_salts)
+        .groupBy("hot_key", "_salt")
+        .count()
+        .where("hot_key = 0")
+        .collect()
+    )
+    assert len(groups) == n_salts  # hot key present in every salt bucket
+    max_share = max(r["count"] for r in groups) / hot_total
+    # Round-robin salt ⇒ near-perfect split; allow slack for partition seams.
+    assert max_share <= 2.0 / n_salts, f"hot-key reducer share {max_share:.3f}"
