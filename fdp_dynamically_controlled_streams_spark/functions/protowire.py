@@ -144,6 +144,21 @@ def decode_temperature_control(buf: bytes) -> tuple[int, float, float, float] | 
         return None
 
 
+def decode_heater_control(buf: bytes) -> tuple[int, int] | None:
+    """HeaterControl {sensorID=1, command=2 enum varint} — the K1 payload
+    read-back used by the Kafka integration test."""
+    try:
+        sensor_id, command = 0, 0
+        for field_no, wt, val in _walk_fields(buf):
+            if field_no == 1 and wt == 0:
+                sensor_id = int(val)
+            elif field_no == 2 and wt == 0:
+                command = int(val)
+        return sensor_id, command
+    except (ValueError, struct.error):
+        return None
+
+
 SENSOR_STRUCT = T.StructType(
     [
         T.StructField("sensor_id", T.IntegerType()),
@@ -214,13 +229,74 @@ def encode_heater_control_udf(sensor_id: pd.Series, command: pd.Series) -> pd.Se
     )
 
 
-def from_protobuf_or_none(col: Column, message_name: str, desc_path: str):
+def from_protobuf_or_none(
+    col: Column,
+    message_name: str,
+    desc_path: str | None = None,
+    options: dict | None = None,
+):
     """JVM-side decode via Spark's protobuf connector when present (preferred
     at scale: stays in codegen, supports pruning). Returns None when the
-    spark-protobuf package is not on the classpath."""
+    spark-protobuf package is not on the classpath. ``desc_path`` defaults to
+    the checked-in FileDescriptorSet for messages.proto
+    (functions/descriptor.py, built offline without protoc)."""
+    if desc_path is None:
+        from fdp_dynamically_controlled_streams_spark.functions.descriptor import (
+            descriptor_path,
+        )
+
+        desc_path = descriptor_path()
     try:
         from pyspark.sql.protobuf.functions import from_protobuf
 
-        return from_protobuf(col, message_name, descFilePath=desc_path)
+        return from_protobuf(
+            col, message_name, descFilePath=desc_path, options=options or {}
+        )
     except Exception:  # noqa: BLE001 — connector absent
+        return None
+
+
+def decode_sensor_jvm(df, seq_col: str = "seq"):
+    """JVM-tier SensorData decode: ``from_protobuf`` in PERMISSIVE mode (a
+    malformed record decodes to a NULL struct, mapped to the same sentinel
+    ``sensor_id = -1`` the pandas tier uses, so P4-P6 semantics are
+    identical). Returns None when the spark-protobuf JAR is absent — callers
+    fall back to the Arrow-pandas codec. The decode is a codegen'd
+    expression: zero Python evals on the path (plan-asserted in
+    tests/test_descriptor.py where the JAR exists)."""
+    col = from_protobuf_or_none(
+        F.col("value"), "SensorData", options={"mode": "PERMISSIVE"}
+    )
+    if col is None:
+        return None
+    try:
+        out = df.select(col.alias("d"), seq_col).select(
+            F.coalesce(F.col("d.sensorID"), F.lit(-1)).alias("sensor_id"),
+            F.coalesce(F.col("d.temperature"), F.lit(0.0)).alias("temperature"),
+            seq_col,
+        )
+        out.schema  # force analysis: PROTOBUF_NOT_LOADED surfaces here
+        return out
+    except Exception:  # noqa: BLE001 — connector absent at analysis time
+        return None
+
+
+def decode_control_jvm(df, seq_col: str = "seq"):
+    """JVM-tier TemperatureControl decode (see decode_sensor_jvm)."""
+    col = from_protobuf_or_none(
+        F.col("value"), "TemperatureControl", options={"mode": "PERMISSIVE"}
+    )
+    if col is None:
+        return None
+    try:
+        out = df.select(col.alias("d"), seq_col).select(
+            F.coalesce(F.col("d.sensorID"), F.lit(-1)).alias("sensor_id"),
+            F.coalesce(F.col("d.desired"), F.lit(0.0)).alias("desired"),
+            F.coalesce(F.col("d.upDelta"), F.lit(0.0)).alias("up_delta"),
+            F.coalesce(F.col("d.downDelta"), F.lit(0.0)).alias("down_delta"),
+            seq_col,
+        )
+        out.schema  # force analysis: PROTOBUF_NOT_LOADED surfaces here
+        return out
+    except Exception:  # noqa: BLE001 — connector absent at analysis time
         return None

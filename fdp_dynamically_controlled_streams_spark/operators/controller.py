@@ -188,17 +188,26 @@ def controller_from_bytes(control_bytes: DataFrame, sensor_bytes: DataFrame) -> 
     processor upstream when the inputs are streams).
     """
     from fdp_dynamically_controlled_streams_spark.functions.protowire import (
+        decode_control_jvm,
         decode_control_udf,
+        decode_sensor_jvm,
         decode_sensor_udf,
         encode_heater_control_udf,
     )
 
-    control = control_bytes.select(
-        decode_control_udf("value").alias("d"), "seq"
-    ).select("d.sensor_id", "d.desired", "d.up_delta", "d.down_delta", "seq")
-    sensor = sensor_bytes.select(
-        decode_sensor_udf("value").alias("d"), "seq"
-    ).select("d.sensor_id", "d.temperature", "seq")
+    # Preferred decode tier: JVM from_protobuf against the checked-in
+    # FileDescriptorSet (codegen, prunable, no Python boundary). Falls back
+    # to the Arrow-pandas wire codec when spark-protobuf is not on the
+    # classpath — identical semantics including the -1 bad-record sentinel.
+    control = decode_control_jvm(control_bytes)
+    sensor = decode_sensor_jvm(sensor_bytes)
+    if control is None or sensor is None:
+        control = control_bytes.select(
+            decode_control_udf("value").alias("d"), "seq"
+        ).select("d.sensor_id", "d.desired", "d.up_delta", "d.down_delta", "seq")
+        sensor = sensor_bytes.select(
+            decode_sensor_udf("value").alias("d"), "seq"
+        ).select("d.sensor_id", "d.temperature", "seq")
     out = controller_batch(control, sensor)  # applies the P4 filter itself
     return out.select(
         "sensor_id",

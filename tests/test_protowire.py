@@ -61,3 +61,14 @@ def test_bytes_pipeline_end_to_end(spark):
         {1: 1, 2: 1},
         {1: 1},  # command=0 elided (proto3 default)
     ]
+
+
+def test_heater_control_roundtrip():
+    from fdp_dynamically_controlled_streams_spark.functions.protowire import (
+        decode_heater_control,
+        encode_heater_control,
+    )
+
+    for sid, cmd in [(0, 0), (7, 1), (123, 0)]:
+        assert decode_heater_control(encode_heater_control(sid, cmd)) == (sid, cmd)
+    assert decode_heater_control(b"\xff\xff") is None
