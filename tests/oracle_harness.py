@@ -65,34 +65,70 @@ def compare(sdf: pd.DataFrame, odf: pd.DataFrame) -> tuple[bool, str]:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    """CLI: oracle_harness.py [--json OUT] [sf_dir] [query ...]
+
+    With --json, also writes a CORRECTNESS-shaped artifact (one record per
+    query: rows/schema/hash match booleans, row counts, err) — the repo's
+    full-catalog self-check at the driver's correctness SF."""
+    import json
+
+    argv = list(sys.argv[1:])
+    json_out = None
+    if argv and argv[0] == "--json":
+        json_out = argv[1]
+        argv = argv[2:]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
     from fdp_dynamically_controlled_streams_spark.queries import catalog
     from fdp_dynamically_controlled_streams_spark.session import get_spark
 
-    names = sys.argv[2:] or list(catalog())
+    names = argv[1:] or list(catalog())
     spark = get_spark(app_name="oracle-harness", shuffle_partitions=8)
     con = duck_con(sf_dir)
     failures = 0
+    records: dict[str, dict] = {}
     for name in names:
         entry = catalog()[name]
+        rec = {
+            "rows_match": None,
+            "schema_match": None,
+            "hash_match": None,
+            "spark_rows": None,
+            "oracle_rows": None,
+            "err": None,
+        }
+        records[name] = rec
         try:
             sdf = entry.fn(spark, sf_dir).toPandas()
+            rec["spark_rows"] = len(sdf)
         except Exception as exc:  # noqa: BLE001
+            rec["err"] = f"spark error: {exc}"
             print(f"FAIL {name}: spark error: {exc}")
             failures += 1
             continue
         if entry.oracle is None:
+            rec["err"] = "no_oracle"
             print(f"SKIP {name}: rows-only check, spark rows={len(sdf)}")
             continue
         try:
             odf = con.execute(entry.oracle).fetchdf()
+            rec["oracle_rows"] = len(odf)
         except Exception as exc:  # noqa: BLE001
+            rec["err"] = f"oracle error: {exc}"
             print(f"FAIL {name}: oracle error: {exc}")
             failures += 1
             continue
         ok, msg = compare(sdf, odf)
+        rec["rows_match"] = len(sdf) == len(odf)
+        rec["schema_match"] = sorted(sdf.columns) == sorted(odf.columns)
+        rec["hash_match"] = ok
+        if not ok:
+            rec["err"] = msg
         print(("PASS" if ok else "FAIL") + f" {name}: {msg}")
         failures += 0 if ok else 1
+    if json_out:
+        with open(json_out, "w") as fh:
+            json.dump(records, fh, indent=2)
+        print(f"wrote {json_out} ({len(records)} entries)")
     return 1 if failures else 0
 
 
