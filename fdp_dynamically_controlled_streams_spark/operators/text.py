@@ -7,7 +7,7 @@ here drops to Python. Each operator has an ANSI-SQL twin in the query catalog.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 #: Tiny per-language marker lexicons for the n-gram/stopword language-ID
@@ -85,6 +85,74 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
         F.round(npunct / F.greatest(nchar, F.lit(1)), 6).alias("punct_ratio"),
         F.round(nstop / F.greatest(ntok, F.lit(1)), 6).alias("stopword_ratio"),
         F.round(mean_tok_len, 6).alias("mean_token_len"),
+    )
+
+
+def bigram_lm_score(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Corpus-trained bigram language-model score per document: add-1
+    smoothed mean transition probability avg((c(w1,w2)+1)/(c(w1)+V)) over the
+    document's bigrams — the classic cheap fluency/quality signal for
+    training-data filtering (documents full of never-seen transitions score
+    near 1/V).
+
+    Deliberately probability-mean rather than log-likelihood: quotients of
+    integers are IEEE-exact and identical across engines, while ln() differs
+    between libm implementations — so the entry stays value-hash-checkable
+    against the DuckDB twin. Each term is rounded to 1e-9 and summed as
+    DECIMAL (order-independent, exact).
+
+    Plan shape: one explode, two hash aggregations over the bigram stream
+    (map-side partial), two shuffle joins back on (w1[,w2]) — the count
+    tables are corpus-vocabulary-sized, far smaller than the token stream —
+    and the vocabulary scalar broadcasts. Everything is codegen'd column
+    expressions; no Python. Documents with < 2 tokens have no bigrams and
+    are absent from the output (documented join semantics)."""
+    toks = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.posexplode(
+                F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+            ).alias("pos", "tok"),
+        )
+        .where(F.col("tok") != "")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    # The bigram stream feeds three consumers (c2, c1, the score join):
+    # materialize it once instead of re-exploding the corpus three times
+    # (same policy as the MinHash signature table; at cluster scale this is
+    # a persisted intermediate table).
+    big = (
+        toks.select(
+            "doc_id",
+            F.col("tok").alias("w1"),
+            F.lead("tok").over(w).alias("w2"),
+        )
+        .where(F.col("w2").isNotNull())
+        .localCheckpoint()
+    )
+    c2 = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    c1 = big.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    vocab = toks.agg(F.countDistinct("tok").alias("vocab"))
+    scored = (
+        big.join(c2, ["w1", "w2"])
+        .join(c1, ["w1"])
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            F.round(
+                (F.col("c2") + F.lit(1)) / (F.col("c1") + F.col("vocab")), 9
+            )
+            .cast("decimal(18,9)")
+            .alias("p"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(
+            F.sum("p").cast("double") / F.count(F.lit(1)), 6
+        ).alias("avg_transition_p"),
     )
 
 

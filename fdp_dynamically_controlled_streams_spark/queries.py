@@ -1346,6 +1346,52 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", text_ops.fingerprint("text").alias("fingerprint"))
 
 
+@query(
+    "text_bigram_lm_score",
+    r"""
+WITH toks AS (
+  SELECT doc_id, tok, pos FROM (
+    SELECT doc_id,
+           unnest(a) AS tok,
+           unnest(range(1, len(a) + 1)) AS pos
+      FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS a
+              FROM documents)
+  ) WHERE tok <> ''
+),
+big AS (
+  SELECT doc_id, w1, w2 FROM (
+    SELECT doc_id, tok AS w1,
+           lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+      FROM toks
+  ) WHERE w2 IS NOT NULL
+),
+c2 AS (SELECT w1, w2, count(*) AS n2 FROM big GROUP BY w1, w2),
+c1 AS (SELECT w1, count(*) AS n1 FROM big GROUP BY w1),
+v AS (SELECT count(DISTINCT tok) AS vocab FROM toks),
+scored AS (
+  SELECT b.doc_id,
+         CAST(round((c2.n2 + 1) / CAST(c1.n1 + v.vocab AS DOUBLE), 9)
+              AS DECIMAL(18,9)) AS p
+    FROM big b
+    JOIN c2 ON b.w1 = c2.w1 AND b.w2 = c2.w2
+    JOIN c1 ON b.w1 = c1.w1
+    CROSS JOIN v
+)
+SELECT doc_id, count(*) AS n_bigrams,
+       round(CAST(sum(p) AS DOUBLE) / count(*), 6) AS avg_transition_p
+  FROM scored GROUP BY doc_id
+""",
+    tags=("text", "lm"),
+)
+def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained add-1-smoothed bigram LM score per document — the
+    cheap fluency/quality filter of a training-data pipeline, formulated
+    transcendental-free so it is exactly oracle-checkable
+    (operators/text.py bigram_lm_score). [ABSENT in reference: SURVEY §2.7
+    LLM-pipeline extension.]"""
+    return text_ops.bigram_lm_score(_t(spark, sf_dir, "documents"))
+
+
 # =========================================================================
 # 10. Streaming & bytes-pipeline parity entries. The streaming entry executes
 # the real Structured Streaming stateful processor (applyInPandasWithState)
