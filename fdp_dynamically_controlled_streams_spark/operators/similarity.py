@@ -204,11 +204,15 @@ def recall_report(
     Membership is by (probe_id, cand_id) pair, pooled over probes
     (hits / total exact pairs); the brute-force row is the 1.0 anchor.
     recall_at_k uses exact integer division at 1e-6 so the value is
-    bit-reproducible against the SQL oracle. The exact tier is recomputed
-    per semi-join here (probe-set-sized work); a production evaluation at
-    scale would persist the exact pairs once and semi-join each tier
-    against the persisted table — same plan shape."""
-    exact = brute_force_topk(embeddings, probe_ids, k).select("probe_id", "cand_id")
+    bit-reproducible against the SQL oracle."""
+    # The exact pair set anchors all three semi-joins plus the denominator:
+    # materialize it once (probe-set-sized — tiny) instead of re-scanning
+    # the corpus four times.
+    exact = (
+        brute_force_topk(embeddings, probe_ids, k)
+        .select("probe_id", "cand_id")
+        .localCheckpoint()
+    )
     tiers = [
         ("brute_force", exact),
         (

@@ -72,6 +72,120 @@ def kmv_distinct(
     )
 
 
+#: HLL geometry: 2^8 registers over the 60-bit portable hash -> 52 rank bits.
+HLL_B = 8
+HLL_M = 1 << HLL_B
+_HLL_REST_BITS = 60 - HLL_B  # 52
+_HLL_MAX_RANK = _HLL_REST_BITS + 1  # 53
+#: alpha_m * m^2 * 2^53 — folded to ONE double literal in Python so neither
+#: engine does any constant arithmetic (their folding orders could differ).
+_HLL_NUM = repr((0.7213 / (1.0 + 1.079 / HLL_M)) * HLL_M * HLL_M * float(1 << _HLL_MAX_RANK))
+
+
+def hll_distinct(
+    df: DataFrame, group_cols: list[str], value_col: str
+) -> DataFrame:
+    """Per-group HyperLogLog distinct estimate (raw estimator) next to the
+    exact count — the fixed-size (m=256 registers), mergeable counterpart of
+    :func:`kmv_distinct`.
+
+    Spark's own ``approx_count_distinct`` is HLL++ with engine-internal
+    registers (never cross-engine checkable); this one is built from the
+    portable hash so DuckDB replays the registers bit-for-bit:
+
+      bucket = h mod m;  rank = (#leading zeros of the remaining 52 bits)+1
+      (via binary-string length — exact integer ops, no log2 float edge);
+      register M[j] = max rank;  E = alpha_m * m^2 / sum_j 2^(-M[j]).
+
+    The harmonic sum is computed EXACTLY: each 2^(-M) term scales to the
+    integer 2^(53-M) (a bit shift), absent registers contribute 2^53, and
+    the BIGINT total (<= 256 * 2^53 = 2^61) divides the pre-folded
+    numerator in one IEEE division — so the estimate, not just the
+    registers, hash-matches the oracle. Raw estimator only (the standard
+    small-range linear-counting correction needs ln(), which differs across
+    libm builds — documented tradeoff: estimates skew high below ~3m/2
+    distinct, exactly as visible in the rel_err column).
+
+    Scale shape: one shuffle to (group, bucket) registers — output is
+    m rows per group regardless of input size — then an m-row-per-group
+    reduce. The register table is the mergeable artifact: unions of
+    shards combine by max(M) before the final sum."""
+    h = portable_hash64(F.col(value_col).cast("string"))
+    hashed = df.select(*group_cols, h.alias("h"))
+    rest = F.shiftright("h", HLL_B)
+    rank = F.when(rest == 0, F.lit(_HLL_MAX_RANK)).otherwise(
+        F.lit(_HLL_MAX_RANK) - F.length(F.bin(rest))
+    )
+    regs = (
+        hashed.select(
+            *group_cols,
+            (F.col("h") % HLL_M).alias("bucket"),
+            rank.alias("rank"),
+        )
+        .groupBy(*group_cols, "bucket")
+        .agg(F.max("rank").alias("m_j"))
+    )
+    sums = regs.groupBy(*group_cols).agg(
+        F.sum(F.expr(f"shiftleft(1L, {_HLL_MAX_RANK} - m_j)")).alias("_s_present"),
+        F.count(F.lit(1)).alias("_n_regs"),
+    )
+    sum_int = F.col("_s_present") + (F.lit(HLL_M) - F.col("_n_regs")) * F.lit(
+        1 << _HLL_MAX_RANK
+    ).cast("long")
+    exact = hashed.distinct().groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_exact")
+    )
+    est = F.round(F.lit(float(_HLL_NUM)) / sum_int)
+    return (
+        sums.join(exact, group_cols)
+        .select(
+            *group_cols,
+            "n_exact",
+            est.alias("hll_estimate"),
+            F.round(
+                F.abs(est - F.col("n_exact")) / F.col("n_exact"), 6
+            ).alias("rel_err"),
+        )
+    )
+
+
+def hll_distinct_sql(
+    table: str, group_expr: str, group_alias: str, value_expr: str
+) -> str:
+    """DuckDB twin of :func:`hll_distinct` (same hash, same registers, same
+    exact harmonic sum, same pre-folded numerator literal)."""
+    h = portable_hash64_sql(f"CAST({value_expr} AS VARCHAR)")
+    max_rank = _HLL_MAX_RANK
+    big = 1 << max_rank
+    return f"""
+WITH hashed AS (
+  SELECT {group_expr} AS {group_alias}, {h} AS h FROM {table}
+), ranked AS (
+  SELECT {group_alias}, h % {HLL_M} AS bucket,
+         CASE WHEN (h >> {HLL_B}) = 0 THEN {max_rank}
+              ELSE {max_rank} - length(bin(h >> {HLL_B})) END AS rank
+  FROM hashed
+), regs AS (
+  SELECT {group_alias}, bucket, MAX(rank) AS m_j
+  FROM ranked GROUP BY {group_alias}, bucket
+), sums AS (
+  SELECT {group_alias},
+         SUM(1::BIGINT << ({max_rank} - m_j)) AS s_present,
+         COUNT(*) AS n_regs
+  FROM regs GROUP BY {group_alias}
+), exact AS (
+  SELECT {group_alias}, COUNT(*) AS n_exact
+  FROM (SELECT DISTINCT {group_alias}, h FROM hashed) GROUP BY {group_alias}
+)
+SELECT s.{group_alias}, e.n_exact,
+       round({_HLL_NUM} / CAST(s.s_present + ({HLL_M} - s.n_regs) * {big}::BIGINT
+                               AS DOUBLE)) AS hll_estimate,
+       round(abs(round({_HLL_NUM} / CAST(s.s_present + ({HLL_M} - s.n_regs) * {big}::BIGINT
+                                         AS DOUBLE)) - e.n_exact) / e.n_exact, 6) AS rel_err
+FROM sums s JOIN exact e USING ({group_alias})
+"""
+
+
 def kmv_distinct_sql(
     table: str, group_expr: str, group_alias: str, value_expr: str, k: int = 64
 ) -> str:

@@ -1745,6 +1745,23 @@ def sketch_kmv_distinct_customers(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+@query(
+    "sketch_hll_distinct_customers",
+    skt.hll_distinct_sql("orders", "o_orderpriority", "o_orderpriority", "o_custkey"),
+    tags=("sketch", "hll"),
+)
+def sketch_hll_distinct_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-count sketch (m=256 registers, raw estimator) of
+    customers per order priority, alongside the exact count and realized
+    error. Registers AND estimate are engine-reproducible (exact integer
+    harmonic sum), so unlike approx_count_distinct this is value-hash-gated;
+    the register table is the fixed-size mergeable artifact
+    (operators/sketches.py hll_distinct)."""
+    return skt.hll_distinct(
+        _t(spark, sf_dir, "orders"), ["o_orderpriority"], "o_custkey"
+    )
+
+
 # =========================================================================
 # 13. IVF ANN tier + PII scrubbing (training-data pipeline, continued)
 # =========================================================================

@@ -44,3 +44,47 @@ def test_kmv_duplicate_insensitive(spark):
     a = kmv_distinct(base, ["g"], "v", k=64).collect()[0]
     b = kmv_distinct(dup, ["g"], "v", k=64).collect()[0]
     assert (a.n_exact, a.kmv_estimate) == (b.n_exact, b.kmv_estimate)
+
+
+def test_hll_estimate_within_error_bound(spark):
+    from fdp_dynamically_controlled_streams_spark.operators.sketches import (
+        hll_distinct,
+    )
+
+    # 50k distinct; m=256 ⇒ stderr ≈ 1.04/sqrt(256) ≈ 6.5%; allow 4 sigma.
+    df = spark.range(0, 50_000).select(F.lit(0).alias("g"), F.col("id").alias("v"))
+    r = hll_distinct(df, ["g"], "v").collect()[0]
+    assert r.n_exact == 50_000
+    assert abs(r.hll_estimate - 50_000) / 50_000 < 0.26
+    assert r.rel_err == round(abs(r.hll_estimate - 50_000) / 50_000, 6)
+
+
+def test_hll_duplicate_insensitive_and_merge_equivalent(spark):
+    """Registers are max-mergeable: the sketch of a union equals the sketch
+    of the whole (here exercised via duplication — union of identical shards
+    must not move the estimate)."""
+    from fdp_dynamically_controlled_streams_spark.operators.sketches import (
+        hll_distinct,
+    )
+
+    base = spark.range(0, 20_000).select(F.lit(0).alias("g"), F.col("id").alias("v"))
+    dup = base.unionAll(base).unionAll(base)
+    a = hll_distinct(base, ["g"], "v").collect()[0]
+    b = hll_distinct(dup, ["g"], "v").collect()[0]
+    assert (a.n_exact, a.hll_estimate) == (b.n_exact, b.hll_estimate)
+
+
+def test_hll_shard_union_merges(spark):
+    """Two disjoint shards unioned ≡ sketching the concatenated input — the
+    distributed-merge law that makes the register table a safe partial."""
+    from fdp_dynamically_controlled_streams_spark.operators.sketches import (
+        hll_distinct,
+    )
+
+    s1 = spark.range(0, 10_000).select(F.lit(0).alias("g"), F.col("id").alias("v"))
+    s2 = spark.range(10_000, 20_000).select(
+        F.lit(0).alias("g"), F.col("id").alias("v")
+    )
+    whole = hll_distinct(s1.unionAll(s2), ["g"], "v").collect()[0]
+    again = hll_distinct(s2.unionAll(s1), ["g"], "v").collect()[0]
+    assert (whole.n_exact, whole.hll_estimate) == (again.n_exact, again.hll_estimate)
