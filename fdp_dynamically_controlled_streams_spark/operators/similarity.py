@@ -232,7 +232,9 @@ def recall_report(
     out = None
     for name, df in tiers:
         hits = (
-            df.join(exact, ["probe_id", "cand_id"], "left_semi")
+            # exact is n_probes*k rows by construction: broadcast the
+            # semi-join build side explicitly rather than waiting for AQE.
+            df.join(F.broadcast(exact), ["probe_id", "cand_id"], "left_semi")
             .agg(F.count(F.lit(1)).alias("hits"))
             .select(F.lit(name).alias("method"), "hits")
         )

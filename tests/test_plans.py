@@ -225,3 +225,36 @@ def test_large_volume_customers_single_lineitem_exchange(audits):
     a = audits("join_large_volume_customers")
     assert a.n_nestedloop_joins == 0
     assert a.n_python_evals == 0
+
+
+def test_hotkey_salted_agg_two_phase(audits):
+    # The salted rewrite must stay two hash-agg phases (keys+salt, then keys)
+    # with zero Python and no joins at all.
+    a = audits("skewagg_hotkey_stress")
+    assert a.n_python_evals == 0
+    assert a.joins == 0
+    assert a.n_exchanges >= 2  # (key,salt) exchange + final key exchange
+
+
+def test_bigram_lm_plan_jvm_side(audits):
+    # Explode + window + two count joins + scalar broadcast: everything
+    # codegen'd, the vocabulary scalar must not trigger a sort-merge join.
+    a = audits("text_bigram_lm_score")
+    assert a.n_python_evals == 0
+    assert a.n_nestedloop_joins <= 1  # the 1-row vocab cross join only
+
+
+def test_hll_sketch_plan_shape(audits):
+    # Register build = one (group,bucket) agg; estimate = one group agg;
+    # exact side joins on the tiny group key. No Python anywhere.
+    a = audits("sketch_hll_distinct_customers")
+    assert a.n_python_evals == 0
+    assert a.n_sortmerge_joins + a.n_nestedloop_joins == 0
+
+
+def test_recall_report_semi_joins_broadcast(audits):
+    # Each tier's pair set semi-joins the checkpointed exact pairs; all
+    # joins stay broadcast/hash at probe-set size, no Python in any tier.
+    a = audits("ann_recall_report")
+    assert a.n_python_evals == 0
+    assert a.n_sortmerge_joins == 0

@@ -20,6 +20,7 @@ from fdp_dynamically_controlled_streams_spark.schemas import UNIFIED_SCHEMA
 from fdp_dynamically_controlled_streams_spark.sources.registry import (
     replay_dir,
     write_replay_chunks,
+    write_replay_chunks_df,
 )
 from fdp_dynamically_controlled_streams_spark.streaming.controller import (
     controller_streaming,
@@ -327,3 +328,31 @@ def test_session_window_merges_and_finalizes(spark, tmpdir):
     # session 1 = [00:00, 00:07) with 2 events (0' and 2', end = 2'+5');
     # session 2 = [00:20, 00:25) with 1; u2's session is still open -> absent
     assert got == [("u1", 0, 7, 2), ("u1", 20, 25, 1)]
+
+
+def test_write_replay_chunks_df_orders_chunks(spark, tmp_path):
+    """Distributed chunk writer contract: one file per range partition,
+    mtimes strictly increasing in range order, rows sorted within a chunk,
+    and every chunk boundary respects the order column (max(seq) of chunk i
+    < min(seq) of chunk i+1)."""
+    import glob
+    import os
+
+    import pandas as pd
+
+    path = str(tmp_path / "chunks")
+    df = spark.range(0, 1000).selectExpr("id AS seq", "id % 7 AS k")
+    write_replay_chunks_df(df, path, n_chunks=4, order_cols=("seq",))
+    files = sorted(glob.glob(os.path.join(path, "part-*")))
+    assert 1 < len(files) <= 4
+    mtimes = [os.path.getmtime(f) for f in files]
+    assert mtimes == sorted(mtimes) and len(set(mtimes)) == len(mtimes)
+    prev_max = -1
+    total = 0
+    for f in files:
+        pdf = pd.read_parquet(f)
+        assert list(pdf["seq"]) == sorted(pdf["seq"])
+        assert pdf["seq"].min() > prev_max
+        prev_max = pdf["seq"].max()
+        total += len(pdf)
+    assert total == 1000
