@@ -1745,6 +1745,60 @@ def sketch_kmv_distinct_customers(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+from fdp_dynamically_controlled_streams_spark.functions import bloom as blm
+
+# Probe set = real event users (members) + the same ids shifted out of the
+# key domain (guaranteed non-members) so the filter's reject path and its
+# false-positive rate are actually exercised; m/k sized so a measurable
+# (still small) fraction of non-members collides — the count is exact and
+# hash-gated either way.
+_BLOOM_PROBE_SQL = (
+    "(SELECT user_id FROM events"
+    " UNION ALL SELECT user_id + 1000000 AS user_id FROM events)"
+)
+_BLOOM_M, _BLOOM_K = 4096, 3
+
+
+@query(
+    "bloom_prefilter_events_orders",
+    blm.bloom_prefilter_sql(
+        "orders", "o_custkey", _BLOOM_PROBE_SQL, "user_id",
+        m_bits=_BLOOM_M, k=_BLOOM_K,
+    ),
+    tags=("bloom", "join", "prefilter"),
+)
+def bloom_prefilter_events_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable Bloom prefilter (functions/bloom.py): build a 4 Kbit filter
+    over the customers that have orders, probe every event user plus a
+    shifted non-member twin per user, and report the exact
+    pass/false-positive accounting against true membership — the broadcast
+    runtime-filter structure that prunes a probe-side shuffle before a
+    selective join at 100 TB. No false negatives by construction (law
+    asserted in tests/test_bloom.py); false positives at the textbook rate,
+    counted exactly and value-hash-gated against the SQL twin."""
+    orders = _t(spark, sf_dir, "orders")
+    events = _t(spark, sf_dir, "events")
+    probe = events.select("user_id").unionAll(
+        events.select((F.col("user_id") + 1000000).alias("user_id"))
+    )
+    bloom = blm.bloom_build(orders, "o_custkey", m_bits=_BLOOM_M, k=_BLOOM_K)
+    probed = blm.bloom_probe(bloom, probe, "user_id", m_bits=_BLOOM_M, k=_BLOOM_K)
+    members = (
+        orders.select(F.col("o_custkey").cast("string").alias("key"))
+        .distinct()
+        .withColumn("is_member", F.lit(True))
+    )
+    joined = probed.join(F.broadcast(members), "key", "left")
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_probe_keys"),
+        F.count(F.when(F.col("is_member"), 1)).alias("n_exact_members"),
+        F.count(F.when(F.col("bloom_pass"), 1)).alias("n_bloom_pass"),
+        F.count(
+            F.when(F.col("bloom_pass") & F.col("is_member").isNull(), 1)
+        ).alias("n_false_positive"),
+    )
+
+
 @query(
     "sketch_hll_distinct_customers",
     skt.hll_distinct_sql("orders", "o_orderpriority", "o_orderpriority", "o_custkey"),
