@@ -3202,6 +3202,69 @@ def semistructured_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_journey_patterns",
+    """
+WITH j AS (
+  SELECT user_id,
+         string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id) AS journey,
+         count(*) AS n_events
+    FROM events GROUP BY user_id
+)
+SELECT user_id, journey, n_events,
+       CAST((length(journey) - length(replace(journey, 'vcp', ''))) / 3 AS INT)
+         AS n_conversions,
+       CAST((length(journey) - length(replace(journey, 'ee', ''))) / 2 AS INT)
+         AS n_double_errors
+  FROM j
+""",
+    tags=("sequence", "pattern"),
+)
+def events_journey_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-pattern mining over per-user event journeys (the
+    MATCH_RECOGNIZE-shaped capability): each user's events collapse to an
+    event-time-ordered initial string, then contiguous episodes are counted
+    by replace-subtraction — pure string ops, so non-overlapping match
+    semantics are identical in both engines (regex engines differ on
+    lazy-quantifier boundaries; replace does not). Determinism despite
+    distributed accumulation: array_sort on (ts, event_id, initial) structs
+    fixes the order, not arrival (same trick as agg_string_concat_sorted).
+    One shuffle on user_id; journey length is bounded by events-per-user,
+    the natural key-skew dimension — a pathological user would salt-chunk
+    exactly like skewagg_hotkey_stress."""
+    ev = _t(spark, sf_dir, "events")
+    j = (
+        ev.select(
+            "user_id",
+            F.struct(
+                "ts", "event_id", F.substring("event_type", 1, 1).alias("c")
+            ).alias("s"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.transform(F.array_sort(F.collect_list("s")), lambda x: x["c"]),
+                "",
+            ).alias("journey"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+    def _count(pat: str):
+        return (
+            (F.length("journey") - F.length(F.expr(f"replace(journey, '{pat}', '')")))
+            / len(pat)
+        ).cast("int")
+
+    return j.select(
+        "user_id",
+        "journey",
+        "n_events",
+        _count("vcp").alias("n_conversions"),
+        _count("ee").alias("n_double_errors"),
+    )
+
+
+@query(
     "agg_string_concat_sorted",
     """
 SELECT o_orderpriority,
