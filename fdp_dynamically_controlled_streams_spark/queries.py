@@ -2147,6 +2147,82 @@ def rollup_time_hierarchy_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "stream_tumbling_agg_replay",
+    """
+WITH mx AS (SELECT max(ts) AS m FROM events)
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type,
+       count(*) AS n_events,
+       round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 2) AS total_value
+  FROM events, mx
+ WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR <= mx.m - INTERVAL 30 MINUTE
+ GROUP BY date_trunc('hour', ts), event_type
+""",
+    tags=("streaming", "event_time", "window_agg", "watermark"),
+)
+def stream_tumbling_agg_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked tumbling-window aggregation on the STREAMING runtime
+    (append mode): events replay in event-time order through
+    window()+withWatermark; a window emits exactly once, when the watermark
+    (max event time - 30 min) passes its end. The oracle encodes that
+    finalization rule — batch tumbling agg restricted to windows whose end
+    <= max(ts) - delay — so the equality proves both the aggregation AND the
+    emit-once watermark semantics, chunking-invariant. Completes the
+    streaming catalog tier: stateful controller, dedup, interval join,
+    stream-static join, and now windowed aggregation, all oracle-gated."""
+    import tempfile
+
+    from fdp_dynamically_controlled_streams_spark.sources.registry import (
+        replay_dir,
+        write_replay_chunks_df,
+    )
+
+    events = _t(spark, sf_dir, "events")
+    tmp = tempfile.mkdtemp(prefix="dcs-twagg-")
+    write_replay_chunks_df(
+        events.select("event_id", "ts", "event_type", "value"),
+        f"{tmp}/data",
+        n_chunks=2,
+        order_cols=("ts", "event_id"),
+    )
+    stream = replay_dir(
+        spark,
+        f"{tmp}/data",
+        "event_id long, ts timestamp, event_type string, value double",
+        files_per_trigger=1,
+    )
+    agg = (
+        stream.withWatermark("ts", "30 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            _dsum(F.col("value")).alias("total_value"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+    out = f"{tmp}/out"
+    with _replay_conf(spark, partitions=8):
+        q = (
+            agg.writeStream.outputMode("append")
+            .foreachBatch(lambda bdf, bid: bdf.write.mode("append").parquet(out))
+            .option("checkpointLocation", f"{tmp}/chk")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    return _read_replay_out(
+        spark,
+        "window_start string, event_type string, n_events long, total_value double",
+        out,
+    ).select("window_start", "event_type", "n_events", "total_value")
+
+
 # =========================================================================
 # 18. Stream-stream interval join (streaming/interval_join.py)
 # =========================================================================
@@ -3067,6 +3143,92 @@ def events_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("user_id", "session_start", "n_events", "duration_sec")
     )
+
+
+@query(
+    "stream_session_window_replay",
+    """
+WITH mx AS (SELECT max(ts) AS m FROM events),
+ordered AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch(ts) - epoch(lag(ts) OVER w) >= 1800.0 THEN 1 ELSE 0 END AS is_new
+    FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessions AS (
+  SELECT user_id, ts,
+         CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS sno
+    FROM ordered
+)
+SELECT user_id,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       count(*) AS n_events,
+       CAST(floor(epoch(max(ts))) - floor(epoch(min(ts))) AS BIGINT) AS duration_sec
+  FROM sessions, mx
+ GROUP BY user_id, sno, mx.m
+HAVING max(ts) + INTERVAL 30 MINUTE <= mx.m - INTERVAL 30 MINUTE
+""",
+    tags=("streaming", "event_time", "session", "watermark"),
+)
+def stream_session_window_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merging session windows on the STREAMING runtime (append mode):
+    events replay in event-time order through session_window(30 min) +
+    watermark(30 min); a session emits exactly once, when the watermark
+    passes its end (last event + gap). The oracle is the batch
+    sessionization restricted by that finalization rule — equality proves
+    gap-merge state management AND emit-once semantics across micro-batch
+    boundaries (a session spanning the chunk seam must merge, not split)."""
+    import tempfile
+
+    from fdp_dynamically_controlled_streams_spark.sources.registry import (
+        replay_dir,
+        write_replay_chunks_df,
+    )
+
+    events = _t(spark, sf_dir, "events")
+    tmp = tempfile.mkdtemp(prefix="dcs-ssw-")
+    write_replay_chunks_df(
+        events.select("event_id", "ts", "user_id"),
+        f"{tmp}/data",
+        n_chunks=2,
+        order_cols=("ts", "event_id"),
+    )
+    stream = replay_dir(
+        spark,
+        f"{tmp}/data",
+        "event_id long, ts timestamp, user_id long",
+        files_per_trigger=1,
+    )
+    agg = (
+        stream.withWatermark("ts", "30 minutes")
+        .groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts")))
+            .cast("bigint")
+            .alias("duration_sec"),
+            F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        )
+        .select("user_id", "session_start", "n_events", "duration_sec")
+    )
+    out = f"{tmp}/out"
+    with _replay_conf(spark, partitions=8):
+        q = (
+            agg.writeStream.outputMode("append")
+            .foreachBatch(lambda bdf, bid: bdf.write.mode("append").parquet(out))
+            .option("checkpointLocation", f"{tmp}/chk")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    return _read_replay_out(
+        spark,
+        "user_id long, session_start string, n_events long, duration_sec long",
+        out,
+    ).select("user_id", "session_start", "n_events", "duration_sec")
 
 
 @query(
