@@ -2987,6 +2987,40 @@ def skewagg_hotkey_stress(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "skewjoin_hotkey_stress",
+    f"""
+SELECT n.n_name,
+       count(*) AS n_rows,
+       round(CAST(sum(CAST(e.value AS DECIMAL(18,4))) AS DOUBLE), 2) AS total_value
+  FROM (SELECT {_HOTKEY_EXPR_SQL} AS hot_key, value FROM events) e
+  JOIN nation n ON n.n_nationkey = e.hot_key % 25
+ GROUP BY n.n_name
+""",
+    tags=("join", "skew", "salted"),
+)
+def skewjoin_hotkey_stress(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-side hot-key stress (completes r2 verdict task 8's pair with
+    skewagg_hotkey_stress): the generated >= 50%-hot key drives an equi-join
+    against the nation dim through the 16-way salted join — hot-key probe
+    rows spread over 16 tasks, the exploded dim side still broadcasts (plan
+    asserted in tests/test_plans.py) — and the result must equal the plain
+    join oracle exactly."""
+    ev = _t(spark, sf_dir, "events").select(
+        F.expr(_HOTKEY_EXPR_SQL).alias("hot_key"), "value"
+    )
+    n = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("nk"), "n_name"
+    )
+    joined = salted_join(
+        ev.withColumn("nk", F.col("hot_key") % 25), n, on=["nk"], n_salts=16
+    )
+    return joined.groupBy("n_name").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        _dsum(F.col("value")).alias("total_value"),
+    )
+
+
 _WPRI = f"CAST({portable_hash64_sql('CAST(doc_id AS VARCHAR)', seed=17)} AS DOUBLE) / n_chars"
 
 

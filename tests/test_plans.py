@@ -258,3 +258,12 @@ def test_recall_report_semi_joins_broadcast(audits):
     a = audits("ann_recall_report")
     assert a.n_python_evals == 0
     assert a.n_sortmerge_joins == 0
+
+
+def test_hotkey_salted_join_broadcasts_exploded_dim(audits):
+    # The hot-key probe side salts 16 ways; the exploded nation dim must
+    # still broadcast (salt rides the broadcast), no sort-merge, no Python.
+    a = audits("skewjoin_hotkey_stress")
+    assert a.n_broadcast_joins >= 1
+    assert a.n_sortmerge_joins == 0
+    assert a.n_python_evals == 0
