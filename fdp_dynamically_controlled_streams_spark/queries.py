@@ -3098,18 +3098,18 @@ def multimodal_payload_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 SELECT fmt, event_type, count(*) AS n,
        round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 2) AS total_value
-  FROM events CROSS JOIN (SELECT unnest(['csv', 'json']) AS fmt)
+  FROM events CROSS JOIN (SELECT unnest(['csv', 'json', 'orc']) AS fmt)
  GROUP BY fmt, event_type
 """,
     tags=("sources", "formats"),
 )
 def source_format_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Live CSV and JSON source/sink round-trip (SURVEY §2.1 'file formats'
-    row): events projected and written to both formats, read back through
-    sources.registry with explicit schemas, unioned under a format tag, and
-    aggregated — both format paths must reproduce the parquet-sourced oracle
-    exactly (doubles survive both text formats via shortest-round-trip
-    repr)."""
+    """Live CSV, JSON and ORC source/sink round-trip (SURVEY §2.1 'file
+    formats' row): events projected and written to all three formats, read
+    back through sources.registry with explicit schemas, unioned under a
+    format tag, and aggregated — every format path must reproduce the
+    parquet-sourced oracle exactly (doubles survive the text formats via
+    shortest-round-trip repr; ORC is binary-exact)."""
     import tempfile
 
     from fdp_dynamically_controlled_streams_spark.sources import registry as reg
@@ -3119,14 +3119,15 @@ def source_format_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     ddl = "event_type string, value double"
     e.write.mode("overwrite").option("header", "true").csv(f"{tmp}/csv")
     e.write.mode("overwrite").json(f"{tmp}/json")
+    e.write.mode("overwrite").orc(f"{tmp}/orc")
     parts = []
-    for fmt in ("csv", "json"):
+    for fmt in ("csv", "json", "orc"):
         opts = {"header": "true"} if fmt == "csv" else {}
         parts.append(
             reg.read_batch(spark, fmt, f"{tmp}/{fmt}", schema=ddl, **opts)
             .withColumn("fmt", F.lit(fmt))
         )
-    both = parts[0].unionByName(parts[1])
+    both = parts[0].unionByName(parts[1]).unionByName(parts[2])
     return both.groupBy("fmt", "event_type").agg(
         F.count(F.lit(1)).alias("n"), _dsum(F.col("value")).alias("total_value")
     )
