@@ -1415,6 +1415,7 @@ def controller_streaming_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         unify_streams,
     )
     from fdp_dynamically_controlled_streams_spark.sources.registry import (
+        cached_fixture,
         replay_dir,
         write_replay_chunks_df,
     )
@@ -1428,17 +1429,23 @@ def controller_streaming_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     # boundaries while paying the fixed per-batch cost (state commit, Python
     # worker round-trip, sink job) the minimum number of times. Chunks are
     # written distributedly (range partition on replay order) — the input
-    # never lands on the driver, so the builder holds at any SF.
-    tmp = tempfile.mkdtemp(prefix="dcs-replay-")
-    write_replay_chunks_df(
-        unify_streams(control, sensor),
-        f"{tmp}/data",
-        n_chunks=2,
-        order_cols=("seq", "record_kind"),
+    # never lands on the driver, so the builder holds at any SF — and cached
+    # per (entry, sf_dir) for the session (r3 verdict task 2: the rebuild was
+    # inside the timed region on every invocation).
+    fix = cached_fixture(
+        "controller_streaming_replay",
+        sf_dir,
+        lambda p: write_replay_chunks_df(
+            unify_streams(control, sensor),
+            f"{p}/data",
+            n_chunks=2,
+            order_cols=("seq", "record_kind"),
+        ),
     )
+    tmp = tempfile.mkdtemp(prefix="dcs-replay-")
     stream = replay_dir(
         spark,
-        f"{tmp}/data",
+        f"{fix}/data",
         "sensor_id int, record_kind int, temperature double, "
         "desired double, up_delta double, down_delta double, seq long",
         files_per_trigger=1,
@@ -1569,6 +1576,7 @@ def streaming_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     from fdp_dynamically_controlled_streams_spark.sources.registry import (
+        cached_fixture,
         replay_dir,
         write_replay_chunks_df,
     )
@@ -1578,16 +1586,20 @@ def streaming_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rides along only as the range tiebreaker; the declared stream schema
     # projects it away at read time). Spark-written parquet carries micros,
     # so no nanos coercion is needed here.
-    tmp = tempfile.mkdtemp(prefix="dcs-dedup-")
-    write_replay_chunks_df(
-        events.select("user_id", "event_type", "ts", "event_id"),
-        f"{tmp}/data",
-        n_chunks=2,
-        order_cols=("ts", "event_id"),
+    fix = cached_fixture(
+        "streaming_dedup_replay",
+        sf_dir,
+        lambda p: write_replay_chunks_df(
+            events.select("user_id", "event_type", "ts", "event_id"),
+            f"{p}/data",
+            n_chunks=2,
+            order_cols=("ts", "event_id"),
+        ),
     )
+    tmp = tempfile.mkdtemp(prefix="dcs-dedup-")
     stream = replay_dir(
         spark,
-        f"{tmp}/data",
+        f"{fix}/data",
         "user_id long, event_type string, ts timestamp",
         files_per_trigger=1,
     )
@@ -1655,6 +1667,52 @@ def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     return mm.decode_media(mm.attach_fake_media(docs))
+
+
+# Real formats (r3 verdict task 7): even doc_ids carry an actual uncompressed
+# 24-bit BMP, odd ids an actual RIFF/WAVE 16-bit PCM file
+# (operators/multimodal.py encode_bmp/encode_wav — byte-exact spec encoders).
+# The decoder must recover every header field by PARSING the real bytes
+# (magic, DIB header, row padding, RIFF chunk walk); the oracle predicts the
+# same fields closed-form from doc_id, including the padded BMP payload size
+# and the RIFF-declared file size.
+_MULTIMODAL_REAL_ORACLE = """
+SELECT CAST(doc_id AS BIGINT) AS media_id,
+       CASE WHEN doc_id % 2 = 0 THEN 'image/bmp' ELSE 'audio/wav' END AS content_type,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN 4 + doc_id % 9 ELSE 0 END AS INT) AS width,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN 3 + doc_id % 7 ELSE 0 END AS INT) AS height,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 1 END AS INT) AS channels,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN 0
+            ELSE CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000 ELSE 44100 END
+       END AS INT) AS sample_rate,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN 0 ELSE 50 + doc_id % 101 END AS INT) AS n_samples,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN 24 ELSE 16 END AS INT) AS bit_depth,
+       CAST(CASE WHEN doc_id % 2 = 0
+            THEN ((3 * (4 + doc_id % 9) + 3) // 4) * 4 * (3 + doc_id % 7)
+            ELSE 2 * (50 + doc_id % 101) END AS BIGINT) AS n_payload_bytes,
+       CAST(CASE WHEN doc_id % 2 = 0
+            THEN 54 + ((3 * (4 + doc_id % 9) + 3) // 4) * 4 * (3 + doc_id % 7)
+            ELSE 44 + 2 * (50 + doc_id % 101) END AS BIGINT) AS file_size,
+       TRUE AS ok
+  FROM documents
+"""
+
+
+@query(
+    "multimodal_real_formats",
+    _MULTIMODAL_REAL_ORACLE,
+    tags=("multimodal", "codec"),
+)
+def multimodal_real_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL-format multimodal decode: BMP + WAV files generated and parsed by
+    in-repo spec-exact codecs (no dependencies), through the same
+    mapInPandas plumbing as the DCSM tier. Every output field comes from the
+    byte-level parse; equality with the closed-form oracle proves the
+    encoder and parser agree on the public file-format specs."""
+    from fdp_dynamically_controlled_streams_spark.operators import multimodal as mm
+
+    docs = _t(spark, sf_dir, "documents")
+    return mm.decode_media_real(mm.attach_real_media(docs))
 
 
 # =========================================================================
@@ -2174,21 +2232,26 @@ def stream_tumbling_agg_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     from fdp_dynamically_controlled_streams_spark.sources.registry import (
+        cached_fixture,
         replay_dir,
         write_replay_chunks_df,
     )
 
     events = _t(spark, sf_dir, "events")
-    tmp = tempfile.mkdtemp(prefix="dcs-twagg-")
-    write_replay_chunks_df(
-        events.select("event_id", "ts", "event_type", "value"),
-        f"{tmp}/data",
-        n_chunks=2,
-        order_cols=("ts", "event_id"),
+    fix = cached_fixture(
+        "stream_tumbling_agg_replay",
+        sf_dir,
+        lambda p: write_replay_chunks_df(
+            events.select("event_id", "ts", "event_type", "value"),
+            f"{p}/data",
+            n_chunks=2,
+            order_cols=("ts", "event_id"),
+        ),
     )
+    tmp = tempfile.mkdtemp(prefix="dcs-twagg-")
     stream = replay_dir(
         spark,
-        f"{tmp}/data",
+        f"{fix}/data",
         "event_id long, ts timestamp, event_type string, value double",
         files_per_trigger=1,
     )
@@ -2252,6 +2315,7 @@ def stream_interval_join_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     from fdp_dynamically_controlled_streams_spark.sources.registry import (
+        cached_fixture,
         replay_dir,
         write_replay_chunks_df,
     )
@@ -2260,20 +2324,24 @@ def stream_interval_join_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     ev = _t(spark, sf_dir, "events").select("user_id", "ts", "event_type")
-    tmp = tempfile.mkdtemp(prefix="dcs-ivj-")
     ddl = "user_id long, ts timestamp"
+
     # Each side chunked distributedly in event-time order (two micro-batches
     # per side); no driver materialization.
-    for side, etype in (("left", "purchase"), ("right", "click")):
-        write_replay_chunks_df(
-            ev.where(F.col("event_type") == etype).select("user_id", "ts"),
-            f"{tmp}/{side}",
-            n_chunks=2,
-            order_cols=("ts",),
-        )
+    def _build(p: str) -> None:
+        for side, etype in (("left", "purchase"), ("right", "click")):
+            write_replay_chunks_df(
+                ev.where(F.col("event_type") == etype).select("user_id", "ts"),
+                f"{p}/{side}",
+                n_chunks=2,
+                order_cols=("ts",),
+            )
+
+    fix = cached_fixture("stream_interval_join_replay", sf_dir, _build)
+    tmp = tempfile.mkdtemp(prefix="dcs-ivj-")
     joined = interval_join_streams(
-        replay_dir(spark, f"{tmp}/left", ddl, files_per_trigger=1),
-        replay_dir(spark, f"{tmp}/right", ddl, files_per_trigger=1),
+        replay_dir(spark, f"{fix}/left", ddl, files_per_trigger=1),
+        replay_dir(spark, f"{fix}/right", ddl, files_per_trigger=1),
         "user_id",
         "ts",
         "ts",
@@ -3219,21 +3287,26 @@ def stream_session_window_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     from fdp_dynamically_controlled_streams_spark.sources.registry import (
+        cached_fixture,
         replay_dir,
         write_replay_chunks_df,
     )
 
     events = _t(spark, sf_dir, "events")
-    tmp = tempfile.mkdtemp(prefix="dcs-ssw-")
-    write_replay_chunks_df(
-        events.select("event_id", "ts", "user_id"),
-        f"{tmp}/data",
-        n_chunks=2,
-        order_cols=("ts", "event_id"),
+    fix = cached_fixture(
+        "stream_session_window_replay",
+        sf_dir,
+        lambda p: write_replay_chunks_df(
+            events.select("event_id", "ts", "user_id"),
+            f"{p}/data",
+            n_chunks=2,
+            order_cols=("ts", "event_id"),
+        ),
     )
+    tmp = tempfile.mkdtemp(prefix="dcs-ssw-")
     stream = replay_dir(
         spark,
-        f"{tmp}/data",
+        f"{fix}/data",
         "event_id long, ts timestamp, user_id long",
         files_per_trigger=1,
     )
@@ -3301,6 +3374,7 @@ def controller_static_join_replay(spark: SparkSession, sf_dir: str) -> DataFrame
         controller_inputs_from_events,
     )
     from fdp_dynamically_controlled_streams_spark.sources.registry import (
+        cached_fixture,
         replay_dir,
         write_replay_chunks_df,
     )
@@ -3310,19 +3384,23 @@ def controller_static_join_replay(spark: SparkSession, sf_dir: str) -> DataFrame
 
     events = _t(spark, sf_dir, "events")
     control, sensor = controller_inputs_from_events(events)
+
+    def _build(p: str) -> None:
+        control.write.mode("overwrite").parquet(f"{p}/control")
+        write_replay_chunks_df(sensor, f"{p}/sensor", n_chunks=2, order_cols=("seq",))
+
+    fix = cached_fixture("controller_static_join_replay", sf_dir, _build)
     tmp = tempfile.mkdtemp(prefix="dcs-ssj-")
-    control.write.mode("overwrite").parquet(f"{tmp}/control")
-    write_replay_chunks_df(sensor, f"{tmp}/sensor", n_chunks=2, order_cols=("seq",))
     stream = replay_dir(
         spark,
-        f"{tmp}/sensor",
+        f"{fix}/sensor",
         "sensor_id int, temperature double, seq long",
         files_per_trigger=1,
     )
     out = f"{tmp}/out"
     with _replay_conf(spark, partitions=8):
         q = (
-            controller_stream_static(spark, stream, f"{tmp}/control")
+            controller_stream_static(spark, stream, f"{fix}/control")
             .writeStream.outputMode("append")
             .foreachBatch(lambda bdf, bid: bdf.write.mode("append").parquet(out))
             .option("checkpointLocation", f"{tmp}/chk")

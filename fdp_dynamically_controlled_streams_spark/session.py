@@ -38,6 +38,14 @@ ENGINE_CONF: dict[str, str] = {
     "spark.sql.session.timeZone": "UTC",
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
     "spark.ui.enabled": "false",
+    # Long-lived-session hygiene: the app-status store retains execution/job/
+    # stage metadata even with the UI off (measured: ~1 GB driver heap after
+    # ~280 catalog queries in one session). A bounded window keeps steady-
+    # state heap flat on sessions that run thousands of queries.
+    "spark.sql.ui.retainedExecutions": "50",
+    "spark.ui.retainedJobs": "200",
+    "spark.ui.retainedStages": "200",
+    "spark.ui.retainedTasks": "5000",
 }
 
 

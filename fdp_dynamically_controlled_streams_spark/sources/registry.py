@@ -15,12 +15,48 @@ building a Kafka reader raises a clear error at use, not import, time.
 from __future__ import annotations
 
 import os
-from typing import Any
+import tempfile
+import time
+from typing import Any, Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
 _BATCH_FORMATS = ("parquet", "json", "csv", "orc")
+
+#: Phase counters read by bench.py to split fixture-build cost out of the
+#: per-query wall time (r3 verdict: the replay entries' regression had to be
+#: attributed to build vs run before it could be fixed). Reset-free running
+#: totals; bench snapshots before/after each query.
+FIXTURE_STATS: dict[str, float] = {"build_sec": 0.0, "builds": 0, "cache_hits": 0}
+
+#: Process-lifetime cache of replay INPUT fixture dirs, keyed by
+#: (entry, sf_dir). The chunk files are a pure function of the SF tables and
+#: the entry's chunking spec (repartitionByRange samples with a fixed seed
+#: over a deterministic scan), so one build per session is sound. Output and
+#: checkpoint dirs are NEVER cached — a reused availableNow checkpoint would
+#: see no new files and silently run zero micro-batches.
+_FIXTURE_CACHE: dict[tuple[str, str], str] = {}
+
+
+def cached_fixture(
+    entry: str, sf_dir: str, build: Callable[[str], None]
+) -> str:
+    """Build (once per session) or reuse the replay input fixtures for
+    ``entry`` at ``sf_dir``; returns the fixture root dir. ``build`` receives
+    a fresh empty dir and writes chunk subtrees under it."""
+    key = (entry, os.path.abspath(sf_dir))
+    path = _FIXTURE_CACHE.get(key)
+    if path is not None and os.path.isdir(path):
+        FIXTURE_STATS["cache_hits"] += 1
+        return path
+    path = tempfile.mkdtemp(prefix=f"dcs-fix-{entry[:24]}-")
+    t0 = time.perf_counter()
+    build(path)
+    FIXTURE_STATS["build_sec"] += time.perf_counter() - t0
+    FIXTURE_STATS["builds"] += 1
+    _FIXTURE_CACHE[key] = path
+    return path
 
 
 def read_batch(

@@ -1,6 +1,8 @@
 """Multimodal plumbing tests: binary columns + mapInPandas seams (schema,
-batching, corrupt payloads, binary-out transforms). Real codecs are stubbed
-(NotImplementedError) — the fake DCSM format carries the plumbing."""
+batching, corrupt payloads, binary-out transforms). Compressed codecs are
+stubbed (NotImplementedError); uncompressed 24-bit BMP and 16-bit PCM WAV
+decode for real via in-repo spec-exact parsers, and the fake DCSM format
+carries the rest of the plumbing."""
 
 from __future__ import annotations
 
@@ -73,3 +75,89 @@ def test_frame_sample_fan_out_and_compose(spark):
 def test_real_codec_stub_raises():
     with pytest.raises(NotImplementedError):
         mm.decode_image(b"\x89PNG\r\n\x1a\n" + b"\x00" * 16)
+
+
+# --- real formats: BMP + WAV spec codecs (no Spark needed for the parsers) ---
+
+
+def test_bmp_roundtrip_exact():
+    buf = mm.encode_bmp(5, 3, seed=7)  # width 5 -> row stride 16 (padding)
+    d = mm.decode_bmp(buf)
+    assert d is not None
+    assert (d["width"], d["height"], d["bit_depth"]) == (5, 3, 24)
+    assert d["n_payload_bytes"] == 16 * 3
+    assert d["file_size"] == len(buf) == 54 + 48
+    # pixels come back unpadded, top-down, byte-exact vs the LCG payload
+    raw = mm._lcg_bytes(3 * 5 * 3, 7)
+    rows = [raw[y * 15 : (y + 1) * 15] for y in range(3)]
+    assert d["pixels"] == b"".join(rows)
+
+
+def test_bmp_top_down_negative_height():
+    buf = bytearray(mm.encode_bmp(4, 2, seed=1))
+    # flip to top-down (negative height) and reorder rows accordingly
+    import struct as _s
+
+    w, h = 4, 2
+    stride = (3 * w + 3) // 4 * 4
+    px = bytes(buf[54:])
+    rows = [px[y * stride : (y + 1) * stride] for y in range(h)]
+    buf[54:] = b"".join(reversed(rows))
+    buf[22:26] = _s.pack("<i", -h)
+    d = mm.decode_bmp(bytes(buf))
+    assert d is not None and d["height"] == 2
+    assert d["pixels"] == mm.decode_bmp(mm.encode_bmp(4, 2, seed=1))["pixels"]
+
+
+def test_wav_roundtrip_and_chunk_walk():
+    buf = mm.encode_wav(75, 16000, seed=3)
+    a = mm.decode_wav(buf)
+    assert a is not None
+    assert (a["n_channels"], a["sample_rate"], a["bit_depth"]) == (1, 16000, 16)
+    assert a["n_samples"] == 75 and a["n_payload_bytes"] == 150
+    assert a["file_size"] == len(buf) == 44 + 150
+    # parser walks chunks: inject an unknown odd-sized chunk before fmt/data
+    import struct as _s
+
+    body = buf[12:]
+    junk = b"LIST" + _s.pack("<I", 5) + b"abcde" + b"\x00"  # word-aligned pad
+    patched = b"RIFF" + _s.pack("<I", 4 + len(junk) + len(body)) + b"WAVE" + junk + body
+    a2 = mm.decode_wav(patched)
+    assert a2 is not None and a2["n_samples"] == 75 and a2["samples"] == a["samples"]
+
+
+def test_decode_image_real_bmp_path():
+    w, h, c, px = mm.decode_image(mm.encode_bmp(6, 4, seed=9))
+    assert (w, h, c) == (6, 4, 3) and len(px) == 6 * 4 * 3
+
+
+def test_real_media_distributed(spark):
+    docs = spark.range(0, 30).select(F.col("id").alias("doc_id"))
+    out = mm.decode_media_real(mm.attach_real_media(docs)).orderBy("media_id").collect()
+    assert len(out) == 30 and all(r.ok for r in out)
+    for r in out:
+        i = r.media_id
+        if i % 2 == 0:
+            assert r.content_type == "image/bmp"
+            assert (r.width, r.height, r.bit_depth) == (4 + i % 9, 3 + i % 7, 24)
+            stride = (3 * r.width + 3) // 4 * 4
+            assert r.n_payload_bytes == stride * r.height
+            assert r.file_size == 54 + stride * r.height
+        else:
+            assert r.content_type == "audio/wav"
+            assert r.sample_rate == (8000, 16000, 44100)[i % 3]
+            assert r.n_samples == 50 + i % 101
+            assert r.file_size == 44 + 2 * r.n_samples
+
+
+def test_real_media_corrupt_flagged(spark):
+    rows = [
+        (1, mm.encode_bmp(4, 4)),
+        (2, mm.encode_bmp(4, 4)[:40]),  # truncated BMP
+        (3, mm.encode_wav(10, 8000)),
+        (4, b"RIFF\x10\x00\x00\x00WAVEjunk"),  # RIFF but no fmt/data
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, content binary")
+    out = {r.media_id: r.ok for r in mm.decode_media_real(df).collect()}
+    assert out == {1: True, 2: False, 3: True, 4: False, 5: False}

@@ -1,0 +1,55 @@
+"""sf0.1 correctness tier for the priciest catalog entries (r3 verdict task
+8): the driver proves correctness at sf0.01 while the bench runs sf0.1
+unverified — this closes that gap by oracle-checking the 10 most expensive
+entries (by BENCH_r03 wall time) at the bench SF.
+
+Slow by construction (~1 min of Spark + DuckDB at sf0.1), so it is gated:
+run with  SPARK_GRAFT_SF01_CHECK=1 python -m pytest tests/test_sf01_selfcheck.py
+(the repo's checked-in CORRECTNESS_SELF artifacts are produced by
+tests/oracle_harness.py --json at both SFs).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from tests.oracle_harness import compare, duck_con
+
+SF01 = "/root/testdata/sf0.1"
+
+#: The 10 most expensive entries by BENCH_r03.json measured wall time.
+PRICIEST = [
+    "controller_streaming_replay",
+    "stream_interval_join_replay",
+    "dedup_clusters",
+    "ann_recall_report",
+    "stream_tumbling_agg_replay",
+    "dedup_minhash_lsh",
+    "stream_session_window_replay",
+    "join_min_cost_supplier",
+    "streaming_dedup_replay",
+    "ann_ivf_topk",
+]
+
+pytestmark = pytest.mark.skipif(
+    not os.environ.get("SPARK_GRAFT_SF01_CHECK"),
+    reason="sf0.1 tier is slow; set SPARK_GRAFT_SF01_CHECK=1 to run",
+)
+
+
+@pytest.fixture(scope="module")
+def duck():
+    return duck_con(SF01)
+
+
+@pytest.mark.parametrize("name", PRICIEST)
+def test_sf01_oracle_parity(spark, duck, name):
+    from fdp_dynamically_controlled_streams_spark.queries import catalog
+
+    entry = catalog()[name]
+    sdf = entry.fn(spark, SF01).toPandas()
+    odf = duck.execute(entry.oracle).fetchdf()
+    ok, msg = compare(sdf, odf)
+    assert ok, f"{name}: {msg}"
