@@ -156,6 +156,52 @@ def bigram_lm_score(
     )
 
 
+def repetition_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style repetition quality signals per document: total / distinct
+    word-bigram counts, the most frequent bigram's count, the duplicate-
+    bigram fraction (1 - distinct/total) and the top-bigram fraction — the
+    standard "repeated boilerplate" filters of a pre-training quality pass.
+
+    Shape: codegen'd bigram rows (functions/hashing.py shingle_rows,
+    duplicates KEPT — frequency is the signal here) → count per (doc,
+    bigram) → per-doc aggregate. Two key-local shuffles, no joins; partial
+    aggregation makes the first combine map-side, so the exchange carries
+    (doc, bigram, count), not raw bigrams. Docs with < 2 tokens have no
+    bigrams and are absent. Ratios are exact integer division at 1e-6
+    (value-hashable against the SQL oracle).
+    """
+    from fdp_dynamically_controlled_streams_spark.functions.hashing import shingle_rows
+
+    per_bigram = (
+        shingle_rows(df, id_col, text_col, n=2)
+        .groupBy("id", "s")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return (
+        per_bigram.groupBy(F.col("id").alias(id_col))
+        .agg(
+            F.sum("c").alias("n_bigrams"),
+            F.count(F.lit(1)).alias("n_distinct_bigrams"),
+            F.max("c").alias("top_count"),
+        )
+        .select(
+            id_col,
+            "n_bigrams",
+            "n_distinct_bigrams",
+            "top_count",
+            (
+                F.expr("(n_bigrams - n_distinct_bigrams) * 1000000 div n_bigrams")
+                / F.lit(1000000.0)
+            ).alias("dup_bigram_fraction"),
+            (F.expr("top_count * 1000000 div n_bigrams") / F.lit(1000000.0)).alias(
+                "top_bigram_fraction"
+            ),
+        )
+    )
+
+
 def fingerprint(col: Column | str) -> Column:
     """Order-insensitive document fingerprint: md5 of the sorted distinct
     token multiset — the cheap exact-dup key that survives token reordering.

@@ -1392,6 +1392,76 @@ def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_ops.bigram_lm_score(_t(spark, sf_dir, "documents"))
 
 
+@query(
+    "text_repetition_stats",
+    f"""
+WITH {_TOKS_CTE},
+bg AS (SELECT doc_id,
+              unnest(list_transform(range(1, greatest(len(t) - 1, 0) + 1),
+                                    i -> array_to_string(t[i:i+1], ' '))) AS s
+         FROM toks),
+cnt AS (SELECT doc_id, s, count(*) AS c FROM bg GROUP BY doc_id, s)
+SELECT doc_id,
+       CAST(sum(c) AS BIGINT) AS n_bigrams,
+       count(*) AS n_distinct_bigrams,
+       max(c) AS top_count,
+       CAST(CAST((sum(c) - count(*)) AS BIGINT) * 1000000 // CAST(sum(c) AS BIGINT)
+            AS DOUBLE) / 1000000 AS dup_bigram_fraction,
+       CAST(max(c) * 1000000 // CAST(sum(c) AS BIGINT) AS DOUBLE) / 1000000
+           AS top_bigram_fraction
+  FROM cnt GROUP BY doc_id
+""",
+    tags=("text", "quality", "repetition"),
+)
+def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filters: duplicate-bigram fraction and
+    top-bigram fraction per document (operators/text.py repetition_stats) —
+    the boilerplate/loop detector of a pre-training quality pass. [ABSENT in
+    reference: SURVEY §2.7 LLM-pipeline extension.]"""
+    return text_ops.repetition_stats(_t(spark, sf_dir, "documents"))
+
+
+# Eval set = deterministic slice of the corpus (doc_id % 97 == 0) standing in
+# for a benchmark suite; at 100 TB the eval side is an external table of the
+# same shape. Flag threshold 0.5 of a doc's distinct 3-gram shingles.
+_CONTAMINATION_ORACLE = f"""
+WITH {_TOKS_CTE},
+sh AS (SELECT doc_id, {_SHINGLES_SQL} AS shingles FROM toks),
+ex AS (SELECT doc_id, {{h}} AS h
+         FROM (SELECT doc_id, unnest(shingles) AS s FROM sh)),
+ev AS (SELECT DISTINCT h FROM ex WHERE doc_id % 97 = 0),
+tr AS (SELECT doc_id, h FROM ex WHERE doc_id % 97 <> 0)
+SELECT tr.doc_id,
+       count(DISTINCT tr.h) AS n_shingles,
+       count(DISTINCT CASE WHEN ev.h IS NOT NULL THEN tr.h END) AS n_overlap,
+       CAST(count(DISTINCT CASE WHEN ev.h IS NOT NULL THEN tr.h END) * 1000000
+            // count(DISTINCT tr.h) AS DOUBLE) / 1000000 AS overlap_ratio,
+       count(DISTINCT CASE WHEN ev.h IS NOT NULL THEN tr.h END) * 1000000
+            // count(DISTINCT tr.h) >= 500000 AS contaminated
+  FROM tr LEFT JOIN ev ON tr.h = ev.h
+ GROUP BY tr.doc_id
+"""
+
+
+@query(
+    "contamination_ngram_overlap",
+    _CONTAMINATION_ORACLE.format(h=portable_hash64_sql("s")),
+    tags=("text", "contamination", "dedup"),
+)
+def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination report: for every training doc, the fraction
+    of its distinct 3-gram shingles that appear anywhere in the eval slice
+    (doc_id % 97 == 0), flagged at 0.5 (operators/contamination.py — eval
+    shingle set broadcasts; corpus is one map pass + one doc-key shuffle).
+    [ABSENT in reference: SURVEY §2.7 LLM-pipeline extension.]"""
+    from fdp_dynamically_controlled_streams_spark.operators.contamination import (
+        contamination_report,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return contamination_report(d, F.col("doc_id") % 97 == 0)
+
+
 # =========================================================================
 # 10. Streaming & bytes-pipeline parity entries. The streaming entry executes
 # the real Structured Streaming stateful processor (applyInPandasWithState)

@@ -260,6 +260,26 @@ def test_recall_report_semi_joins_broadcast(audits):
     assert a.n_sortmerge_joins == 0
 
 
+def test_repetition_stats_two_local_shuffles_jvm_side(audits):
+    # Bigram rows -> (doc,bigram) count -> per-doc agg: exactly the two
+    # fundamental key exchanges (both with map-side partial agg), no joins,
+    # no Python.
+    a = audits("text_repetition_stats")
+    assert a.n_python_evals == 0
+    assert a.n_broadcast_joins + a.n_sortmerge_joins + a.n_nestedloop_joins == 0
+    assert a.n_exchanges == 2
+
+
+def test_contamination_eval_side_broadcasts(audits):
+    # The eval shingle set and eval-id filters ride broadcasts; the corpus
+    # side never sort-merges, and the only non-broadcast exchange is the
+    # per-doc aggregation. Everything JVM-side.
+    a = audits("contamination_ngram_overlap")
+    assert a.n_python_evals == 0
+    assert a.n_sortmerge_joins == 0
+    assert a.n_broadcast_joins >= 3  # semi (eval), anti (train), hit probe
+
+
 def test_hotkey_salted_join_broadcasts_exploded_dim(audits):
     # The hot-key probe side salts 16 ways; the exploded nation dim must
     # still broadcast (salt rides the broadcast), no sort-merge, no Python.
