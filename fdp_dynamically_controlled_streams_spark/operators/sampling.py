@@ -131,3 +131,45 @@ def assign_split_sql(key_expr: str, weights: dict[str, float], seed: int = 0) ->
         cum += w
         whens.append(f"WHEN {g} < {min(_bp(cum), DENOM)} THEN '{name}'")
     return "(CASE " + " ".join(whens) + " END)"
+
+
+def shard_assignment(
+    df: DataFrame, key: str, n_shards: int, seed: int = 0
+) -> DataFrame:
+    """Deterministic global shuffle + sharding for training-data writers:
+    every row gets a shard (hash mod n_shards) and a position within its
+    shard (rank of the hash, key as tiebreaker) — a reproducible random
+    permutation of the corpus into n_shards ordered output files, the last
+    step before writing training shards.
+
+    Shape: one map-side hash, one exchange on ``shard`` for the rank window
+    — at 100 TB this IS the write repartition the shard files need anyway
+    (``partitionBy(shard)``, one sorted file per shard), so the operator
+    adds no shuffle beyond the output layout itself. Seed changes produce an
+    independent permutation; rows never move between epochs with the same
+    seed (resumable writes).
+    """
+    from pyspark.sql import Window
+
+    h = portable_hash64(F.col(key).cast("string"), seed)
+    with_shard = df.select(key).withColumn("_h", h).withColumn(
+        "shard", (F.col("_h") % n_shards).cast("int")
+    )
+    w = Window.partitionBy("shard").orderBy("_h", key)
+    return with_shard.select(
+        key, "shard", F.row_number().over(w).alias("pos")
+    )
+
+
+def shard_assignment_sql(
+    table: str, key_expr: str, n_shards: int, seed: int = 0
+) -> str:
+    """DuckDB twin of :func:`shard_assignment`."""
+    h = portable_hash64_sql(f"CAST({key_expr} AS VARCHAR)", seed)
+    return f"""
+SELECT {key_expr}, shard,
+       CAST(row_number() OVER (PARTITION BY shard ORDER BY h, {key_expr}) AS INT)
+           AS pos
+  FROM (SELECT {key_expr}, {h} AS h, CAST({h} % {n_shards} AS INT) AS shard
+          FROM {table})
+"""

@@ -1857,6 +1857,39 @@ def split_train_valid_test(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "shard_assignment_documents",
+    smp.shard_assignment_sql("documents", "doc_id", n_shards=16, seed=7),
+    tags=("sampling", "sharding"),
+)
+def shard_assignment_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle + sharding (operators/sampling.py
+    shard_assignment): every doc gets (shard, pos) — a reproducible random
+    permutation into 16 ordered training shards; the one exchange is the
+    output layout's own partitioning. [ABSENT in reference: SURVEY §2.7
+    LLM-pipeline extension.]"""
+    return smp.shard_assignment(
+        _t(spark, sf_dir, "documents"), "doc_id", n_shards=16, seed=7
+    )
+
+
+from fdp_dynamically_controlled_streams_spark.operators import quantize as qnt
+
+
+@query(
+    "embedding_quantize_int8",
+    qnt.quantize_report_sql(),
+    tags=("similarity", "quantize"),
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector absmax int8 quantization report (operators/quantize.py):
+    scale, exact integer checksums of the quantized array, reconstruction
+    MSE — map-side only, zero shuffles; the compression step before an ANN
+    index export. [ABSENT in reference: SURVEY §2.7 LLM-pipeline
+    extension.]"""
+    return qnt.quantize_report(_t(spark, sf_dir, "embeddings"))
+
+
+@query(
     "sketch_kmv_distinct_customers",
     skt.kmv_distinct_sql(
         "orders", "o_orderpriority", "o_orderpriority", "o_custkey", k=64

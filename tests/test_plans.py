@@ -280,6 +280,23 @@ def test_contamination_eval_side_broadcasts(audits):
     assert a.n_broadcast_joins >= 3  # semi (eval), anti (train), hit probe
 
 
+def test_quantize_report_is_map_only(audits):
+    # Per-vector quantization is a pure projection of the corpus scan:
+    # zero exchanges, zero joins, zero Python.
+    a = audits("embedding_quantize_int8")
+    assert a.n_exchanges == 0
+    assert a.n_python_evals == 0
+    assert a.n_broadcast_joins + a.n_sortmerge_joins + a.n_nestedloop_joins == 0
+
+
+def test_shard_assignment_single_output_exchange(audits):
+    # One exchange on `shard` (the output layout's own partitioning for the
+    # rank window), nothing else; hash + mod are map-side.
+    a = audits("shard_assignment_documents")
+    assert a.n_exchanges == 1
+    assert a.n_python_evals == 0
+
+
 def test_hotkey_salted_join_broadcasts_exploded_dim(audits):
     # The hot-key probe side salts 16 ways; the exploded nation dim must
     # still broadcast (salt rides the broadcast), no sort-merge, no Python.
