@@ -202,6 +202,91 @@ def repetition_stats(
     )
 
 
+def local_min_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    radius: int = 3,
+) -> DataFrame:
+    """Content-defined document fingerprints: hash every character k-gram of
+    the normalized text, keep positions whose hash is the MINIMUM within
+    ``radius`` positions either side — the local-minima selection rule of
+    content-defined chunking (winnowing family). Selection depends only on
+    content, so edits perturb fingerprints locally, never globally; expected
+    density is 1/(2*radius+1) of positions (no hard gap bound — that extra
+    guarantee requires sequential per-window winnowing, which is what the
+    selection trades away to stay a pure window expression).
+
+    Output: one row per selected position (doc_id, pos, fingerprint) —
+    sub-document granularity for plagiarism/copy detection, where the
+    whole-doc :func:`fingerprint` only answers exact-duplicate questions.
+
+    Shape: k-gram explode + hash are map-side; the only exchange is the
+    per-doc window (same key as every downstream fingerprint join). Docs
+    shorter than k yield no rows.
+    """
+    from pyspark.sql import Window
+
+    from fdp_dynamically_controlled_streams_spark.functions.hashing import (
+        portable_hash64,
+    )
+
+    norm = F.lower(F.trim(F.col(text_col)))
+    n_grams = F.length(norm) - F.lit(k - 1)
+    # Guard the degenerate doc: Spark's sequence(1, 0) counts DOWN ([1, 0]),
+    # it is not empty — docs shorter than k must yield no gram rows.
+    positions = F.when(n_grams >= 1, F.sequence(F.lit(1), n_grams)).otherwise(
+        F.array().cast("array<int>")
+    )
+    grams = df.select(
+        F.col(id_col),
+        norm.alias("_t"),
+        F.posexplode(positions).alias("_i", "pos"),
+    ).select(
+        id_col,
+        "pos",
+        portable_hash64(F.substring(F.col("_t"), F.col("pos"), k)).alias("h"),
+    )
+    w = (
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(-radius, radius)
+    )
+    return (
+        grams.withColumn("_m", F.min("h").over(w))
+        .where(F.col("h") == F.col("_m"))
+        .select(id_col, "pos", F.col("h").alias("fingerprint"))
+    )
+
+
+def local_min_fingerprints_sql(
+    table: str = "documents", k: int = 5, radius: int = 3
+) -> str:
+    """DuckDB twin of :func:`local_min_fingerprints` (identical frame)."""
+    from fdp_dynamically_controlled_streams_spark.functions.hashing import (
+        portable_hash64_sql,
+    )
+
+    h = portable_hash64_sql(f"substr(t, pos, {k})")
+    return f"""
+WITH norm AS (SELECT doc_id, lower(trim(text)) AS t FROM {table}),
+grams AS (
+  SELECT doc_id, pos, {h} AS h
+    FROM (SELECT doc_id, t,
+                 unnest(range(1, greatest(length(t) - {k - 1}, 0) + 1)) AS pos
+            FROM norm)
+)
+SELECT doc_id, CAST(pos AS INT) AS pos, h AS fingerprint
+  FROM (SELECT doc_id, pos, h,
+               min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN {radius} PRECEDING AND {radius} FOLLOWING)
+                   AS m
+          FROM grams)
+ WHERE h = m
+"""
+
+
 def fingerprint(col: Column | str) -> Column:
     """Order-insensitive document fingerprint: md5 of the sorted distinct
     token multiset — the cheap exact-dup key that survives token reordering.

@@ -1421,6 +1421,21 @@ def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_ops.repetition_stats(_t(spark, sf_dir, "documents"))
 
 
+@query(
+    "text_local_min_fingerprints",
+    text_ops.local_min_fingerprints_sql("documents", k=5, radius=3),
+    tags=("text", "fingerprint", "cdc"),
+)
+def text_local_min_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined sub-document fingerprints: char-5-gram hashes that
+    are local minima within radius 3 (winnowing-family selection,
+    operators/text.py local_min_fingerprints) — the copy-detection /
+    content-defined-chunking primitive; edits perturb the fingerprint set
+    only locally. [ABSENT in reference: SURVEY §2.7 LLM-pipeline
+    extension.]"""
+    return text_ops.local_min_fingerprints(_t(spark, sf_dir, "documents"))
+
+
 # Eval set = deterministic slice of the corpus (doc_id % 97 == 0) standing in
 # for a benchmark suite; at 100 TB the eval side is an external table of the
 # same shape. Flag threshold 0.5 of a doc's distinct 3-gram shingles.

@@ -9,7 +9,10 @@ from pyspark.sql import functions as F
 from fdp_dynamically_controlled_streams_spark.operators.contamination import (
     contamination_report,
 )
-from fdp_dynamically_controlled_streams_spark.operators.text import repetition_stats
+from fdp_dynamically_controlled_streams_spark.operators.text import (
+    local_min_fingerprints,
+    repetition_stats,
+)
 
 
 def _docs(spark, rows):
@@ -80,3 +83,45 @@ def test_contamination_duplicate_shingles_counted_once(spark):
     # doc 1 distinct shingles: "p q r","q r p","r p q" -> only "p q r" matches
     assert (out.n_shingles, out.n_overlap) == (3, 1)
     assert out.overlap_ratio == 0.333333 and not out.contaminated
+
+
+# --- content-defined fingerprints (local-minimum / winnowing family) ---
+
+
+def test_fingerprints_density_and_short_docs(spark):
+    import random
+
+    rng = random.Random(11)
+    text = "".join(rng.choice("abcdefgh ") for _ in range(300))
+    rows = [(1, text), (2, "tiny"), (3, "")]  # k=5: docs 2,3 yield nothing
+    out = local_min_fingerprints(_docs(spark, rows), k=5, radius=3).collect()
+    assert {r.doc_id for r in out} == {1}
+    positions = sorted(r.pos for r in out)
+    n_grams = len(text.strip()) - 4
+    # statistical density: a random position is a radius-3 local min with
+    # p = 1/7 (ties only raise it), so expect ~n/7 picks; assert a loose
+    # band (no HARD gap bound exists for local-minima selection — that
+    # guarantee needs full per-window winnowing)
+    assert n_grams // 14 <= len(positions) <= n_grams // 2
+    # selection is reproducible and anchored to content, not position count
+    again = sorted(
+        r.pos
+        for r in local_min_fingerprints(_docs(spark, rows), k=5, radius=3).collect()
+    )
+    assert positions == again
+
+
+def test_fingerprints_edit_locality(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    edited = base.replace("jumps", "jumPs")  # single-char edit mid-string
+    idx = base.index("jumPs".lower())
+    out_a = local_min_fingerprints(_docs(spark, [(1, base)])).collect()
+    out_b = local_min_fingerprints(_docs(spark, [(1, edited)])).collect()
+    a = {(r.pos, r.fingerprint) for r in out_a}
+    b = {(r.pos, r.fingerprint) for r in out_b}
+    # fingerprints can only differ where a k-gram or its radius overlaps the
+    # edited character: pos in [idx-7-4, idx+7] (k=5, radius=3, 0-based->1-based)
+    lo, hi = idx - 11, idx + 12
+    assert {p for p, _ in a ^ b} <= set(range(lo, hi + 1))
+    # far-from-edit fingerprints are identical
+    assert {(p, h) for p, h in a if p < lo} == {(p, h) for p, h in b if p < lo}
