@@ -133,6 +133,58 @@ def assign_split_sql(key_expr: str, weights: dict[str, float], seed: int = 0) ->
     return "(CASE " + " ".join(whens) + " END)"
 
 
+def rebalance_mixture(
+    df: DataFrame,
+    strata: str,
+    key: str,
+    targets: dict[str, float],
+    seed: int = 0,
+) -> DataFrame:
+    """Source-mixture rebalancing — the data-recipe op of a pretraining
+    pipeline: down-sample each stratum so the kept corpus approaches the
+    ``targets`` share layout. Per-stratum acceptance is exact integer
+    arithmetic (thr_s = min(DENOM, target_bp * N // n_s)), so membership is
+    engine-reproducible; strata already below target keep everything (no
+    up-sampling — duplication is a separate, explicit op).
+
+    Fully declarative: stratum counts + the corpus total come from one
+    aggregation each, the (tiny) threshold table broadcast-joins back, the
+    gate is the same map-side hash predicate as bernoulli_sample. No
+    driver-side counts.
+
+    Returns the kept rows (all original columns).
+    """
+    tbp: Column = F.lit(0)
+    for value, share in sorted(targets.items()):
+        tbp = F.when(F.col(strata) == F.lit(value), F.lit(_bp(share))).otherwise(tbp)
+    counts = df.groupBy(strata).agg(F.count(F.lit(1)).alias("_n_s"))
+    total = df.agg(F.count(F.lit(1)).alias("_n"))
+    thresholds = (
+        counts.withColumn("_tbp", tbp)
+        .crossJoin(F.broadcast(total))
+        .select(strata, F.least(F.lit(DENOM), F.expr("_tbp * _n div _n_s")).alias("_thr"))
+    )
+    gated = df.join(F.broadcast(thresholds), strata).where(
+        hash_gate(key, seed) < F.col("_thr")
+    )
+    return gated.drop("_thr")
+
+
+def rebalance_thresholds_sql(
+    table: str, strata: str, targets: dict[str, float]
+) -> str:
+    """DuckDB twin of the threshold table in :func:`rebalance_mixture`."""
+    whens = " ".join(
+        f"WHEN {strata} = '{v}' THEN {_bp(s)}" for v, s in sorted(targets.items())
+    )
+    return f"""
+SELECT {strata}, n_s,
+       least({DENOM}, (CASE {whens} ELSE 0 END) * n // n_s) AS thr
+  FROM (SELECT {strata}, count(*) AS n_s FROM {table} GROUP BY {strata})
+       CROSS JOIN (SELECT count(*) AS n FROM {table})
+"""
+
+
 def shard_assignment(
     df: DataFrame, key: str, n_shards: int, seed: int = 0
 ) -> DataFrame:

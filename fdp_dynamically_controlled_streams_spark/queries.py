@@ -1872,6 +1872,98 @@ def split_train_valid_test(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "curation_pipeline_end_to_end",
+    f"""
+WITH q AS (
+  SELECT doc_id, text, source, n_chars FROM documents
+   WHERE n_chars >= 50 AND len(string_split_regex(trim(text), '\\s+')) >= 10
+),
+d AS (SELECT min(doc_id) AS doc_id FROM q GROUP BY text),
+dd AS (SELECT q.* FROM q JOIN d ON d.doc_id = q.doc_id),
+je AS (
+  SELECT dd.*, {sign_bucket_sql("e.embedding", 8)} AS bucket
+    FROM dd JOIN embeddings e ON e.vec_id = dd.doc_id
+),
+rep AS (SELECT min(doc_id) AS doc_id FROM je GROUP BY bucket),
+fin AS (SELECT je.* FROM je JOIN rep ON rep.doc_id = je.doc_id)
+SELECT {smp.assign_split_sql("CAST(doc_id AS VARCHAR)", _SPLIT_WEIGHTS, seed=13)}
+           AS split,
+       source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+  FROM fin GROUP BY 1, 2
+""",
+    tags=("pipeline", "composite", "dedup", "sampling"),
+)
+def curation_pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The operator library composed into one curation pipeline: quality
+    gate (length + token floor) -> exact dedup (keep min id per text) ->
+    embedding join -> near-dup collapse to one representative per sign-LSH
+    bucket -> train/valid/test split -> per-(split, source) summary. Every
+    stage is an existing catalog operator; the entry proves they compose
+    under one oracle. Scale shape: two hash aggs + one fact-fact join on the
+    shared id + a broadcastable representative list."""
+    from fdp_dynamically_controlled_streams_spark.functions.vectors import sign_bucket
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    q = docs.where(
+        (F.col("n_chars") >= 50) & (text_ops.token_count("text") >= 10)
+    )
+    keep = q.groupBy("text").agg(F.min("doc_id").alias("doc_id")).select("doc_id")
+    dd = q.join(keep, "doc_id")
+    je = dd.join(
+        emb.select(
+            F.col("vec_id").alias("doc_id"),
+            sign_bucket(F.col("embedding"), 8).alias("bucket"),
+        ),
+        "doc_id",
+    )
+    rep = je.groupBy("bucket").agg(F.min("doc_id").alias("doc_id")).select("doc_id")
+    fin = je.join(rep, "doc_id")
+    split = smp.assign_split(fin, "doc_id", _SPLIT_WEIGHTS, seed=13)
+    return split.groupBy("split", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("sum_chars"),
+    )
+
+
+# Skewed recipe: boost the first five sources, squeeze the rest — exercises
+# both the down-sample path and the thr=DENOM keep-everything path.
+_MIX_TARGETS = {f"src{i}": (0.12 if i < 5 else 0.0267) for i in range(20)}
+
+
+@query(
+    "rebalance_source_mixture",
+    f"""
+WITH thr AS ({smp.rebalance_thresholds_sql("documents", "source", _MIX_TARGETS)}),
+kept AS (
+  SELECT d.source FROM documents d JOIN thr ON thr.source = d.source
+   WHERE {smp.hash_gate_sql("CAST(doc_id AS VARCHAR)", seed=21)} < thr.thr
+)
+SELECT t.source, t.n_s AS n_total, coalesce(k.n_kept, 0) AS n_kept
+  FROM thr t
+  LEFT JOIN (SELECT source, count(*) AS n_kept FROM kept GROUP BY source) k
+         ON k.source = t.source
+""",
+    tags=("sampling", "mixture"),
+)
+def rebalance_source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-mixture rebalancing (operators/sampling.py rebalance_mixture):
+    down-sample each source toward a target share layout with exact integer
+    acceptance thresholds — the data-recipe op of a pretraining pipeline;
+    summary = kept vs total per source. [ABSENT in reference: SURVEY §2.7
+    LLM-pipeline extension.]"""
+    docs = _t(spark, sf_dir, "documents")
+    kept = smp.rebalance_mixture(docs, "source", "doc_id", _MIX_TARGETS, seed=21)
+    totals = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_total"))
+    kept_counts = kept.groupBy("source").agg(F.count(F.lit(1)).alias("_k"))
+    return totals.join(kept_counts, "source", "left").select(
+        "source",
+        "n_total",
+        F.coalesce(F.col("_k"), F.lit(0)).cast("bigint").alias("n_kept"),
+    )
+
+
+@query(
     "shard_assignment_documents",
     smp.shard_assignment_sql("documents", "doc_id", n_shards=16, seed=7),
     tags=("sampling", "sharding"),

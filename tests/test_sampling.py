@@ -77,3 +77,31 @@ def test_split_disjoint_exhaustive_stable(spark):
         .count()
     )
     assert moved == 0
+
+
+# --- source-mixture rebalancing ---
+
+
+def test_rebalance_down_samples_toward_targets(spark):
+    from pyspark.sql import functions as F
+
+    from fdp_dynamically_controlled_streams_spark.operators.sampling import (
+        rebalance_mixture,
+    )
+
+    # 3 strata, deliberately unbalanced: a=600, b=300, c=100 of 1000
+    df = spark.range(0, 1000).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") < 600, "a").when(F.col("id") < 900, "b").otherwise("c").alias("src"),
+    )
+    kept = rebalance_mixture(df, "src", "k", {"a": 0.2, "b": 0.3, "c": 0.5}, seed=4)
+    counts = {r.src: r.n for r in kept.groupBy("src").agg(F.count(F.lit(1)).alias("n")).collect()}
+    # a: thr = 0.2*1000/600 -> ~333bp of 600 ≈ 200 expected (hash noise ±)
+    assert 150 <= counts["a"] <= 250
+    # b: thr = 0.3*1000/300 = 1.0 -> keep everything
+    assert counts["b"] == 300
+    # c under target (c share 0.1 < 0.5): keep everything, never up-sample
+    assert counts["c"] == 100
+    # determinism: same seed, same membership
+    again = rebalance_mixture(df, "src", "k", {"a": 0.2, "b": 0.3, "c": 0.5}, seed=4)
+    assert {r.k for r in kept.collect()} == {r.k for r in again.collect()}
