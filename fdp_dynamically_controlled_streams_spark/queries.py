@@ -2448,8 +2448,11 @@ def stream_tumbling_agg_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     events = _t(spark, sf_dir, "events")
+    # Shared fixture key: the sliding-window replay consumes the identical
+    # (event_id, ts, event_type, value) event-time chunking — one build
+    # serves both entries.
     fix = cached_fixture(
-        "stream_tumbling_agg_replay",
+        "events_ts_value_2chunks",
         sf_dir,
         lambda p: write_replay_chunks_df(
             events.select("event_id", "ts", "event_type", "value"),
@@ -2468,6 +2471,89 @@ def stream_tumbling_agg_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = (
         stream.withWatermark("ts", "30 minutes")
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            _dsum(F.col("value")).alias("total_value"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+    out = f"{tmp}/out"
+    with _replay_conf(spark, partitions=8):
+        q = (
+            agg.writeStream.outputMode("append")
+            .foreachBatch(lambda bdf, bid: bdf.write.mode("append").parquet(out))
+            .option("checkpointLocation", f"{tmp}/chk")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    return _read_replay_out(
+        spark,
+        "window_start string, event_type string, n_events long, total_value double",
+        out,
+    ).select("window_start", "event_type", "n_events", "total_value")
+
+
+@query(
+    "stream_sliding_agg_replay",
+    """
+WITH mx AS (SELECT max(ts) AS m FROM events),
+grid AS (
+  SELECT ts, event_type, value,
+         time_bucket(INTERVAL 30 MINUTE, ts) - i * INTERVAL 30 MINUTE AS w_start
+    FROM events CROSS JOIN (SELECT unnest([0, 1]) AS i)
+)
+SELECT strftime(w_start, '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type,
+       count(*) AS n_events,
+       round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 2) AS total_value
+  FROM grid, mx
+ WHERE w_start + INTERVAL 1 HOUR <= mx.m - INTERVAL 30 MINUTE
+ GROUP BY w_start, event_type
+""",
+    tags=("streaming", "event_time", "window_agg", "sliding", "watermark"),
+)
+def stream_sliding_agg_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked SLIDING-window aggregation on the streaming runtime
+    (append mode): 1 h windows every 30 min — each event owns 2 open windows
+    of state; a window emits exactly once when the watermark passes its end.
+    Completes the streaming window trio (tumbling, session, sliding), all
+    against batch-twin oracles with the finalization rule encoded. Reuses
+    the tumbling replay's cached fixture (same chunking spec)."""
+    import tempfile
+
+    from fdp_dynamically_controlled_streams_spark.sources.registry import (
+        cached_fixture,
+        replay_dir,
+        write_replay_chunks_df,
+    )
+
+    events = _t(spark, sf_dir, "events")
+    fix = cached_fixture(
+        "events_ts_value_2chunks",
+        sf_dir,
+        lambda p: write_replay_chunks_df(
+            events.select("event_id", "ts", "event_type", "value"),
+            f"{p}/data",
+            n_chunks=2,
+            order_cols=("ts", "event_id"),
+        ),
+    )
+    tmp = tempfile.mkdtemp(prefix="dcs-slwagg-")
+    stream = replay_dir(
+        spark,
+        f"{fix}/data",
+        "event_id long, ts timestamp, event_type string, value double",
+        files_per_trigger=1,
+    )
+    agg = (
+        stream.withWatermark("ts", "30 minutes")
+        .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             _dsum(F.col("value")).alias("total_value"),
