@@ -212,3 +212,104 @@ SELECT {group_alias}, n_exact,
                  - n_exact) / n_exact, 6) AS rel_err
 FROM agg
 """
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch (Cormode & Muthukrishnan 2005): point-frequency estimation
+# in d*w fixed counters. Like KMV/HLL above, built on the seeded portable
+# hash so the SKETCH AND ITS ESTIMATES replay bit-for-bit in the SQL oracle —
+# Spark has no frequency sketch at all (approx_count_distinct is cardinality,
+# freqItems gives items without counts).
+# ---------------------------------------------------------------------------
+
+CMS_D, CMS_W = 4, 256
+
+
+def _cms_cells(v: F.Column, d: int, w: int) -> list[F.Column]:
+    """The d counter columns of a value: hash_r(v) % w, literal seeds."""
+    return [(portable_hash64(v, seed=r) % F.lit(w)) for r in range(d)]
+
+
+def cms_heavy_hitters(
+    df: DataFrame,
+    value_col: str,
+    d: int = CMS_D,
+    w: int = CMS_W,
+    top: int = 10,
+) -> DataFrame:
+    """CMS frequency estimates for the ``top`` most frequent values, next to
+    their exact counts: (value, n_exact, cms_estimate, overestimate).
+
+    The one-sided error guarantee is visible in the output: estimate >=
+    exact always (collisions only ADD), overflow error <= N*e/w with
+    probability 1 - e^-d. Scale shape: the counter build is one shuffle to a
+    FIXED d*w-row table (the mergeable partial — shard sketches combine by
+    summing counters); estimation broadcasts that table against the probe
+    set. Raw rows are never sorted or joined against each other.
+    """
+    base = df.select(F.col(value_col).cast("string").alias("v"))
+    cells = base.select(
+        "v",
+        F.posexplode(F.array(*_cms_cells(F.col("v"), d, w))).alias("r", "c"),
+    )
+    counters = cells.groupBy("r", "c").agg(F.count(F.lit(1)).alias("cnt"))
+    exact = base.groupBy("v").agg(F.count(F.lit(1)).alias("n_exact"))
+    wnd = Window.orderBy(F.desc("n_exact"), F.asc("v"))
+    probes = (
+        exact.withColumn("_rk", F.row_number().over(wnd))
+        .where(F.col("_rk") <= top)
+        .drop("_rk")
+    )
+    probe_cells = probes.select(
+        "v",
+        "n_exact",
+        F.posexplode(F.array(*_cms_cells(F.col("v"), d, w))).alias("r", "c"),
+    )
+    return (
+        probe_cells.join(F.broadcast(counters), ["r", "c"])
+        .groupBy("v", "n_exact")
+        .agg(F.min("cnt").alias("cms_estimate"))
+        .select(
+            F.col("v").alias("value"),
+            "n_exact",
+            "cms_estimate",
+            (F.col("cms_estimate") - F.col("n_exact")).alias("overestimate"),
+        )
+    )
+
+
+def cms_heavy_hitters_sql(
+    table: str,
+    value_expr: str,
+    d: int = CMS_D,
+    w: int = CMS_W,
+    top: int = 10,
+) -> str:
+    """DuckDB twin of :func:`cms_heavy_hitters` (same seeded hashes, same
+    counters, same min-over-rows estimate)."""
+    cell_selects = " UNION ALL ".join(
+        f"SELECT v, {r} AS r, {portable_hash64_sql('v', seed=r)} % {w} AS c FROM base"
+        for r in range(d)
+    )
+    probe_selects = " UNION ALL ".join(
+        f"SELECT v, n_exact, {r} AS r, {portable_hash64_sql('v', seed=r)} % {w} AS c"
+        f" FROM probes"
+        for r in range(d)
+    )
+    return f"""
+WITH base AS (SELECT CAST({value_expr} AS VARCHAR) AS v FROM {table}),
+cells AS ({cell_selects}),
+counters AS (SELECT r, c, count(*) AS cnt FROM cells GROUP BY r, c),
+exact AS (SELECT v, count(*) AS n_exact FROM base GROUP BY v),
+probes AS (
+  SELECT v, n_exact FROM (
+    SELECT v, n_exact, row_number() OVER (ORDER BY n_exact DESC, v) AS rk
+      FROM exact) WHERE rk <= {top}
+),
+probe_cells AS ({probe_selects})
+SELECT pc.v AS value, pc.n_exact,
+       min(ct.cnt) AS cms_estimate,
+       min(ct.cnt) - pc.n_exact AS overestimate
+  FROM probe_cells pc JOIN counters ct ON ct.r = pc.r AND ct.c = pc.c
+ GROUP BY pc.v, pc.n_exact
+"""

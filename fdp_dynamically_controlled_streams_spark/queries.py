@@ -1997,6 +1997,20 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sketch_cms_heavy_hitters",
+    skt.cms_heavy_hitters_sql("orders", "o_custkey"),
+    tags=("sketch", "frequency"),
+)
+def sketch_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch (d=4, w=256) frequency estimates for the 10 most
+    frequent customers, next to exact counts — the point-frequency sketch
+    missing from Spark's built-ins, engine-reproducible like KMV/HLL so the
+    ESTIMATES hash-match the oracle; `overestimate` surfaces the one-sided
+    error (operators/sketches.py cms_heavy_hitters)."""
+    return skt.cms_heavy_hitters(_t(spark, sf_dir, "orders"), "o_custkey")
+
+
+@query(
     "sketch_kmv_distinct_customers",
     skt.kmv_distinct_sql(
         "orders", "o_orderpriority", "o_orderpriority", "o_custkey", k=64

@@ -88,3 +88,61 @@ def test_hll_shard_union_merges(spark):
     whole = hll_distinct(s1.unionAll(s2), ["g"], "v").collect()[0]
     again = hll_distinct(s2.unionAll(s1), ["g"], "v").collect()[0]
     assert (whole.n_exact, whole.hll_estimate) == (again.n_exact, again.hll_estimate)
+
+
+# --- count-min sketch laws ---
+
+
+def test_cms_one_sided_error_for_all_values(spark):
+    from fdp_dynamically_controlled_streams_spark.operators.sketches import (
+        cms_heavy_hitters,
+    )
+
+    # zipf-ish: value v appears ~1000/(v+1) times, 200 distinct values
+    df = spark.range(0, 200).selectExpr(
+        "explode(sequence(1, cast(1000 / (id + 1) as int) + 1)) AS rep", "id AS v"
+    )
+    out = cms_heavy_hitters(df, "v", top=200).collect()
+    assert len(out) == 200
+    assert all(r.cms_estimate >= r.n_exact for r in out)  # never underestimates
+    assert all(r.overestimate == r.cms_estimate - r.n_exact for r in out)
+
+
+def test_cms_exact_when_wide_enough(spark):
+    from fdp_dynamically_controlled_streams_spark.operators.sketches import (
+        cms_heavy_hitters,
+    )
+
+    # 8 distinct values, w=256, d=4: a collision in ALL 4 rows is (8/256)^4
+    # unlikely by construction with the fixed seeds -> estimates exact
+    df = spark.range(0, 800).selectExpr("id % 8 AS v")
+    out = cms_heavy_hitters(df, "v", top=8).collect()
+    assert all(r.overestimate == 0 and r.n_exact == 100 for r in out)
+
+
+def test_cms_counters_merge_by_sum(spark):
+    from pyspark.sql import functions as F
+
+    from fdp_dynamically_controlled_streams_spark.operators.sketches import (
+        CMS_D,
+        CMS_W,
+        _cms_cells,
+    )
+
+    # sketch(shard A) + sketch(shard B) == sketch(A union B), counter-wise
+    def counters(df):
+        cells = df.select(
+            F.posexplode(
+                F.array(*_cms_cells(F.col("v").cast("string"), CMS_D, CMS_W))
+            ).alias("r", "c")
+        )
+        return {
+            (r.r, r.c): r.cnt
+            for r in cells.groupBy("r", "c").agg(F.count(F.lit(1)).alias("cnt")).collect()
+        }
+
+    a = spark.range(0, 300).selectExpr("id % 37 AS v")
+    b = spark.range(300, 700).selectExpr("id % 53 AS v")
+    ca, cb, cu = counters(a), counters(b), counters(a.union(b))
+    merged = {k: ca.get(k, 0) + cb.get(k, 0) for k in set(ca) | set(cb)}
+    assert merged == cu
