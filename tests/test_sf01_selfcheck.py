@@ -19,16 +19,21 @@ from tests.oracle_harness import compare, duck_con
 
 SF01 = "/root/testdata/sf0.1"
 
-#: The 10 most expensive entries by BENCH_r03.json measured wall time.
+#: The most expensive entries by BENCH_r04 measured wall time, plus every
+#: round-4 addition heavy enough to matter at the bench SF.
 PRICIEST = [
-    "controller_streaming_replay",
     "stream_interval_join_replay",
     "dedup_clusters",
     "ann_recall_report",
-    "stream_tumbling_agg_replay",
-    "dedup_minhash_lsh",
+    "controller_streaming_replay",
     "stream_session_window_replay",
+    "dedup_minhash_lsh",
+    "stream_sliding_agg_replay",
     "join_min_cost_supplier",
+    "stream_tumbling_agg_replay",
+    "contamination_ngram_overlap",
+    "text_local_min_fingerprints",
+    "curation_pipeline_end_to_end",
     "streaming_dedup_replay",
     "ann_ivf_topk",
 ]
