@@ -133,6 +133,35 @@ def assign_split_sql(key_expr: str, weights: dict[str, float], seed: int = 0) ->
     return "(CASE " + " ".join(whens) + " END)"
 
 
+def bottomk_sample(df: DataFrame, key: str, k: int, seed: int = 0) -> DataFrame:
+    """Fixed-size uniform k-sample: the k rows with the smallest key hashes
+    — the deterministic equivalent of reservoir sampling (same membership on
+    any engine / partitioning / pass count), and mergeable: the bottom-k of
+    shard bottom-ks is the global bottom-k.
+
+    Output: (key, rank) with rank 1..k in hash order. Plan shape: Spark
+    compiles orderBy+limit to TakeOrderedAndProject — per-partition top-k
+    then a k-row merge, never a global sort; the final rank window runs on
+    k rows."""
+    from pyspark.sql import Window
+
+    h = portable_hash64(F.col(key).cast("string"), seed)
+    top = df.select(key).withColumn("_h", h).orderBy("_h", key).limit(k)
+    w = Window.orderBy("_h", key)
+    return top.select(key, F.row_number().over(w).alias("rank"))
+
+
+def bottomk_sample_sql(table: str, key_expr: str, k: int, seed: int = 0) -> str:
+    """DuckDB twin of :func:`bottomk_sample`."""
+    h = portable_hash64_sql(f"CAST({key_expr} AS VARCHAR)", seed)
+    return f"""
+SELECT {key_expr}, CAST(rank AS INT) AS rank FROM (
+  SELECT {key_expr}, row_number() OVER (ORDER BY {h}, {key_expr}) AS rank
+    FROM {table}
+) WHERE rank <= {k}
+"""
+
+
 def rebalance_mixture(
     df: DataFrame,
     strata: str,

@@ -1997,6 +1997,19 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sample_bottomk_documents",
+    smp.bottomk_sample_sql("documents", "doc_id", k=100, seed=5),
+    tags=("sampling", "bottomk"),
+)
+def sample_bottomk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size uniform 100-sample via bottom-k hashes — deterministic
+    reservoir equivalent, mergeable across shards; compiles to
+    TakeOrderedAndProject, never a global sort (operators/sampling.py
+    bottomk_sample)."""
+    return smp.bottomk_sample(_t(spark, sf_dir, "documents"), "doc_id", k=100, seed=5)
+
+
+@query(
     "sketch_cms_heavy_hitters",
     skt.cms_heavy_hitters_sql("orders", "o_custkey"),
     tags=("sketch", "frequency"),

@@ -105,3 +105,23 @@ def test_rebalance_down_samples_toward_targets(spark):
     # determinism: same seed, same membership
     again = rebalance_mixture(df, "src", "k", {"a": 0.2, "b": 0.3, "c": 0.5}, seed=4)
     assert {r.k for r in kept.collect()} == {r.k for r in again.collect()}
+
+
+def test_bottomk_fixed_size_merge_law(spark):
+    from pyspark.sql import functions as F
+
+    from fdp_dynamically_controlled_streams_spark.operators.sampling import (
+        bottomk_sample,
+    )
+
+    df = spark.range(0, 5000).select(F.col("id").alias("k"))
+    s = bottomk_sample(df, "k", k=50, seed=9)
+    got = [r.k for r in s.orderBy("rank").collect()]
+    assert len(got) == 50 and len(set(got)) == 50
+    # merge law: bottom-k of shard bottom-ks == global bottom-k
+    a = bottomk_sample(df.where(F.col("k") < 2500), "k", 50, seed=9)
+    b = bottomk_sample(df.where(F.col("k") >= 2500), "k", 50, seed=9)
+    merged = bottomk_sample(a.select("k").union(b.select("k")), "k", 50, seed=9)
+    assert [r.k for r in merged.orderBy("rank").collect()] == got
+    # plan shape: TakeOrderedAndProject, not a global Sort+Exchange
+    assert "TakeOrderedAndProject" in s._jdf.queryExecution().executedPlan().toString()
