@@ -1690,7 +1690,9 @@ def streaming_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     deduped = stream.dropDuplicates(["user_id", "event_type"])
     out = f"{tmp}/out"
-    with _replay_conf(spark, partitions=8):
+    # Measured at sf0.1: 4 state partitions beat 8 (commit overhead > state
+    # volume at replay scale); partition-invariant, oracle-checked.
+    with _replay_conf(spark, partitions=4):
         q = (
             deduped.select("user_id", "event_type")
             .writeStream.outputMode("append")
@@ -2510,7 +2512,9 @@ def stream_tumbling_agg_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     out = f"{tmp}/out"
-    with _replay_conf(spark, partitions=8):
+    # Measured at sf0.1: 4 state partitions beat 8 (commit overhead > state
+    # volume at replay scale); partition-invariant, oracle-checked.
+    with _replay_conf(spark, partitions=4):
         q = (
             agg.writeStream.outputMode("append")
             .foreachBatch(lambda bdf, bid: bdf.write.mode("append").parquet(out))
@@ -2593,7 +2597,9 @@ def stream_sliding_agg_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     out = f"{tmp}/out"
-    with _replay_conf(spark, partitions=8):
+    # Measured at sf0.1: 4 state partitions beat 8 (commit overhead > state
+    # volume at replay scale); partition-invariant, oracle-checked.
+    with _replay_conf(spark, partitions=4):
         q = (
             agg.writeStream.outputMode("append")
             .foreachBatch(lambda bdf, bid: bdf.write.mode("append").parquet(out))
@@ -2679,8 +2685,11 @@ def stream_interval_join_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = f"{tmp}/out"
     # Stream-stream join keeps 4 state stores per shuffle partition per
-    # micro-batch, so partition count is the store-commit multiplier here.
-    with _replay_conf(spark, partitions=8):
+    # micro-batch, so partition count is the store-commit multiplier here:
+    # measured at sf0.1, 4 partitions beat 8 by ~20% (commit overhead
+    # dominates this replay's state volume; results are partition-invariant,
+    # oracle-checked at both SFs).
+    with _replay_conf(spark, partitions=4):
         q = (
             shaped.writeStream.outputMode("append")
             .foreachBatch(lambda bdf, bid: bdf.write.mode("append").parquet(out))
@@ -3646,7 +3655,9 @@ def stream_session_window_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "session_start", "n_events", "duration_sec")
     )
     out = f"{tmp}/out"
-    with _replay_conf(spark, partitions=8):
+    # Measured at sf0.1: 4 state partitions beat 8 (commit overhead > state
+    # volume at replay scale); partition-invariant, oracle-checked.
+    with _replay_conf(spark, partitions=4):
         q = (
             agg.writeStream.outputMode("append")
             .foreachBatch(lambda bdf, bid: bdf.write.mode("append").parquet(out))
