@@ -3498,18 +3498,19 @@ def multimodal_payload_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 SELECT fmt, event_type, count(*) AS n,
        round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 2) AS total_value
-  FROM events CROSS JOIN (SELECT unnest(['csv', 'json', 'orc']) AS fmt)
+  FROM events CROSS JOIN (SELECT unnest(['csv', 'json', 'orc', 'text']) AS fmt)
  GROUP BY fmt, event_type
 """,
     tags=("sources", "formats"),
 )
 def source_format_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Live CSV, JSON and ORC source/sink round-trip (SURVEY §2.1 'file
-    formats' row): events projected and written to all three formats, read
-    back through sources.registry with explicit schemas, unioned under a
-    format tag, and aggregated — every format path must reproduce the
+    """Live CSV, JSON, ORC and line-text source/sink round-trip (SURVEY §2.1
+    'file formats' row): events projected and written to all four formats,
+    read back through sources.registry with explicit schemas, unioned under
+    a format tag, and aggregated — every format path must reproduce the
     parquet-sourced oracle exactly (doubles survive the text formats via
-    shortest-round-trip repr; ORC is binary-exact)."""
+    shortest-round-trip repr; ORC is binary-exact; the text leg writes
+    delimited lines and re-parses them, the raw log-file path)."""
     import tempfile
 
     from fdp_dynamically_controlled_streams_spark.sources import registry as reg
@@ -3520,6 +3521,9 @@ def source_format_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     e.write.mode("overwrite").option("header", "true").csv(f"{tmp}/csv")
     e.write.mode("overwrite").json(f"{tmp}/json")
     e.write.mode("overwrite").orc(f"{tmp}/orc")
+    e.select(
+        F.concat_ws(",", "event_type", F.col("value").cast("string")).alias("value")
+    ).write.mode("overwrite").text(f"{tmp}/text")
     parts = []
     for fmt in ("csv", "json", "orc"):
         opts = {"header": "true"} if fmt == "csv" else {}
@@ -3527,8 +3531,19 @@ def source_format_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             reg.read_batch(spark, fmt, f"{tmp}/{fmt}", schema=ddl, **opts)
             .withColumn("fmt", F.lit(fmt))
         )
-    both = parts[0].unionByName(parts[1]).unionByName(parts[2])
-    return both.groupBy("fmt", "event_type").agg(
+    line = F.split(F.col("value"), ",", 2)
+    parts.append(
+        reg.read_batch(spark, "text", f"{tmp}/text")
+        .select(
+            line.getItem(0).alias("event_type"),
+            line.getItem(1).cast("double").alias("value"),
+        )
+        .withColumn("fmt", F.lit("text"))
+    )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.groupBy("fmt", "event_type").agg(
         F.count(F.lit(1)).alias("n"), _dsum(F.col("value")).alias("total_value")
     )
 

@@ -22,7 +22,7 @@ from typing import Any, Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
-_BATCH_FORMATS = ("parquet", "json", "csv", "orc")
+_BATCH_FORMATS = ("parquet", "json", "csv", "orc", "text")
 
 #: Phase counters read by bench.py to split fixture-build cost out of the
 #: per-query wall time (r3 verdict: the replay entries' regression had to be
