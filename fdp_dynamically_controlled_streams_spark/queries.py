@@ -1958,7 +1958,9 @@ def rebalance_source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept = smp.rebalance_mixture(docs, "source", "doc_id", _MIX_TARGETS, seed=21)
     totals = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_total"))
     kept_counts = kept.groupBy("source").agg(F.count(F.lit(1)).alias("_k"))
-    return totals.join(kept_counts, "source", "left").select(
+    # Both sides are #sources rows — broadcast explicitly (the initial plan
+    # chose a sort-merge join before AQE could see the sizes).
+    return totals.join(F.broadcast(kept_counts), "source", "left").select(
         "source",
         "n_total",
         F.coalesce(F.col("_k"), F.lit(0)).cast("bigint").alias("n_kept"),
