@@ -2706,6 +2706,92 @@ def stream_interval_join_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_interval_left_join_replay",
+    """
+WITH p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+c AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+wm AS (SELECT least((SELECT max(ts) FROM p), (SELECT max(ts) FROM c))
+              - INTERVAL 2 HOUR AS w)
+SELECT p.user_id,
+       strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+       strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts
+  FROM p JOIN c ON c.user_id = p.user_id
+              AND c.ts >= p.ts AND c.ts <= p.ts + INTERVAL 1 HOUR
+UNION ALL
+SELECT p.user_id, strftime(p.ts, '%Y-%m-%d %H:%M:%S'), NULL
+  FROM p, wm
+ WHERE NOT EXISTS (SELECT 1 FROM c
+                    WHERE c.user_id = p.user_id
+                      AND c.ts >= p.ts AND c.ts <= p.ts + INTERVAL 1 HOUR)
+   AND p.ts + INTERVAL 1 HOUR < wm.w
+""",
+    tags=("streaming", "join", "interval", "outer", "watermark"),
+)
+def stream_interval_left_join_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER watermarked stream-stream interval join: matched pairs
+    emit like the inner entry; an unmatched purchase emits with a NULL click
+    only once the global watermark (min of both sides' max ts - 2 h) has
+    passed its 1-hour band — null emission is watermark-DRIVEN, not
+    end-of-stream-driven, and the oracle encodes exactly that rule, so
+    equality proves the outer-state eviction semantics, not just the join."""
+    import tempfile
+
+    from fdp_dynamically_controlled_streams_spark.sources.registry import (
+        cached_fixture,
+        replay_dir,
+        write_replay_chunks_df,
+    )
+    from fdp_dynamically_controlled_streams_spark.streaming.interval_join import (
+        interval_join_streams,
+    )
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    ddl = "user_id long, ts timestamp"
+
+    def _build(p: str) -> None:
+        for side, etype in (("left", "purchase"), ("right", "click")):
+            write_replay_chunks_df(
+                ev.where(F.col("event_type") == etype).select("user_id", "ts"),
+                f"{p}/{side}",
+                n_chunks=2,
+                order_cols=("ts",),
+            )
+
+    # Same chunking spec as the inner entry -> shared cached fixture.
+    fix = cached_fixture("stream_interval_join_replay", sf_dir, _build)
+    tmp = tempfile.mkdtemp(prefix="dcs-ivjlo-")
+    joined = interval_join_streams(
+        replay_dir(spark, f"{fix}/left", ddl, files_per_trigger=1),
+        replay_dir(spark, f"{fix}/right", ddl, files_per_trigger=1),
+        "user_id",
+        "ts",
+        "ts",
+        F.expr("INTERVAL 0 SECONDS"),
+        F.expr("INTERVAL 1 HOUR"),
+        watermark="2 hours",
+        how="leftOuter",
+    )
+    shaped = joined.select(
+        F.col("l_user_id").alias("user_id"),
+        F.date_format("l_ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+        F.date_format("r_ts", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
+    )
+    out = f"{tmp}/out"
+    with _replay_conf(spark, partitions=4):
+        q = (
+            shaped.writeStream.outputMode("append")
+            .foreachBatch(lambda bdf, bid: bdf.write.mode("append").parquet(out))
+            .option("checkpointLocation", f"{tmp}/chk")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    return _read_replay_out(
+        spark, "user_id long, purchase_ts string, click_ts string", out
+    ).select("user_id", "purchase_ts", "click_ts")
+
+
+@query(
     "reshape_unpivot_lineitem",
     """
 SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure,
