@@ -29,6 +29,8 @@ def contamination_report(
     text_col: str = "text",
     shingle_n: int = 3,
     flag_ratio: float = 0.5,
+    broadcast_eval: bool | None = None,
+    eval_broadcast_cap: int = 100_000,
 ) -> DataFrame:
     """Per TRAINING document: distinct n-gram shingle count, how many of
     those shingles also occur anywhere in the eval set (``eval_pred`` rows),
@@ -38,20 +40,33 @@ def contamination_report(
     absent from the report (nothing to overlap on) — same convention as the
     Jaccard dedup tier. Ratios use exact integer division at 1e-6 so the
     report value-hashes against a SQL oracle.
+
+    The broadcast of eval ids / eval shingles assumes a BENCHMARK-sized eval
+    side (≤ ~10^5 docs — the published-benchmark shape). ``broadcast_eval``:
+    True forces broadcast, False forces shuffle joins (an eval side that is
+    a large corpus slice would OOM the driver if broadcast), None counts the
+    eval docs once and broadcasts iff ≤ ``eval_broadcast_cap``. Callers that
+    know the shape should pass True/False to skip the gating count.
     """
+    if broadcast_eval is None:
+        broadcast_eval = (
+            docs.where(eval_pred).limit(eval_broadcast_cap + 1).count()
+            <= eval_broadcast_cap
+        )
+    bcast = F.broadcast if broadcast_eval else (lambda df: df)
     sh = shingle_rows(docs, id_col, text_col, shingle_n).select(
         "id", portable_hash64(F.col("s")).alias("h")
     )
     eval_ids = docs.where(eval_pred).select(F.col(id_col).alias("id"))
     # Distinct eval shingle hashes: benchmark-sized, broadcast explicitly.
     eval_sh = (
-        sh.join(F.broadcast(eval_ids), "id", "left_semi")
+        sh.join(bcast(eval_ids), "id", "left_semi")
         .select("h")
         .distinct()
         .withColumn("hit", F.lit(1))
     )
-    train_sh = sh.join(F.broadcast(eval_ids), "id", "left_anti")
-    probed = train_sh.join(F.broadcast(eval_sh), "h", "left")
+    train_sh = sh.join(bcast(eval_ids), "id", "left_anti")
+    probed = train_sh.join(bcast(eval_sh), "h", "left")
     return (
         probed.groupBy(F.col("id").alias(id_col))
         .agg(

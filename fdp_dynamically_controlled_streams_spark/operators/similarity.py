@@ -130,13 +130,16 @@ def ivf_topk(
         .collect(),
         key=lambda r: r[0],
     )
-    cent_vecs = [
-        F.array(*[F.lit(float(x)) for x in r[1]]) for r in cents
-    ]
-    cent_ids = F.array(*[F.lit(int(r[0])) for r in cents])
+    # ONE nested array literal + a transform HOF, not n_cells separate
+    # literal arrays each with its own cosine tree: the centroid matrix is a
+    # single Literal node, so plan analysis/codegen cost is independent of
+    # n_cells × dim (measured: the per-centroid literal style dominated this
+    # operator's wall time at probe scale — analysis overhead, not compute).
+    cent_ids = F.lit([int(r[0]) for r in cents])
+    cent_mat = F.lit([[float(x) for x in r[1]] for r in cents])
 
     def scores(vec):
-        return F.array(*[cosine(vec, cv) for cv in cent_vecs])
+        return F.transform(cent_mat, lambda c: cosine(vec, c))
 
     corpus = embeddings.select(
         F.col(id_col).alias("cand_id"),
@@ -205,6 +208,12 @@ def recall_report(
     (hits / total exact pairs); the brute-force row is the 1.0 anchor.
     recall_at_k uses exact integer division at 1e-6 so the value is
     bit-reproducible against the SQL oracle."""
+    # All three tiers scan the same corpus: materialize the (id, vec)
+    # projection once so brute-force, LSH and IVF (including its centroid
+    # collect) read executor-local blocks instead of re-scanning parquet
+    # three times. localCheckpoint also cuts lineage, so each tier's plan
+    # starts from the cached scan.
+    embeddings = embeddings.select("vec_id", "embedding").localCheckpoint()
     # The exact pair set anchors all three semi-joins plus the denominator:
     # materialize it once (probe-set-sized — tiny) instead of re-scanning
     # the corpus four times.

@@ -1474,7 +1474,9 @@ def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     d = _t(spark, sf_dir, "documents")
-    return contamination_report(d, F.col("doc_id") % 97 == 0)
+    # The eval slice is ~1% of documents — benchmark-sized by construction,
+    # so skip the gating count (broadcast_eval=None would spend a job).
+    return contamination_report(d, F.col("doc_id") % 97 == 0, broadcast_eval=True)
 
 
 # =========================================================================
@@ -1800,6 +1802,59 @@ def multimodal_real_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     return mm.decode_media_real(mm.attach_real_media(docs))
+
+
+# PNG (r4 verdict task 4): a COMPRESSED real format with zero dependencies —
+# IDAT is stdlib-zlib deflate over per-scanline filtered bytes (encoder
+# cycles all five PNG filter types). The oracle replays the LCG payload as a
+# recursive CTE, so hash equality proves the decoder's inflate + unfilter
+# recovered the byte-exact pixel stream (mean_intensity), not just headers.
+_MULTIMODAL_PNG_ORACLE = """
+WITH RECURSIVE dims AS (
+  SELECT CAST(doc_id AS BIGINT) AS media_id,
+         CAST(5 + doc_id % 8 AS INT) AS width,
+         CAST(3 + doc_id % 6 AS INT) AS height,
+         CAST((5 + doc_id % 8) * (3 + doc_id % 6) * 3 AS BIGINT) AS n
+  FROM documents
+), lcg AS (
+  SELECT media_id, width, height, n, CAST(0 AS BIGINT) AS i,
+         (media_id * 2654435761 + 12345) % 4294967296 AS x,
+         CAST(0 AS BIGINT) AS acc
+  FROM dims
+  UNION ALL
+  SELECT media_id, width, height, n, i + 1,
+         (x * 1103515245 + 12345) % 4294967296,
+         acc + (((x * 1103515245 + 12345) % 4294967296) // 65536) % 256
+  FROM lcg WHERE i < n
+)
+SELECT media_id,
+       'image/png' AS content_type,
+       width, height,
+       CAST(3 AS INT) AS channels,
+       CAST(8 AS INT) AS bit_depth,
+       n AS n_payload_bytes,
+       CAST(acc * 1000000 // n AS DOUBLE) / 1000000 AS mean_intensity,
+       TRUE AS ok
+FROM lcg WHERE i = n
+"""
+
+
+@query(
+    "multimodal_png_formats",
+    _MULTIMODAL_PNG_ORACLE,
+    tags=("multimodal", "codec"),
+)
+def multimodal_png_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real-PNG multimodal decode: spec-exact encoder (CRC-32 chunks, all 5
+    scanline filters, zlib IDAT) and decoder built on stdlib `zlib` only
+    (operators/multimodal.py encode_png/decode_png), through the same
+    mapInPandas plumbing as the BMP/WAV tier. mean_intensity over the
+    decoded pixels equals the oracle's LCG replay only if decompression and
+    unfiltering are byte-exact."""
+    from fdp_dynamically_controlled_streams_spark.operators import multimodal as mm
+
+    docs = _t(spark, sf_dir, "documents")
+    return mm.decode_png_features(mm.attach_png_media(docs))
 
 
 # =========================================================================

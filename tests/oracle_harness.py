@@ -126,6 +126,16 @@ def main() -> int:
         print(("PASS" if ok else "FAIL") + f" {name}: {msg}")
         failures += 0 if ok else 1
     if json_out:
+        # Incremental mode: checking a subset merges into an existing
+        # artifact (stale keys — entries no longer in the catalog — are
+        # dropped), so the checked-in self-check can stay fresh per commit
+        # without a full-catalog rerun; a full regen still rewrites all.
+        from pathlib import Path
+
+        if argv[1:] and Path(json_out).exists():
+            merged = json.loads(Path(json_out).read_text())
+            merged.update(records)
+            records = {k: v for k, v in merged.items() if k in catalog()}
         with open(json_out, "w") as fh:
             json.dump(records, fh, indent=2)
         print(f"wrote {json_out} ({len(records)} entries)")

@@ -1,0 +1,63 @@
+"""Doc/artifact freshness gates (r4 verdict task 1 + 3).
+
+Three rounds in a row a hardcoded count chased the catalog, and round 4's
+last-minute entry shipped outside every checked-in self-check artifact.
+These tests make both failure modes a red `pytest` instead of a judge
+finding:
+
+- README's "N catalog queries" must equal ``len(catalog())``.
+- The newest ``CORRECTNESS_SELF_r*.json`` must cover the catalog exactly
+  (every entry checked, no stale entries), and every record must be green.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+def _catalog_names() -> set[str]:
+    from fdp_dynamically_controlled_streams_spark.queries import catalog
+
+    return set(catalog())
+
+
+def test_readme_catalog_count_matches_registry():
+    text = (REPO / "README.md").read_text()
+    counts = {int(m) for m in re.findall(r"(\d+) catalog queries", text)}
+    assert counts, "README no longer states the catalog count"
+    assert counts == {len(_catalog_names())}, (
+        f"README says {counts} catalog queries; registry has "
+        f"{len(_catalog_names())} — regenerate the README count"
+    )
+
+
+def _latest_selfcheck() -> Path:
+    arts = sorted(REPO.glob("CORRECTNESS_SELF_r[0-9][0-9].json"))
+    assert arts, "no CORRECTNESS_SELF artifact checked in"
+    return arts[-1]
+
+
+def test_selfcheck_artifact_covers_catalog_exactly():
+    art = _latest_selfcheck()
+    records = json.loads(art.read_text())
+    missing = _catalog_names() - set(records)
+    stale = set(records) - _catalog_names()
+    assert not missing, f"{art.name} missing catalog entries: {sorted(missing)}"
+    assert not stale, f"{art.name} has stale entries: {sorted(stale)}"
+
+
+def test_selfcheck_artifact_is_green():
+    art = _latest_selfcheck()
+    bad = {
+        name: rec
+        for name, rec in json.loads(art.read_text()).items()
+        if rec.get("err") not in (None, "no_oracle")
+        or rec.get("hash_match") is False
+        or rec.get("rows_match") is False
+        or rec.get("schema_match") is False
+    }
+    assert not bad, f"{art.name} non-green records: {sorted(bad)}"

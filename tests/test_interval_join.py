@@ -70,14 +70,15 @@ def _write(rows, path, chunk_minutes=60):
     write_replay_chunks(chunks, path)
 
 
-def _streaming_pairs(spark, tmp, watermark="30 minutes"):
+def _streaming_pairs(spark, tmp, watermark="30 minutes", how="inner",
+                     right_rows=None):
     _write(_rows(0), f"{tmp}/left")
-    _write(_rows(1), f"{tmp}/right")
+    _write(right_rows if right_rows is not None else _rows(1), f"{tmp}/right")
     l = replay_dir(spark, f"{tmp}/left", DDL, files_per_trigger=1)
     r = replay_dir(spark, f"{tmp}/right", DDL, files_per_trigger=1)
     joined = interval_join_streams(
         l, r, "user_id", "ts", "ts", F.expr("INTERVAL 0 SECONDS"),
-        F.expr(BAND), watermark,
+        F.expr(BAND), watermark, how=how,
     )
     rec = ProgressRecorder()
     spark.streams.addListener(rec)
@@ -120,4 +121,56 @@ def test_matches_equal_batch_range_join_and_state_is_bounded(spark, tmpdir):
     # bounded state: 6 h of data, 30 min band + 30 min watermark -> state
     # holds ~2 h of rows, far below the full input
     total_rows = len(_rows(0)) + len(_rows(1))
+    assert 0 < peak_state < total_rows * 0.75
+
+
+def test_left_outer_nulls_are_watermark_driven_and_state_bounded(spark, tmpdir):
+    """LEFT OUTER twin of the eviction test (r4 verdict task 1): the outer
+    side's state drop is what *produces* the NULL rows — a buffered left row
+    emits (l, NULL) exactly when the global watermark passes its band and the
+    store evicts it.  So asserting (a) the NULL set equals the closed-form
+    watermark rule and (b) peak state stays bounded proves outer eviction,
+    mirroring the inner entry's listener assertion."""
+    # Gap the right stream over hours 2-4 so plenty of mid-stream left rows
+    # are unmatched with their band fully below the final watermark (the
+    # regular cadence otherwise matches every left row).
+    t0 = dt.datetime(2024, 3, 1)
+    gap_lo, gap_hi = t0 + dt.timedelta(hours=2), t0 + dt.timedelta(hours=4)
+    rrows = [r for r in _rows(1) if not (gap_lo <= r[1] < gap_hi)]
+    got, peak_state = _streaming_pairs(
+        spark, tmpdir, how="leftOuter", right_rows=rrows
+    )
+
+    left = spark.createDataFrame(_rows(0), DDL)
+    right = spark.createDataFrame(rrows, DDL)
+    batch = range_join(
+        left, right, "user_id", "ts", "ts",
+        F.expr("INTERVAL 0 SECONDS"), F.expr(BAND),
+    )
+    matched = sorted(
+        (x.u, x.lts, x.rts)
+        for x in batch.select(
+            F.col("l.user_id").alias("u"),
+            F.col("l.ts").alias("lts"),
+            F.col("r.ts").alias("rts"),
+        ).collect()
+    )
+    # Watermark rule: wm = min(max_l, max_r) - delay; a left row with no
+    # match emits (l, NULL) iff its whole band [ts, ts+band] is below wm.
+    band = dt.timedelta(minutes=30)
+    delay = dt.timedelta(minutes=30)
+    lrows = _rows(0)
+    wm = min(max(t for _, t, _ in lrows), max(t for _, t, _ in rrows)) - delay
+    matched_left = {(u, lts) for u, lts, _ in matched}
+    want_nulls = sorted(
+        (u, t, None)
+        for u, t, _ in lrows
+        if (u, t) not in matched_left and t + band < wm
+    )
+    got_nulls = sorted(p for p in got if p[2] is None)
+    got_matched = sorted(p for p in got if p[2] is not None)
+    assert got_matched == matched
+    assert got_nulls == want_nulls
+    assert len(got_nulls) > 0  # the scenario exercises the outer path
+    total_rows = len(lrows) + len(rrows)
     assert 0 < peak_state < total_rows * 0.75

@@ -131,6 +131,62 @@ def test_decode_image_real_bmp_path():
     assert (w, h, c) == (6, 4, 3) and len(px) == 6 * 4 * 3
 
 
+# --- PNG: compressed real format on stdlib zlib only (r4 verdict task 4) ---
+
+
+def test_png_roundtrip_exercises_all_filters():
+    # height 6 -> scanline filters 0,1,2,3,4,0 — the full PNG filter set
+    buf = mm.encode_png(7, 6, seed=11)
+    d = mm.decode_png(buf)
+    assert d is not None
+    assert (d["width"], d["height"], d["bit_depth"], d["channels"]) == (7, 6, 8, 3)
+    assert d["n_payload_bytes"] == 7 * 6 * 3
+    assert d["file_size"] == len(buf)
+    assert d["pixels"] == mm._lcg_bytes(7 * 6 * 3, 11)  # byte-exact inflate+unfilter
+
+
+def test_png_corrupt_flagged_not_silently_shortened():
+    buf = mm.encode_png(9, 5, seed=2)
+    assert mm.decode_png(buf[:-6]) is None  # truncated tail
+    assert mm.decode_png(buf[:30]) is None  # truncated mid-chunk
+    bad = bytearray(buf)
+    bad[45] ^= 0xFF  # corrupt one IDAT byte -> CRC mismatch
+    assert mm.decode_png(bytes(bad)) is None
+    assert mm.decode_png(b"\x89PNG\r\n\x1a\n" + b"\x00" * 16) is None  # sig only
+    assert mm.decode_png(None) is None
+
+
+def test_png_multi_idat_concatenation():
+    import struct as _s
+    import zlib as _z
+
+    buf = mm.encode_png(4, 3, seed=5)
+    # split the single IDAT into two chunks; decoder must concatenate
+    sig_end = 8 + 12 + 13  # signature + IHDR chunk
+    ilen = _s.unpack_from(">I", buf, sig_end)[0]
+    body = buf[sig_end + 8 : sig_end + 8 + ilen]
+    tail = buf[sig_end + 12 + ilen :]
+
+    def chunk(t, b):
+        return _s.pack(">I", len(b)) + t + b + _s.pack(">I", _z.crc32(t + b) & 0xFFFFFFFF)
+
+    split = buf[:sig_end] + chunk(b"IDAT", body[:7]) + chunk(b"IDAT", body[7:]) + tail
+    d = mm.decode_png(split)
+    assert d is not None and d["pixels"] == mm.decode_png(buf)["pixels"]
+
+
+def test_decode_image_real_png_path():
+    w, h, c, px = mm.decode_image(mm.encode_png(6, 4, seed=9))
+    assert (w, h, c) == (6, 4, 3) and px == mm._lcg_bytes(6 * 4 * 3, 9)
+
+
+def test_wav_truncation_flagged():
+    # r4 advice: a truncated data chunk must flag, not silently shorten
+    buf = mm.encode_wav(60, 8000, seed=4)
+    assert mm.decode_wav(buf[:-10]) is None
+    assert mm.decode_wav(buf) is not None
+
+
 def test_real_media_distributed(spark):
     docs = spark.range(0, 30).select(F.col("id").alias("doc_id"))
     out = mm.decode_media_real(mm.attach_real_media(docs)).orderBy("media_id").collect()

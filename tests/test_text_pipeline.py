@@ -74,6 +74,28 @@ def test_contamination_golden(spark):
     assert out[5].overlap_ratio == 0.0 and not out[5].contaminated
 
 
+def test_contamination_shuffle_fallback_matches_broadcast(spark):
+    # r4 advice: a corpus-slice-sized eval side must not broadcast — the
+    # shuffle fallback (broadcast_eval=False) and the auto gate with a cap
+    # of 0 (forces the fallback) must both return identical results.
+    rows = [(i, f"w{i % 4} common token stream {i % 3}") for i in range(20)]
+    pred = F.col("doc_id") % 5 == 0
+    base = sorted(
+        contamination_report(_docs(spark, rows), pred, broadcast_eval=True)
+        .collect()
+    )
+    shuffled = sorted(
+        contamination_report(_docs(spark, rows), pred, broadcast_eval=False)
+        .collect()
+    )
+    gated = sorted(
+        contamination_report(
+            _docs(spark, rows), pred, broadcast_eval=None, eval_broadcast_cap=0
+        ).collect()
+    )
+    assert base == shuffled == gated and len(base) > 0
+
+
 def test_contamination_duplicate_shingles_counted_once(spark):
     # training doc repeats an eval shingle: distinct-counting keeps ratio sane
     rows = [(0, "p q r"), (1, "p q r p q r p q r")]
