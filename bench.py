@@ -101,6 +101,7 @@ def main() -> None:
     # Full per-query detail goes to a file; the stdout line must stay compact
     # (the driver captures a bounded tail of output — a >2 KB line gets
     # truncated mid-JSON and fails to parse, as happened in round 1).
+    pass_totals = [round(sum(t.values()), 4) for t in pass_timings]
     detail = {
         "metric": "catalog_total_wall",
         "value": total,
@@ -108,7 +109,15 @@ def main() -> None:
         "queries": measured,
         "sf": sf_val,
         "passes": passes,
-        "pass_totals": [round(sum(t.values()), 4) for t in pass_timings],
+        "pass_totals": pass_totals,
+        "cold_total": pass_totals[0],
+        "protocol": "min_of_passes/session_cached_fixtures/v2",
+        "comparability": (
+            "value is the min across passes with session-cached replay "
+            "fixtures (protocol v2, r4+); rounds r1-r3 reported one cold "
+            "pass including fixture build. Round-over-round cold-vs-cold "
+            "comparisons must use cold_total/pass_totals[0], never value."
+        ),
         "pass_queries": pass_timings,
         "pass1_fixture_build_sec": build_sec,
         "fixture_stats": dict(FIXTURE_STATS),
@@ -126,7 +135,9 @@ def main() -> None:
         "queries": measured,
         "sf": sf_val,
         "passes": passes,
-        "pass_totals": detail["pass_totals"],
+        "pass_totals": pass_totals,
+        "cold_total": pass_totals[0],
+        "protocol": detail["protocol"],
     }
     line = json.dumps(compact, separators=(",", ":"))
     if len(line) > 1600:
@@ -143,7 +154,9 @@ def main() -> None:
                 "detail": "BENCH_DETAIL.json",
                 "sf": sf_val,
                 "passes": passes,
-                "pass_totals": detail["pass_totals"],
+                "pass_totals": pass_totals,
+                "cold_total": pass_totals[0],
+                "protocol": detail["protocol"],
             },
             separators=(",", ":"),
         )

@@ -1,0 +1,156 @@
+"""Distributed k-means (Lloyd) over the ``embeddings`` table — the document
+-clustering stage of a training-data pipeline (topic balancing, domain
+mixing, diversity sampling all start from a corpus clustering).
+
+Scale shape (100 TB corpus, k ≤ a few thousand):
+  * ASSIGNMENT is map-side and shuffle-free — the k×dim centroid matrix is
+    a single nested array Literal (same trick as similarity.ivf_topk: one
+    Literal node + a `transform` HOF, so plan-analysis cost is independent
+    of k×dim) and `argmin distance` is one codegen'd projection over the
+    scan;
+  * the UPDATE step is ONE groupBy(cell) aggregation per iteration with
+    map-side partial aggregation — dim `avg` columns, all JVM-side;
+  * the driver holds only the k×dim matrix between iterations (bounded
+    control structure, like dedup_clusters' convergence counter); the
+    corpus never collects and never re-shuffles on the same keys.
+
+Exact-oracle discipline: centroids are ROUNDED to 6 decimals at every
+iteration boundary in BOTH engines, so the (order-dependent) float mean
+never cascades into assignment flips — distances are then computed from
+bit-identical centroid inputs with identical left-fold accumulation order,
+making cell assignments value-hash-comparable against the DuckDB twin.
+
+[ABSENT in reference: SURVEY §2.7 — LLM-pipeline engine extension.]
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _sq_dist(vec, cent):
+    """Squared euclidean distance, element-order left fold (exact plan)."""
+    return F.aggregate(
+        F.zip_with(
+            vec, cent, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def kmeans_assign(
+    embeddings: DataFrame,
+    k: int = 4,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Run ``n_iter`` Lloyd iterations from the deterministic init
+    (centroid j = the embedding of id j, matching ivf_topk's convention)
+    and return the final assignment: (id, cell, dist) with dist rounded
+    at 1e-6. Ties (equal distance to two centroids) break to the lowest
+    cell id in both engines."""
+    init = sorted(
+        embeddings.where(F.col(id_col) < k).select(id_col, vec_col).collect(),
+        key=lambda r: r[0],
+    )
+    cents = [[round(float(x), 6) for x in r[1]] for r in init]
+    dim = len(cents[0])
+
+    def assign(mat: list[list[float]]) -> DataFrame:
+        m = F.lit(mat)
+        dists = F.transform(m, lambda c: _sq_dist(F.col(vec_col), c))
+        return embeddings.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("vec"),
+            dists.alias("_d"),
+        ).select(
+            "id",
+            "vec",
+            # argmin via first occurrence of the min: lowest-cell tie-break,
+            # zero shuffle (array_position is 1-based -> cell is 0-based).
+            (F.array_position("_d", F.array_min("_d")) - 1).cast("int").alias("cell"),
+            F.array_min("_d").alias("dist"),
+        )
+
+    for _ in range(n_iter):
+        assigned = assign(cents)
+        means = (
+            assigned.groupBy("cell")
+            .agg(
+                *[
+                    F.avg(F.element_at("vec", i + 1).cast("double")).alias(f"m{i}")
+                    for i in range(dim)
+                ]
+            )
+            .collect()
+        )
+        # Rounded at the iteration boundary (see module docstring); a cell
+        # that lost all members keeps its previous centroid.
+        by_cell = {int(r["cell"]): r for r in means}
+        cents = [
+            [round(float(by_cell[j][f"m{i}"]), 6) for i in range(dim)]
+            if j in by_cell
+            else cents[j]
+            for j in range(k)
+        ]
+
+    return assign(cents).select(
+        F.col("id").alias(id_col),
+        "cell",
+        F.round("dist", 6).alias("dist"),
+    )
+
+
+def kmeans_oracle_sql(
+    k: int = 4, n_iter: int = 2, table: str = "embeddings"
+) -> str:
+    """DuckDB twin of :func:`kmeans_assign`: iterations unrolled as CTE
+    pairs (assign_i, cents_i), identical rounding at every boundary,
+    identical left-fold distance accumulation (list_reduce), identical
+    lowest-cell tie-break."""
+    dist = (
+        "list_reduce(list_transform(list_zip(e.embedding, c.c),"
+        " p -> (CAST(p[1] AS DOUBLE) - p[2]) * (CAST(p[1] AS DOUBLE) - p[2])),"
+        " (acc, v) -> acc + v)"
+    )
+    parts = [
+        f"""cents_0 AS (
+  SELECT CAST(vec_id AS INT) AS cell,
+         list_transform(embedding, x -> round(CAST(x AS DOUBLE), 6)) AS c
+  FROM {table} WHERE vec_id < {k})"""
+    ]
+    for i in range(n_iter):
+        parts.append(
+            f"""assign_{i} AS (
+  SELECT vec_id, cell, embedding FROM (
+    SELECT e.vec_id, c.cell, e.embedding,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {dist}, c.cell) AS rk
+    FROM {table} e CROSS JOIN cents_{i} c) WHERE rk = 1)"""
+        )
+        parts.append(
+            f"""elems_{i} AS (
+  SELECT cell, generate_subscripts(embedding, 1) AS ord,
+         unnest(embedding) AS v
+  FROM assign_{i}),
+means_{i + 1} AS (
+  SELECT cell, ord, round(avg(CAST(v AS DOUBLE)), 6) AS m
+  FROM elems_{i}
+  GROUP BY cell, ord),
+cents_{i + 1} AS (
+  SELECT p.cell,
+         CASE WHEN count(m.m) = 0 THEN p.c
+              ELSE list(m.m ORDER BY m.ord) END AS c
+  FROM cents_{i} p LEFT JOIN means_{i + 1} m USING (cell)
+  GROUP BY p.cell, p.c)"""
+        )
+    final = f"""
+SELECT vec_id, cell, round(dist, 6) AS dist FROM (
+  SELECT e.vec_id, c.cell, {dist} AS dist,
+         row_number() OVER (PARTITION BY e.vec_id
+                            ORDER BY {dist}, c.cell) AS rk
+  FROM {table} e CROSS JOIN cents_{n_iter} c) WHERE rk = 1"""
+    return "WITH " + ",\n".join(parts) + final

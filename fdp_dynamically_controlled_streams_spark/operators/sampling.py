@@ -162,6 +162,58 @@ SELECT {key_expr}, CAST(rank AS INT) AS rank FROM (
 """
 
 
+#: 60-bit hash range (portable_hash64 = 15 hex digits).
+_HASH_RANGE = float(1 << 60)
+
+
+def weighted_bottomk_sample(
+    df: DataFrame, key: str, weight_col: str, k: int, seed: int = 0
+) -> DataFrame:
+    """Fixed-size WEIGHTED k-sample without replacement — the
+    Efraimidis-Spirakis A-ES scheme, derandomized: row r draws
+    u = uniform(0,1) from its key hash and gets priority -ln(u)/w(r); the
+    k smallest priorities are the sample, so inclusion probability rises
+    with weight while membership stays deterministic,
+    partitioning-invariant, and mergeable (the bottom-k of shard bottom-ks
+    is the global bottom-k — same law as bottomk_sample).
+
+    Output: (key, weight, rank). The float priority itself is NOT output:
+    selection and rank only, so an engine's last-ulp ln() difference
+    (~1e-16 relative) cannot surface in values — adjacent priorities from
+    60-bit hashes are ~1e-5 apart. Plan shape: TakeOrderedAndProject
+    (per-partition top-k + k-row merge, never a global sort)."""
+    from pyspark.sql import Window
+
+    u = (portable_hash64(F.col(key).cast("string"), seed) + F.lit(0.5)) / F.lit(
+        _HASH_RANGE
+    )
+    pri = -F.log(u) / F.col(weight_col).cast("double")
+    top = (
+        df.select(key, weight_col)
+        .where(F.col(weight_col) > 0)
+        .withColumn("_p", pri)
+        .orderBy("_p", key)
+        .limit(k)
+    )
+    w = Window.orderBy("_p", key)
+    return top.select(key, weight_col, F.row_number().over(w).alias("rank"))
+
+
+def weighted_bottomk_sample_sql(
+    table: str, key_expr: str, weight_expr: str, k: int, seed: int = 0
+) -> str:
+    """DuckDB twin of :func:`weighted_bottomk_sample`."""
+    h = portable_hash64_sql(f"CAST({key_expr} AS VARCHAR)", seed)
+    pri = f"(-ln(({h} + 0.5) / {_HASH_RANGE!r}) / CAST({weight_expr} AS DOUBLE))"
+    return f"""
+SELECT {key_expr}, {weight_expr}, CAST(rank AS INT) AS rank FROM (
+  SELECT {key_expr}, {weight_expr},
+         row_number() OVER (ORDER BY {pri}, {key_expr}) AS rank
+    FROM {table} WHERE {weight_expr} > 0
+) WHERE rank <= {k}
+"""
+
+
 def rebalance_mixture(
     df: DataFrame,
     strata: str,

@@ -1247,6 +1247,25 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from fdp_dynamically_controlled_streams_spark.operators import clustering as clu
+
+
+@query(
+    "kmeans_document_clusters",
+    clu.kmeans_oracle_sql(k=4, n_iter=2),
+    tags=("similarity", "clustering", "iterative"),
+)
+def kmeans_document_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd k-means (k=4, 2 iterations, deterministic init =
+    embeddings of ids 0..3): map-side assignment from a single broadcast
+    centroid-matrix literal, one groupBy(cell) mean per iteration, driver
+    holds only the k x dim matrix between rounds — the iterative-algorithm
+    pattern alongside dedup_clusters. Centroids round at 1e-6 at every
+    iteration boundary in both engines so cell assignments value-hash-match
+    the unrolled DuckDB CTE twin (operators/clustering.py)."""
+    return clu.kmeans_assign(_t(spark, sf_dir, "embeddings"), k=4, n_iter=2)
+
+
 # =========================================================================
 # 9. Text analysis (charter extension) — operators/text.py
 # =========================================================================
@@ -2069,6 +2088,22 @@ def sample_bottomk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sample_weighted_bottomk_documents",
+    smp.weighted_bottomk_sample_sql("documents", "doc_id", "n_chars", k=100, seed=17),
+    tags=("sampling", "weighted", "bottomk"),
+)
+def sample_weighted_bottomk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size WEIGHTED 100-sample (chars-weighted — the token-budget
+    shape: longer docs proportionally likelier) via derandomized
+    Efraimidis-Spirakis A-ES priorities; deterministic, mergeable across
+    shards, TakeOrderedAndProject plan like the uniform tier
+    (operators/sampling.py weighted_bottomk_sample)."""
+    return smp.weighted_bottomk_sample(
+        _t(spark, sf_dir, "documents"), "doc_id", "n_chars", k=100, seed=17
+    )
+
+
+@query(
     "sketch_cms_heavy_hitters",
     skt.cms_heavy_hitters_sql("orders", "o_custkey"),
     tags=("sketch", "frequency"),
@@ -2828,6 +2863,101 @@ def stream_interval_left_join_replay(spark: SparkSession, sf_dir: str) -> DataFr
     )
     shaped = joined.select(
         F.col("l_user_id").alias("user_id"),
+        F.date_format("l_ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+        F.date_format("r_ts", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
+    )
+    out = f"{tmp}/out"
+    with _replay_conf(spark, partitions=4):
+        q = (
+            shaped.writeStream.outputMode("append")
+            .foreachBatch(lambda bdf, bid: bdf.write.mode("append").parquet(out))
+            .option("checkpointLocation", f"{tmp}/chk")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    return _read_replay_out(
+        spark, "user_id long, purchase_ts string, click_ts string", out
+    ).select("user_id", "purchase_ts", "click_ts")
+
+
+@query(
+    "stream_interval_full_join_replay",
+    """
+WITH p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+c AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+wm AS (SELECT least((SELECT max(ts) FROM p), (SELECT max(ts) FROM c))
+              - INTERVAL 2 HOUR AS w)
+SELECT p.user_id,
+       strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+       strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts
+  FROM p JOIN c ON c.user_id = p.user_id
+              AND c.ts >= p.ts AND c.ts <= p.ts + INTERVAL 1 HOUR
+UNION ALL
+SELECT p.user_id, strftime(p.ts, '%Y-%m-%d %H:%M:%S'), NULL
+  FROM p, wm
+ WHERE NOT EXISTS (SELECT 1 FROM c
+                    WHERE c.user_id = p.user_id
+                      AND c.ts >= p.ts AND c.ts <= p.ts + INTERVAL 1 HOUR)
+   AND p.ts + INTERVAL 1 HOUR < wm.w
+UNION ALL
+SELECT c.user_id, NULL, strftime(c.ts, '%Y-%m-%d %H:%M:%S')
+  FROM c, wm
+ WHERE NOT EXISTS (SELECT 1 FROM p
+                    WHERE p.user_id = c.user_id
+                      AND c.ts >= p.ts AND c.ts <= p.ts + INTERVAL 1 HOUR)
+   AND c.ts < wm.w
+""",
+    tags=("streaming", "join", "interval", "outer", "watermark"),
+)
+def stream_interval_full_join_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER watermarked stream-stream interval join — completes the
+    inner/leftOuter/fullOuter trio. Null emission is watermark-driven on
+    BOTH sides, each with its own eviction deadline derived from the band:
+    an unmatched purchase emits (p, NULL) once wm passes p.ts + 1 h (no
+    future click can land in its band), an unmatched click emits (NULL, c)
+    once wm passes c.ts (any future purchase would start after it). The
+    oracle encodes both rules, so equality proves two-sided outer-state
+    eviction semantics."""
+    import tempfile
+
+    from fdp_dynamically_controlled_streams_spark.sources.registry import (
+        cached_fixture,
+        replay_dir,
+        write_replay_chunks_df,
+    )
+    from fdp_dynamically_controlled_streams_spark.streaming.interval_join import (
+        interval_join_streams,
+    )
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    ddl = "user_id long, ts timestamp"
+
+    def _build(p: str) -> None:
+        for side, etype in (("left", "purchase"), ("right", "click")):
+            write_replay_chunks_df(
+                ev.where(F.col("event_type") == etype).select("user_id", "ts"),
+                f"{p}/{side}",
+                n_chunks=2,
+                order_cols=("ts",),
+            )
+
+    # Same chunking spec as the inner/leftOuter entries -> shared fixture.
+    fix = cached_fixture("stream_interval_join_replay", sf_dir, _build)
+    tmp = tempfile.mkdtemp(prefix="dcs-ivjfo-")
+    joined = interval_join_streams(
+        replay_dir(spark, f"{fix}/left", ddl, files_per_trigger=1),
+        replay_dir(spark, f"{fix}/right", ddl, files_per_trigger=1),
+        "user_id",
+        "ts",
+        "ts",
+        F.expr("INTERVAL 0 SECONDS"),
+        F.expr("INTERVAL 1 HOUR"),
+        watermark="2 hours",
+        how="fullOuter",
+    )
+    shaped = joined.select(
+        F.coalesce("l_user_id", "r_user_id").alias("user_id"),
         F.date_format("l_ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
         F.date_format("r_ts", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
     )

@@ -1,0 +1,172 @@
+"""sf1 drift probe (r4 verdict task 6): correctness is proven at
+sf0.01/sf0.1; the 100 TB claims otherwise rest on plan audits. This script
+turns "would survive 10×" from argument into a measured trend line:
+
+1. Build a 10× replication of sf0.1 (~sf1: 6 M lineitem, 1 M events) under
+   ``.sfscale/sf1`` — SHAPE-PRESERVING, so wall-time scaling measures the
+   operators, not replication artifacts:
+     * primary keys are offset per copy (and foreign keys that must keep
+       matching — l_orderkey follows o_orderkey — offset identically), so
+       per-key densities and join fan-outs stay constant; a naive 10× copy
+       with shared keys would grow stream-stream join output quadratically;
+     * document text is letter-ROTATED per copy (translate with a rotated
+       alphabet: length/token structure identical, shingle sets disjoint
+       across copies), so dedup/minhash relations replicate linearly
+       instead of every 10-clone group exploding into 45 near-dup pairs;
+     * embeddings are shifted per copy (distinct vectors, same dimension),
+       probe/centroid ids (vec_id < 8) exist once, in copy 0.
+2. Time the priciest catalog entries at sf0.1 and sf1 in one session
+   (bench protocol: warmup, noop sink, min of 2 passes) and write
+   ``SF1_PROBE.json`` with per-entry scaling factors (sf1/sf0.1; linear
+   scaling on 10× data at fixed parallelism = factor ~10).
+
+Run:  python tests/sf1_probe.py            # build (if absent) + measure
+      python tests/sf1_probe.py --rebuild  # force data rebuild
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+REPO = Path(__file__).resolve().parent.parent
+SF01 = "/root/testdata/sf0.1"
+SF1 = str(REPO / ".sfscale" / "sf1")
+COPIES = 10
+
+#: The 10 priciest entries by BENCH_DETAIL.json (r4) measured wall time.
+PROBE_ENTRIES = [
+    "stream_interval_left_join_replay",
+    "ann_recall_report",
+    "stream_interval_join_replay",
+    "dedup_clusters",
+    "controller_streaming_replay",
+    "stream_session_window_replay",
+    "dedup_minhash_lsh",
+    "join_min_cost_supplier",
+    "stream_tumbling_agg_replay",
+    "stream_sliding_agg_replay",
+]
+
+_ALPHA = "abcdefghijklmnopqrstuvwxyz"
+
+
+def build_sf1() -> None:
+    import duckdb
+
+    Path(SF1).mkdir(parents=True, exist_ok=True)
+    con = duckdb.connect()
+    con.execute(f"SET threads TO 16")
+
+    def src(t: str) -> str:
+        return f"'{SF01}/{t}.parquet'"
+
+    def copy(sql: str, t: str) -> None:
+        con.execute(f"COPY ({sql}) TO '{SF1}/{t}.parquet' (FORMAT parquet)")
+        n = con.execute(f"SELECT count(*) FROM '{SF1}/{t}.parquet'").fetchone()[0]
+        print(f"  built {t}: {n} rows")
+
+    # dims: unchanged (the facts keep their foreign keys, so every join
+    # match multiplicity is preserved exactly)
+    for t in ("region", "nation", "customer", "supplier", "part"):
+        copy(f"SELECT * FROM {src(t)}", t)
+
+    ko = con.execute(f"SELECT max(o_orderkey) + 1 FROM {src('orders')}").fetchone()[0]
+    copy(
+        f"""SELECT o_orderkey + i * {ko} AS o_orderkey, o_custkey, o_orderstatus,
+                   o_totalprice, o_orderdate, o_orderpriority
+            FROM {src('orders')} CROSS JOIN range({COPIES}) t(i)""",
+        "orders",
+    )
+    copy(
+        f"""SELECT l_orderkey + i * {ko} AS l_orderkey, l_partkey, l_suppkey,
+                   l_linenumber, l_quantity, l_extendedprice, l_discount, l_tax,
+                   l_returnflag, l_linestatus, l_shipdate
+            FROM {src('lineitem')} CROSS JOIN range({COPIES}) t(i)""",
+        "lineitem",
+    )
+    ke, ku = con.execute(
+        f"SELECT max(event_id) + 1, max(user_id) + 1 FROM {src('events')}"
+    ).fetchone()
+    copy(
+        f"""SELECT event_id + i * {ke} AS event_id, ts,
+                   user_id + i * {ku} AS user_id, event_type, value, props
+            FROM {src('events')} CROSS JOIN range({COPIES}) t(i)""",
+        "events",
+    )
+    kd = con.execute(f"SELECT max(doc_id) + 1 FROM {src('documents')}").fetchone()[0]
+    # per-copy alphabet rotation: copy i maps a->alpha[i], b->alpha[i+1], ...
+    rot_cases = " ".join(
+        f"WHEN {i} THEN translate(text, '{_ALPHA}', '{_ALPHA[i:]}{_ALPHA[:i]}')"
+        for i in range(COPIES)
+    )
+    copy(
+        f"""SELECT doc_id + i * {kd} AS doc_id,
+                   CASE i {rot_cases} END AS text,
+                   lang, source, n_chars
+            FROM {src('documents')} CROSS JOIN range({COPIES}) t(i)""",
+        "documents",
+    )
+    kv = con.execute(f"SELECT max(vec_id) + 1 FROM {src('embeddings')}").fetchone()[0]
+    copy(
+        f"""SELECT vec_id + i * {kv} AS vec_id,
+                   list_transform(embedding,
+                                  x -> CAST(x + i * 0.013 AS FLOAT)) AS embedding,
+                   label
+            FROM {src('embeddings')} CROSS JOIN range({COPIES}) t(i)""",
+        "embeddings",
+    )
+    con.close()
+
+
+def measure() -> dict:
+    from fdp_dynamically_controlled_streams_spark.queries import catalog
+    from fdp_dynamically_controlled_streams_spark.session import get_spark
+
+    spark = get_spark(app_name="sf1-probe")
+    spark.range(1000).count()
+    cat = catalog()
+    # streaming runtime warmup off the clock (same rationale as bench.py)
+    try:
+        cat["controller_streaming_replay"].fn(spark, "/root/testdata/sf0.001").count()
+    except Exception as exc:  # noqa: BLE001
+        print(f"warmup failed: {exc!r}", file=sys.stderr)
+
+    out: dict[str, dict] = {}
+    for name in PROBE_ENTRIES:
+        rec: dict[str, float] = {}
+        for label, sfd in (("sf0.1", SF01), ("sf1", SF1)):
+            times = []
+            for _ in range(2):
+                t0 = time.perf_counter()
+                cat[name].fn(spark, sfd).write.format("noop").mode("overwrite").save()
+                times.append(time.perf_counter() - t0)
+            rec[label] = round(min(times), 3)
+        rec["factor"] = round(rec["sf1"] / rec["sf0.1"], 2)
+        out[name] = rec
+        print(f"  {name}: sf0.1={rec['sf0.1']}s sf1={rec['sf1']}s x{rec['factor']}")
+    return out
+
+
+def main() -> int:
+    if "--rebuild" in sys.argv or not Path(f"{SF1}/lineitem.parquet").exists():
+        print("building sf1 replication...")
+        build_sf1()
+    print("measuring...")
+    results = measure()
+    payload = {
+        "copies": COPIES,
+        "protocol": "min_of_2_passes/one_session/noop_sink",
+        "entries": results,
+    }
+    (REPO / "SF1_PROBE.json").write_text(json.dumps(payload, indent=1) + "\n")
+    print("wrote SF1_PROBE.json")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

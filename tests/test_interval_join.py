@@ -71,8 +71,8 @@ def _write(rows, path, chunk_minutes=60):
 
 
 def _streaming_pairs(spark, tmp, watermark="30 minutes", how="inner",
-                     right_rows=None):
-    _write(_rows(0), f"{tmp}/left")
+                     right_rows=None, left_rows=None):
+    _write(left_rows if left_rows is not None else _rows(0), f"{tmp}/left")
     _write(right_rows if right_rows is not None else _rows(1), f"{tmp}/right")
     l = replay_dir(spark, f"{tmp}/left", DDL, files_per_trigger=1)
     r = replay_dir(spark, f"{tmp}/right", DDL, files_per_trigger=1)
@@ -94,7 +94,13 @@ def _streaming_pairs(spark, tmp, watermark="30 minutes", how="inner",
         q.awaitTermination(180)
     finally:
         spark.streams.removeListener(rec)
-    pairs = sorted((x.l_user_id, x.l_ts, x.r_ts) for x in collected)
+    # None-safe sort key: fullOuter right-null rows have l_* = None
+    _min = dt.datetime.min
+    pairs = sorted(
+        ((x.l_user_id, x.l_ts, x.r_ts) for x in collected),
+        key=lambda p: (p[0] if p[0] is not None else -1,
+                       p[1] or _min, p[2] or _min),
+    )
     peak_state = max((b.state_rows or 0) for b in rec.batches)
     return pairs, peak_state
 
@@ -172,5 +178,63 @@ def test_left_outer_nulls_are_watermark_driven_and_state_bounded(spark, tmpdir):
     assert got_matched == matched
     assert got_nulls == want_nulls
     assert len(got_nulls) > 0  # the scenario exercises the outer path
+    total_rows = len(lrows) + len(rrows)
+    assert 0 < peak_state < total_rows * 0.75
+
+
+def test_full_outer_nulls_on_both_sides(spark, tmpdir):
+    """FULL OUTER trio completion: left-null rule as above PLUS the right
+    side's own deadline — an unmatched right row emits (NULL, r) once the
+    watermark passes r.ts (any future left starts after it)."""
+    t0 = dt.datetime(2024, 3, 1)
+    # gap the RIGHT over hours 2-4 (-> left-null rows) and the LEFT over
+    # hours 1-2 (-> rights in (1.5h, 2h) have no left within their
+    # look-back band -> right-null rows), both well below the watermark
+    gap_lo, gap_hi = t0 + dt.timedelta(hours=2), t0 + dt.timedelta(hours=4)
+    rrows = [r for r in _rows(1) if not (gap_lo <= r[1] < gap_hi)]
+    lgap_lo, lgap_hi = t0 + dt.timedelta(hours=1), t0 + dt.timedelta(hours=2)
+    lrows = [r for r in _rows(0) if not (lgap_lo <= r[1] < lgap_hi)]
+    got, peak_state = _streaming_pairs(
+        spark, tmpdir, how="fullOuter", right_rows=rrows, left_rows=lrows
+    )
+
+    left = spark.createDataFrame(lrows, DDL)
+    right = spark.createDataFrame(rrows, DDL)
+    batch = range_join(
+        left, right, "user_id", "ts", "ts",
+        F.expr("INTERVAL 0 SECONDS"), F.expr(BAND),
+    )
+    matched = sorted(
+        (x.u, x.lts, x.rts)
+        for x in batch.select(
+            F.col("l.user_id").alias("u"),
+            F.col("l.ts").alias("lts"),
+            F.col("r.ts").alias("rts"),
+        ).collect()
+    )
+    band, delay = dt.timedelta(minutes=30), dt.timedelta(minutes=30)
+    wm = min(max(t for _, t, _ in lrows), max(t for _, t, _ in rrows)) - delay
+    matched_left = {(u, lts) for u, lts, _ in matched}
+    matched_right = {(u, rts) for u, _, rts in matched}
+    want_lnulls = sorted(
+        (u, t, None) for u, t, _ in lrows
+        if (u, t) not in matched_left and t + band < wm
+    )
+    want_rnulls = sorted(
+        (u, None, t) for u, t, _ in rrows
+        if (u, t) not in matched_right and t < wm
+    )
+    # fullOuter output rows carry l_user_id OR r_user_id; _streaming_pairs
+    # keys on l_user_id, so right-null rows surface with l fields None.
+    got_matched = sorted(p for p in got if p[1] is not None and p[2] is not None)
+    got_lnulls = sorted(p for p in got if p[2] is None)
+    got_rnulls = sorted(p for p in got if p[1] is None)
+    assert got_matched == matched
+    assert got_lnulls == want_lnulls
+    assert len(want_rnulls) > 0
+    assert len(got_rnulls) == len(want_rnulls)
+    # the helper keys on l_* fields, so right-null rows only surface r_ts;
+    # compare the timestamp multisets
+    assert sorted(p[2] for p in got_rnulls) == sorted(p[2] for p in want_rnulls)
     total_rows = len(lrows) + len(rrows)
     assert 0 < peak_state < total_rows * 0.75

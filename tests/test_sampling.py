@@ -125,3 +125,42 @@ def test_bottomk_fixed_size_merge_law(spark):
     assert [r.k for r in merged.orderBy("rank").collect()] == got
     # plan shape: TakeOrderedAndProject, not a global Sort+Exchange
     assert "TakeOrderedAndProject" in s._jdf.queryExecution().executedPlan().toString()
+
+
+def test_weighted_bottomk_laws(spark):
+    from pyspark.sql import functions as F
+
+    from fdp_dynamically_controlled_streams_spark.operators.sampling import (
+        weighted_bottomk_sample,
+    )
+
+    # half the keys carry 20x the weight: they must dominate the sample
+    df = spark.range(0, 4000).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") % 2 == 0, 20.0).otherwise(1.0).alias("w"),
+    )
+    s = weighted_bottomk_sample(df, "k", "w", k=200, seed=3)
+    got = s.orderBy("rank").collect()
+    assert len(got) == 200 and len({r.k for r in got}) == 200
+    heavy = sum(1 for r in got if r.k % 2 == 0)
+    assert heavy > 150  # ~20:1 odds per draw; binomial tail makes <150 absurd
+    # determinism + partition invariance
+    again = weighted_bottomk_sample(df.repartition(17), "k", "w", 200, seed=3)
+    assert [(r.k, r.rank) for r in again.orderBy("rank").collect()] == [
+        (r.k, r.rank) for r in got
+    ]
+    # merge law: weighted bottom-k of shard bottom-ks == global
+    a = weighted_bottomk_sample(df.where(F.col("k") < 2000), "k", "w", 200, seed=3)
+    b = weighted_bottomk_sample(df.where(F.col("k") >= 2000), "k", "w", 200, seed=3)
+    merged = weighted_bottomk_sample(
+        a.select("k", "w").union(b.select("k", "w")), "k", "w", 200, seed=3
+    )
+    assert [r.k for r in merged.orderBy("rank").collect()] == [r.k for r in got]
+    # zero/negative weights are excluded, not sampled or crashed on
+    dfz = df.withColumn(
+        "w", F.when(F.col("k") < 3999, F.lit(0.0)).otherwise(F.col("w"))
+    )
+    z = weighted_bottomk_sample(dfz, "k", "w", 200, seed=3).collect()
+    assert [r.k for r in z] == [3999]
+    # plan shape: TakeOrderedAndProject like the uniform tier
+    assert "TakeOrderedAndProject" in s._jdf.queryExecution().executedPlan().toString()
