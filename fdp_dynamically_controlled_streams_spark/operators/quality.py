@@ -170,3 +170,116 @@ def split_by_constraints(
     valid = tagged.where(F.size("failed_rules") == 0).drop("failed_rules")
     bad = tagged.where(F.size("failed_rules") > 0)
     return valid, bad
+
+
+def psi_drift_report(
+    base: DataFrame,
+    current: DataFrame,
+    value_col: str,
+    lo: float,
+    hi: float,
+    n_buckets: int = 10,
+    alert_at: float = 0.2,
+) -> DataFrame:
+    """Population Stability Index between two snapshots of a numeric column
+    — the standard drift gate between crawl/ingest generations before a
+    training run (PSI < 0.1 stable, > 0.2 action).
+
+    Buckets are FIXED-width over the declared [lo, hi) (out-of-range values
+    clamp into the edge buckets), so both sides bucket map-side with zero
+    coordination — no quantile pass, no driver round-trip; each side is one
+    groupBy(bucket) count and the comparison joins n_buckets rows. Laplace
+    (+1) smoothing makes empty buckets well-defined without epsilon
+    hacks and keeps every proportion exactly representable:
+    p_i = (c_i + 1) / (n + n_buckets).
+
+    Output: one row per bucket (bucket, base_n, cur_n, psi_term) plus the
+    ordering-stable total via a window — psi_term uses ln(), rounded 1e-6.
+    """
+    w = (float(hi) - float(lo)) / n_buckets
+
+    def bucketize(df: DataFrame, out: str) -> DataFrame:
+        b = F.least(
+            F.lit(n_buckets - 1),
+            F.greatest(
+                F.lit(0),
+                F.floor(
+                    (F.col(value_col).cast("double") - F.lit(float(lo))) / F.lit(w)
+                ).cast("int"),
+            ),
+        )
+        return (
+            df.where(F.col(value_col).isNotNull())
+            .groupBy(b.alias("bucket"))
+            .agg(F.count(F.lit(1)).alias(out))
+        )
+
+    from pyspark.sql import Window
+
+    buckets = base.sparkSession.range(n_buckets).select(
+        F.col("id").cast("int").alias("bucket")
+    )
+    joined = (
+        buckets.join(bucketize(base, "base_n"), "bucket", "left")
+        .join(bucketize(current, "cur_n"), "bucket", "left")
+        .select(
+            "bucket",
+            F.coalesce("base_n", F.lit(0)).alias("base_n"),
+            F.coalesce("cur_n", F.lit(0)).alias("cur_n"),
+        )
+    )
+    tot = Window.partitionBy(F.lit(1))
+    p = (F.col("base_n") + 1) / (F.sum("base_n").over(tot) + F.lit(n_buckets))
+    q = (F.col("cur_n") + 1) / (F.sum("cur_n").over(tot) + F.lit(n_buckets))
+    term = (q - p) * F.log(q / p)
+    return joined.select(
+        "bucket",
+        "base_n",
+        "cur_n",
+        F.round(term, 6).alias("psi_term"),
+        F.round(F.sum(term).over(tot), 6).alias("psi_total"),
+        (F.sum(term).over(tot) > F.lit(float(alert_at))).alias("drifted"),
+    )
+
+
+def psi_drift_sql(
+    base_sql: str,
+    current_sql: str,
+    value_col: str,
+    lo: float,
+    hi: float,
+    n_buckets: int = 10,
+    alert_at: float = 0.2,
+) -> str:
+    """DuckDB twin of :func:`psi_drift_report` (``base_sql``/``current_sql``
+    are subqueries yielding the two snapshots)."""
+    w = (float(hi) - float(lo)) / n_buckets
+    b = (
+        f"least({n_buckets - 1}, greatest(0, CAST(floor("
+        f"(CAST({value_col} AS DOUBLE) - {float(lo)!r}) / {w!r}) AS INT)))"
+    )
+    return f"""
+WITH buckets AS (SELECT unnest(range({n_buckets})) AS bucket),
+a AS (SELECT {b} AS bucket, count(*) AS base_n FROM ({base_sql})
+      WHERE {value_col} IS NOT NULL GROUP BY 1),
+c AS (SELECT {b} AS bucket, count(*) AS cur_n FROM ({current_sql})
+      WHERE {value_col} IS NOT NULL GROUP BY 1),
+j AS (
+  SELECT CAST(b.bucket AS INT) AS bucket,
+         coalesce(a.base_n, 0) AS base_n, coalesce(c.cur_n, 0) AS cur_n
+  FROM buckets b LEFT JOIN a ON a.bucket = b.bucket
+                 LEFT JOIN c ON c.bucket = b.bucket
+), t AS (
+  SELECT bucket, base_n, cur_n,
+         (CAST(cur_n + 1 AS DOUBLE) / (sum(cur_n) OVER () + {n_buckets})
+          - CAST(base_n + 1 AS DOUBLE) / (sum(base_n) OVER () + {n_buckets}))
+         * ln((CAST(cur_n + 1 AS DOUBLE) / (sum(cur_n) OVER () + {n_buckets}))
+            / (CAST(base_n + 1 AS DOUBLE) / (sum(base_n) OVER () + {n_buckets})))
+         AS term
+  FROM j
+)
+SELECT bucket, base_n, cur_n, round(term, 6) AS psi_term,
+       round(sum(term) OVER (), 6) AS psi_total,
+       sum(term) OVER () > {float(alert_at)!r} AS drifted
+FROM t
+"""

@@ -258,6 +258,66 @@ def recall_report(
     )
 
 
+def label_centroids(
+    embeddings: DataFrame,
+    dim: int,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-label class prototypes in long form: for every (label, dim) the
+    member count, elementwise centroid mean, and per-dimension variance
+    (E[x²]−E[x]², population) — the one-pass grouped-vector-mean shape a
+    prototype/nearest-class-mean classifier or a cluster profile needs.
+
+    Scale: ONE groupBy(label) with 2×dim map-side-combinable aggregates
+    (no unnest shuffle of corpus×dim rows on the Spark side; the explode to
+    long form happens on the label-count-sized aggregate), all JVM-side.
+    Long-form scalar output keeps the result value-hash-comparable."""
+    aggs = []
+    for i in range(dim):
+        x = F.element_at(vec_col, i + 1).cast("double")
+        aggs.append(F.avg(x).alias(f"m{i}"))
+        aggs.append(F.avg(x * x).alias(f"q{i}"))
+    g = embeddings.groupBy(label_col).agg(
+        F.count(F.lit(1)).alias("n_members"), *aggs
+    )
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(i + 1).alias("dim"),
+                F.col(f"m{i}").alias("m"),
+                (F.col(f"q{i}") - F.col(f"m{i}") * F.col(f"m{i}")).alias("v"),
+            )
+            for i in range(dim)
+        ]
+    )
+    return (
+        g.select(label_col, "n_members", F.explode(pairs).alias("p"))
+        .select(
+            label_col,
+            "n_members",
+            F.col("p.dim").alias("dim"),
+            F.round("p.m", 6).alias("centroid"),
+            F.round("p.v", 6).alias("variance"),
+        )
+    )
+
+
+def label_centroids_sql(table: str = "embeddings", label_col: str = "label") -> str:
+    """DuckDB twin of :func:`label_centroids`."""
+    return f"""
+WITH elems AS (
+  SELECT {label_col}, generate_subscripts(embedding, 1) AS dim,
+         CAST(unnest(embedding) AS DOUBLE) AS v
+  FROM {table}
+)
+SELECT {label_col}, count(*) AS n_members, dim,
+       round(avg(v), 6) AS centroid,
+       round(avg(v * v) - avg(v) * avg(v), 6) AS variance
+FROM elems GROUP BY {label_col}, dim
+"""
+
+
 def embedding_near_dup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.9,

@@ -3213,6 +3213,152 @@ def ts_resample_interp_user_value(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+from fdp_dynamically_controlled_streams_spark.operators import changepoint as cpt
+
+
+@query(
+    "cusum_changepoints_user_value",
+    cpt.cusum_flags_sql(
+        "events", "user_id", ("ts", "event_id"), "value", drift=60.0, threshold=200.0
+    ),
+    tags=("timeseries", "changepoint", "window"),
+)
+def cusum_changepoints_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM change-point detector per user over event values:
+    the sequential recurrence S=max(0,S+(x-drift)) planned as TWO window
+    expressions over ONE shuffle+sort via the prefix-sum/running-min
+    identity — no recursion, no Python (operators/changepoint.py). Frame
+    order is unique (ts, event_id), so the running double sum is
+    bit-identical across engines."""
+    return cpt.cusum_flags(
+        _t(spark, sf_dir, "events"),
+        "user_id",
+        ("ts", "event_id"),
+        "value",
+        drift=60.0,
+        threshold=200.0,
+    )
+
+
+@query(
+    "embedding_label_centroids",
+    sim_ops.label_centroids_sql("embeddings", "label"),
+    tags=("similarity", "aggregation"),
+)
+def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label class prototypes (long form): centroid mean and population
+    variance per dimension from ONE groupBy(label) with map-side-combinable
+    aggregates — the corpus is never unnested into rows×dim on the Spark
+    side (operators/similarity.py label_centroids)."""
+    e = _t(spark, sf_dir, "embeddings")
+    dim = len(e.select("embedding").first()[0])
+    return sim_ops.label_centroids(e, dim=dim, label_col="label")
+
+
+@query(
+    "stream_cusum_replay",
+    "SELECT user_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts, event_id, "
+    "value, cusum, flagged FROM ("
+    + cpt.cusum_flags_sql(
+        "events", "user_id", ("ts", "event_id"), "value", drift=60.0, threshold=200.0
+    )
+    + ")",
+    tags=("streaming", "stateful", "changepoint"),
+)
+def stream_cusum_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point detection on the STREAMING runtime: the
+    reference's keyed-state pattern (G2, applyInPandasWithState) running an
+    analytics recurrence. State carries the PREFIX (P, M) pair rather than
+    the cusum value, so per-batch seeded accumulation reproduces the batch
+    window form's float association exactly — the entry shares the batch
+    entry's oracle bit-for-bit, proving micro-batch boundaries introduce
+    zero drift (streaming/cusum.py)."""
+    import tempfile
+
+    from fdp_dynamically_controlled_streams_spark.sources.registry import (
+        cached_fixture,
+        replay_dir,
+        write_replay_chunks_df,
+    )
+    from fdp_dynamically_controlled_streams_spark.streaming.cusum import (
+        cusum_streaming,
+    )
+
+    events = _t(spark, sf_dir, "events")
+    fix = cached_fixture(
+        "events_user_value_2chunks",
+        sf_dir,
+        lambda p: write_replay_chunks_df(
+            events.select("user_id", "ts", "event_id", "value"),
+            f"{p}/data",
+            n_chunks=2,
+            order_cols=("ts", "event_id"),
+        ),
+    )
+    tmp = tempfile.mkdtemp(prefix="dcs-cusum-")
+    stream = replay_dir(
+        spark,
+        f"{fix}/data",
+        "user_id long, ts timestamp, event_id long, value double",
+        files_per_trigger=1,
+    )
+    flagged = cusum_streaming(stream, drift=60.0, threshold=200.0)
+    out = f"{tmp}/out"
+    with _replay_conf(spark, partitions=4):
+        q = (
+            flagged.writeStream.outputMode("append")
+            .foreachBatch(lambda bdf, bid: bdf.write.mode("append").parquet(out))
+            .option("checkpointLocation", f"{tmp}/chk")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    return _read_replay_out(
+        spark,
+        "user_id long, ts timestamp, event_id long, value double, "
+        "cusum double, flagged boolean",
+        out,
+    ).select(
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+        "event_id",
+        F.round("value", 6).alias("value"),
+        F.round("cusum", 6).alias("cusum"),
+        "flagged",
+    )
+
+
+@query(
+    "quality_psi_drift_nchars",
+    qual.psi_drift_sql(
+        "SELECT n_chars FROM documents WHERE lang = 'en'",
+        "SELECT n_chars FROM documents WHERE lang <> 'en'",
+        "n_chars",
+        lo=0.0,
+        hi=600.0,
+        n_buckets=12,
+        alert_at=0.1,
+    ),
+    tags=("quality", "drift"),
+)
+def quality_psi_drift_nchars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-Stability-Index drift gate between two corpus snapshots
+    (proxied here by the en vs non-en doc-length distributions): fixed-width
+    map-side bucketing on both sides, one groupBy each, Laplace-smoothed
+    proportions, n_buckets-row comparison — no quantile pass, no driver
+    round-trip (operators/quality.py psi_drift_report)."""
+    d = _t(spark, sf_dir, "documents")
+    return qual.psi_drift_report(
+        d.where(F.col("lang") == "en"),
+        d.where(F.col("lang") != "en"),
+        "n_chars",
+        lo=0.0,
+        hi=600.0,
+        n_buckets=12,
+        alert_at=0.1,
+    )
+
+
 from fdp_dynamically_controlled_streams_spark.operators import funnel as funnel_ops
 from fdp_dynamically_controlled_streams_spark.operators import packing as pack_ops
 

@@ -73,3 +73,29 @@ def test_observe_constraints_piggybacks_on_the_writing_job(spark):
     assert got["n_rows"] == 5
     assert got["val_positive"] == 2  # -5.0 and NULL
     assert got["tag_domain"] == 2  # NULL and 'weird'
+
+
+def test_psi_drift_laws(spark):
+    from fdp_dynamically_controlled_streams_spark.operators.quality import (
+        psi_drift_report,
+    )
+
+    a = spark.range(0, 1000).select((F.col("id") % 100).cast("double").alias("v"))
+    # identical distributions -> PSI ~ 0, not drifted
+    same = psi_drift_report(a, a, "v", lo=0, hi=100, n_buckets=10).collect()
+    assert len(same) == 10
+    assert all(abs(r.psi_term) < 1e-9 for r in same)
+    assert all(not r.drifted for r in same)
+    # shifted distribution -> large PSI, drifted on every row
+    b = spark.range(0, 1000).select(
+        (50 + F.col("id") % 50).cast("double").alias("v")
+    )
+    diff = psi_drift_report(a, b, "v", lo=0, hi=100, n_buckets=10).collect()
+    assert all(r.drifted for r in diff)
+    assert diff[0].psi_total > 0.2
+    # out-of-range values clamp into edge buckets instead of vanishing
+    c = spark.range(0, 100).select((F.col("id") * 1000.0 - 5000).alias("v"))
+    clamped = psi_drift_report(a, c, "v", lo=0, hi=100, n_buckets=10).collect()
+    assert sum(r.cur_n for r in clamped) == 100
+    edge = {r.bucket: r.cur_n for r in clamped}
+    assert edge[0] + edge[9] == 100  # everything lands in the two edges

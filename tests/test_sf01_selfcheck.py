@@ -23,6 +23,7 @@ SF01 = "/root/testdata/sf0.1"
 #: round-4 addition heavy enough to matter at the bench SF.
 PRICIEST = [
     "stream_interval_left_join_replay",
+    "stream_interval_full_join_replay",
     "stream_interval_join_replay",
     "dedup_clusters",
     "ann_recall_report",
