@@ -50,12 +50,16 @@ def cusum_flags(
     ).withColumn("_p", p)
     runmin = F.min("_p").over(w)
     s = F.col("_p") - F.least(F.lit(0.0), runmin)
+    # The flag compares the ROUNDED cusum: S is a long float sum, so two
+    # engines can land a hair's width on opposite sides of the threshold
+    # (observed at sf0.1: a row whose S is exactly 200.0 at 1e-6). Rounding
+    # first snaps both to the same grid point; > is then engine-stable.
     return with_p.select(
         key_col,
         *order_cols,
         F.round("value", 6).alias("value"),
         F.round(s, 6).alias("cusum"),
-        (s > F.lit(float(threshold))).alias("flagged"),
+        (F.round(s, 6) > F.lit(float(threshold))).alias("flagged"),
     )
 
 
@@ -87,6 +91,7 @@ WITH p AS (
   FROM p
 )
 SELECT {key_col}, {cols}, round(value, 6) AS value,
-       round(_s, 6) AS cusum, _s > {float(threshold)!r} AS flagged
+       round(_s, 6) AS cusum,
+       round(_s, 6) > {float(threshold)!r} AS flagged
 FROM s{f' ORDER BY {select_order}' if select_order else ''}
 """

@@ -77,21 +77,24 @@ def kmeans_assign(
 
     for _ in range(n_iter):
         assigned = assign(cents)
+        # posexplode + groupBy(cell, dim): map-side partial agg collapses to
+        # k×dim rows before the exchange; the packed-array alternative (dim
+        # separate avg aggregates) pays a dim-wide analysis/codegen forest —
+        # measured 5-6x slower at probe scale (same lesson as the centroid
+        # literal: plan cost must not scale with k×dim).
         means = (
-            assigned.groupBy("cell")
-            .agg(
-                *[
-                    F.avg(F.element_at("vec", i + 1).cast("double")).alias(f"m{i}")
-                    for i in range(dim)
-                ]
-            )
+            assigned.select("cell", F.posexplode("vec").alias("_d", "_v"))
+            .groupBy("cell", "_d")
+            .agg(F.avg(F.col("_v").cast("double")).alias("_m"))
             .collect()
         )
         # Rounded at the iteration boundary (see module docstring); a cell
         # that lost all members keeps its previous centroid.
-        by_cell = {int(r["cell"]): r for r in means}
+        by_cell: dict[int, dict[int, float]] = {}
+        for r in means:
+            by_cell.setdefault(int(r["cell"]), {})[int(r["_d"])] = float(r["_m"])
         cents = [
-            [round(float(by_cell[j][f"m{i}"]), 6) for i in range(dim)]
+            [round(by_cell[j][i], 6) for i in range(dim)]
             if j in by_cell
             else cents[j]
             for j in range(k)

@@ -3304,7 +3304,11 @@ def stream_cusum_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     flagged = cusum_streaming(stream, drift=60.0, threshold=200.0)
     out = f"{tmp}/out"
-    with _replay_conf(spark, partitions=4):
+    # Python-heavy stateful op (one pandas call per key per batch): unlike
+    # the JVM-state replays (4 partitions optimal — commit overhead bound),
+    # this one wants worker parallelism. Measured at sf0.1: 4 -> 5.2 s,
+    # 8 -> 4.6 s, 16 -> 4.0 s, 32 -> 4.0 s; 16 is the knee.
+    with _replay_conf(spark, partitions=16):
         q = (
             flagged.writeStream.outputMode("append")
             .foreachBatch(lambda bdf, bid: bdf.write.mode("append").parquet(out))
@@ -3324,7 +3328,10 @@ def stream_cusum_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.round("value", 6).alias("value"),
         F.round("cusum", 6).alias("cusum"),
-        "flagged",
+        # flag from the ROUNDED cusum (same rule as the batch operator):
+        # the UDF's live flag compares the raw float, which can straddle
+        # the threshold across engines when S lands exactly on it
+        (F.round("cusum", 6) > F.lit(200.0)).alias("flagged"),
     )
 
 

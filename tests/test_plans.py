@@ -304,3 +304,47 @@ def test_hotkey_salted_join_broadcasts_exploded_dim(audits):
     assert a.n_broadcast_joins >= 1
     assert a.n_sortmerge_joins == 0
     assert a.n_python_evals == 0
+
+
+def test_cusum_single_exchange_no_python(audits):
+    # Both window frames share the (user_id, ts ordering) spec: exactly one
+    # key exchange, recurrence fully JVM-side.
+    a = audits("cusum_changepoints_user_value")
+    assert a.n_exchanges == 1
+    assert a.n_python_evals == 0
+    assert a.joins == 0
+
+
+def test_label_centroids_one_agg_exchange(audits):
+    # One groupBy(label) exchange with map-side partial agg; the explode to
+    # long form happens on the label-count-sized aggregate, not the corpus.
+    a = audits("embedding_label_centroids")
+    assert a.n_exchanges == 1
+    assert a.n_python_evals == 0
+    assert a.joins == 0
+
+
+def test_psi_drift_buckets_broadcast(audits):
+    # Two map-side bucketing aggs (one exchange each) joined onto the tiny
+    # bucket spine: every join broadcast, window over n_buckets rows only.
+    a = audits("quality_psi_drift_nchars")
+    assert a.n_python_evals == 0
+    assert a.n_sortmerge_joins == 0
+    assert a.n_broadcast_joins >= 2
+
+
+def test_kmeans_assignment_map_side(audits):
+    # Final assignment is a projection over the corpus scan: the centroid
+    # matrix rides as ONE literal, no join, no exchange, no Python.
+    a = audits("kmeans_document_clusters")
+    assert a.n_exchanges == 0
+    assert a.n_python_evals == 0
+    assert a.joins == 0
+
+
+def test_weighted_bottomk_take_ordered(audits):
+    # TakeOrderedAndProject pattern: per-partition top-k then k-row merge —
+    # no global sort exchange, no Python.
+    a = audits("sample_weighted_bottomk_documents")
+    assert a.n_python_evals == 0
+    assert "TakeOrderedAndProject" in a.raw

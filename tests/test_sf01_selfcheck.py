@@ -22,6 +22,7 @@ SF01 = "/root/testdata/sf0.1"
 #: The most expensive entries by BENCH_r04 measured wall time, plus every
 #: round-4 addition heavy enough to matter at the bench SF.
 PRICIEST = [
+    "stream_cusum_replay",
     "stream_interval_left_join_replay",
     "stream_interval_full_join_replay",
     "stream_interval_join_replay",
