@@ -222,6 +222,210 @@ def decode_wav(buf: bytes) -> dict | None:
 
 
 # ---------------------------------------------------------------------------
+# AVI: a real VIDEO container, zero dependencies — RIFF 'AVI ' with the
+# spec's nested LIST structure (hdrl: avih main header + strl stream list;
+# movi: one '00db' chunk per uncompressed DIB frame). Completes the
+# real-format trio: image (BMP/PNG), audio (WAV), video (AVI). The frame
+# payloads are bottom-up BGR rows exactly like the BMP codec (word-aligned
+# stride), so the frame decode reuses that row logic.
+# ---------------------------------------------------------------------------
+
+
+def _riff_chunk(cid: bytes, body: bytes) -> bytes:
+    return cid + struct.pack("<I", len(body)) + body + (b"\x00" * (len(body) & 1))
+
+
+def _riff_list(ltype: bytes, body: bytes) -> bytes:
+    return _riff_chunk(b"LIST", ltype + body)
+
+
+def encode_avi(
+    n_frames: int, width: int, height: int, fps: int = 10, seed: int = 0
+) -> bytes:
+    """Real AVI (RIFF) with uncompressed 24-bit DIB frames: avih + strl
+    headers with spec-correct field layout, one '00db' chunk per frame,
+    frame f's pixel payload = LCG(seed*1000+f) in bottom-up padded rows
+    (same storage convention as encode_bmp)."""
+    stride = (3 * width + 3) // 4 * 4
+    frame_size = stride * height
+    avih = struct.pack(
+        "<IIIIIIIIIIIIII",
+        1_000_000 // fps,  # dwMicroSecPerFrame
+        frame_size * fps,  # dwMaxBytesPerSec
+        0, 0,
+        n_frames, 0, 1,
+        frame_size,
+        width, height,
+        0, 0, 0, 0,
+    )
+    strh = (
+        b"vids" + b"DIB " + struct.pack("<IHHIIIIIIIIhhhh",
+        0, 0, 0, 0, 1, fps, 0, n_frames, frame_size, 0, 0, 0, 0, 0, 0)
+    )
+    strf = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, frame_size, 0, 0, 0, 0
+    )
+    hdrl = _riff_list(
+        b"hdrl",
+        _riff_chunk(b"avih", avih)
+        + _riff_list(b"strl", _riff_chunk(b"strh", strh) + _riff_chunk(b"strf", strf)),
+    )
+    frames = b""
+    pad = b"\x00" * (stride - 3 * width)
+    for f in range(n_frames):
+        px = _lcg_bytes(3 * width * height, seed * 1000 + f)
+        rows = [
+            px[y * 3 * width : (y + 1) * 3 * width] + pad
+            for y in reversed(range(height))
+        ]
+        frames += _riff_chunk(b"00db", b"".join(rows))
+    movi = _riff_list(b"movi", frames)
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_avi(buf: bytes) -> dict | None:
+    """Parse a real AVI: validates RIFF/'AVI ' magic and declared sizes
+    against the buffer (truncation flags, never silently shortens), walks
+    the nested LISTs for avih (dims, frame count) and collects '00db'
+    frame payloads, un-padding and re-ordering rows to top-down BGR like
+    decode_bmp. Frame-size/count mismatches with the header return None."""
+    if buf is None or len(buf) < 24 or buf[:4] != b"RIFF" or buf[8:12] != b"AVI ":
+        return None
+    riff_size = struct.unpack_from("<I", buf, 4)[0]
+    if riff_size + 8 > len(buf):
+        return None
+    avih = None
+    frames: list[bytes] = []
+
+    def walk(lo: int, hi: int) -> bool:
+        nonlocal avih
+        pos = lo
+        while pos + 8 <= hi:
+            cid = buf[pos : pos + 4]
+            csize = struct.unpack_from("<I", buf, pos + 4)[0]
+            if pos + 8 + csize > hi:
+                return False  # declared chunk overruns its parent
+            body_lo, body_hi = pos + 8, pos + 8 + csize
+            if cid == b"LIST":
+                if csize < 4 or not walk(body_lo + 4, body_hi):
+                    return False
+            elif cid == b"avih" and csize >= 56:
+                avih = struct.unpack_from("<IIIIIIIIII", buf, body_lo)
+            elif cid == b"00db":
+                frames.append(buf[body_lo:body_hi])
+            pos = body_hi + (csize & 1)
+        return True
+
+    if not walk(12, 8 + riff_size) or avih is None:
+        return None
+    n_frames, w, h = avih[4], avih[8], avih[9]
+    if w <= 0 or h <= 0 or len(frames) != n_frames:
+        return None
+    stride = (3 * w + 3) // 4 * 4
+    if any(len(f) != stride * h for f in frames):
+        return None
+    out_frames = []
+    for f in frames:
+        rows = [f[y * stride : y * stride + 3 * w] for y in range(h)]
+        rows.reverse()
+        out_frames.append(b"".join(rows))
+    return {
+        "n_frames": n_frames,
+        "width": w,
+        "height": h,
+        "micro_sec_per_frame": avih[0],
+        "n_payload_bytes": stride * h * n_frames,
+        "file_size": riff_size + 8,
+        "frames": out_frames,
+    }
+
+
+AVI_DECODED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("content_type", T.StringType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("micro_sec_per_frame", T.IntegerType()),
+        T.StructField("n_payload_bytes", T.LongType()),
+        T.StructField("file_size", T.LongType()),
+        T.StructField("mean_intensity", T.DoubleType()),
+        T.StructField("ok", T.BooleanType()),
+    ]
+)
+
+
+def attach_avi_media(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic real-AVI media column per row, every header field and
+    frame payload closed-form in the id (frames 2+id%5, width 3+id%6,
+    height 2+id%4, fps 10, frame f seeded id*1000+f) so a SQL oracle can
+    predict the full decode including the per-frame LCG pixel replay."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            blobs = [
+                encode_avi(
+                    2 + int(i) % 5, 3 + int(i) % 6, 2 + int(i) % 4,
+                    fps=10, seed=int(i),
+                )
+                for i in ids
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "content": blobs,
+                    "content_type": ["video/x-msvideo"] * len(ids),
+                    "n_bytes": [len(b) for b in blobs],
+                }
+            )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("content", T.BinaryType()),
+            T.StructField("content_type", T.StringType()),
+            T.StructField("n_bytes", T.LongType()),
+        ]
+    )
+    return docs.select(id_col).mapInPandas(gen, out_schema)
+
+
+def decode_avi_features(media: DataFrame) -> DataFrame:
+    """Decode real AVIs over (media_id, content): RIFF walk, header fields,
+    frame extraction (unpadded top-down), and the exact mean over ALL frame
+    pixels (bit-reproducible integer truncation) — oracle equality proves
+    the container walk AND every frame's byte-exact recovery."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, buf in zip(pdf["media_id"], pdf["content"]):
+                mid = int(mid)
+                d = decode_avi(bytes(buf)) if buf is not None else None
+                if d is None:
+                    rows.append(
+                        (mid, "unknown", 0, 0, 0, 0, 0, 0, 0.0, False)
+                    )
+                else:
+                    all_px = b"".join(d["frames"])
+                    n = len(all_px)
+                    mean = (sum(all_px) * 1_000_000 // n) / 1e6 if n else 0.0
+                    rows.append(
+                        (mid, "video/x-msvideo", d["n_frames"], d["width"],
+                         d["height"], d["micro_sec_per_frame"],
+                         d["n_payload_bytes"], d["file_size"], mean, True)
+                    )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in AVI_DECODED_SCHEMA.fields]
+            )
+
+    return media.select("media_id", "content").mapInPandas(run, AVI_DECODED_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
 # PNG (r4 verdict task 4): a genuinely COMPRESSED real format with zero
 # dependencies — PNG's IDAT is zlib deflate (stdlib) over per-scanline
 # filtered bytes, so a spec-exact encoder+decoder needs only `zlib` and the

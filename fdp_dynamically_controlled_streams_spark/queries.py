@@ -1858,6 +1858,68 @@ FROM lcg WHERE i = n
 """
 
 
+# AVI video container: header fields closed-form in doc_id; the mean runs
+# the per-frame LCG (seed = id*1000 + frame) inside the recursive CTE, so
+# equality proves the RIFF walk AND byte-exact frame extraction (row
+# unpadding + bottom-up reordering). file_size closed form: 224-byte fixed
+# header chain + per-frame (8 + stride*h).
+_MULTIMODAL_AVI_ORACLE = """
+WITH RECURSIVE dims AS (
+  SELECT CAST(doc_id AS BIGINT) AS media_id,
+         CAST(2 + doc_id % 5 AS INT) AS nf,
+         CAST(3 + doc_id % 6 AS INT) AS w,
+         CAST(2 + doc_id % 4 AS INT) AS h
+  FROM documents
+), frames AS (
+  SELECT media_id, nf, w, h, unnest(range(nf)) AS f,
+         CAST(w * h * 3 AS BIGINT) AS n
+  FROM dims
+), lcg AS (
+  SELECT media_id, f, n, CAST(0 AS BIGINT) AS i,
+         ((media_id * 1000 + f) * 2654435761 + 12345) % 4294967296 AS x,
+         CAST(0 AS BIGINT) AS acc
+  FROM frames
+  UNION ALL
+  SELECT media_id, f, n, i + 1,
+         (x * 1103515245 + 12345) % 4294967296,
+         acc + (((x * 1103515245 + 12345) % 4294967296) // 65536) % 256
+  FROM lcg WHERE i < n
+), per_frame AS (
+  SELECT media_id, f, acc, n FROM lcg WHERE i = n
+), summed AS (
+  SELECT media_id, sum(acc) AS acc, sum(n) AS n
+  FROM per_frame GROUP BY media_id
+)
+SELECT d.media_id,
+       'video/x-msvideo' AS content_type,
+       d.nf AS n_frames, d.w AS width, d.h AS height,
+       CAST(100000 AS INT) AS micro_sec_per_frame,
+       CAST(((3 * d.w + 3) // 4) * 4 * d.h * d.nf AS BIGINT) AS n_payload_bytes,
+       CAST(224 + d.nf * (8 + ((3 * d.w + 3) // 4) * 4 * d.h) AS BIGINT) AS file_size,
+       CAST(s.acc * 1000000 // s.n AS DOUBLE) / 1000000 AS mean_intensity,
+       TRUE AS ok
+FROM dims d JOIN summed s USING (media_id)
+"""
+
+
+@query(
+    "multimodal_avi_formats",
+    _MULTIMODAL_AVI_ORACLE,
+    tags=("multimodal", "codec", "video"),
+)
+def multimodal_avi_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real-VIDEO multimodal decode: AVI (RIFF container, nested hdrl/strl/
+    movi lists, uncompressed DIB frames) encoded AND parsed by in-repo
+    spec-exact code (operators/multimodal.py encode_avi/decode_avi) —
+    completes the real-format trio: image (BMP/PNG), audio (WAV), video
+    (AVI). The oracle replays every frame's LCG payload, so hash equality
+    proves the container walk and byte-exact frame recovery."""
+    from fdp_dynamically_controlled_streams_spark.operators import multimodal as mm
+
+    docs = _t(spark, sf_dir, "documents")
+    return mm.decode_avi_features(mm.attach_avi_media(docs))
+
+
 @query(
     "multimodal_png_formats",
     _MULTIMODAL_PNG_ORACLE,
@@ -3489,6 +3551,66 @@ def sql_subquery_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
     for t in ("customer", "orders", "nation"):
         _t(spark, sf_dir, t).createOrReplaceTempView(t)
     return spark.sql(_SUBQUERY_SQL)
+
+
+# Recursive CTE (Spark 4.1 WITH RECURSIVE): a calendar month spine from the
+# order-date span — depth = month count (~80 levels, under the default
+# recursion limit of 100), each level one row, then a broadcast-sized join
+# zero-fills months with no orders. The classic "report every period,
+# including empty ones" shape that plain GROUP BY cannot produce.
+_RECURSIVE_SPINE_SQL = """
+WITH RECURSIVE span AS (
+  SELECT date_trunc('month', min(o_orderdate)) AS lo,
+         date_trunc('month', max(o_orderdate)) AS hi
+  FROM orders
+), months(m) AS (
+  SELECT lo FROM span
+  UNION ALL
+  SELECT m + INTERVAL 1 MONTH FROM months WHERE m < (SELECT hi FROM span)
+), per_month AS (
+  SELECT date_trunc('month', o_orderdate) AS m, count(*) AS n_orders,
+         round(sum(o_totalprice), 2) AS revenue
+  FROM orders GROUP BY 1
+)
+SELECT strftime(months.m, '%Y-%m') AS month,
+       coalesce(n_orders, 0) AS n_orders,
+       coalesce(revenue, 0.0) AS revenue
+FROM months LEFT JOIN per_month ON per_month.m = months.m
+"""
+
+
+@query(
+    "sql_recursive_month_spine",
+    _RECURSIVE_SPINE_SQL,
+    tags=("sql", "recursive", "calendar"),
+)
+def sql_recursive_month_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITH RECURSIVE month spine over the order-date span with zero-filled
+    counts — exercises Spark 4's recursive CTE execution (UnionLoop) against
+    DuckDB's recursive CTE verbatim; the strftime/date_format difference is
+    the only dialect split."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+WITH RECURSIVE span AS (
+  SELECT date_trunc('month', min(o_orderdate)) AS lo,
+         date_trunc('month', max(o_orderdate)) AS hi
+  FROM orders
+), months(m) AS (
+  SELECT lo FROM span
+  UNION ALL
+  SELECT m + INTERVAL 1 MONTH FROM months WHERE m < (SELECT hi FROM span)
+), per_month AS (
+  SELECT date_trunc('month', o_orderdate) AS m, count(*) AS n_orders,
+         round(sum(o_totalprice), 2) AS revenue
+  FROM orders GROUP BY 1
+)
+SELECT date_format(months.m, 'yyyy-MM') AS month,
+       coalesce(n_orders, 0) AS n_orders,
+       coalesce(revenue, 0.0) AS revenue
+FROM months LEFT JOIN per_month ON per_month.m = months.m
+"""
+    )
 
 
 @query(

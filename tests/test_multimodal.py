@@ -180,6 +180,35 @@ def test_decode_image_real_png_path():
     assert (w, h, c) == (6, 4, 3) and px == mm._lcg_bytes(6 * 4 * 3, 9)
 
 
+def test_avi_roundtrip_frames_exact():
+    buf = mm.encode_avi(4, 5, 3, fps=10, seed=6)  # width 5 -> padded stride
+    d = mm.decode_avi(buf)
+    assert d is not None
+    assert (d["n_frames"], d["width"], d["height"]) == (4, 5, 3)
+    assert d["micro_sec_per_frame"] == 100000
+    assert d["file_size"] == len(buf) == 224 + 4 * (8 + 16 * 3)
+    assert d["n_payload_bytes"] == 16 * 3 * 4
+    # frames come back unpadded, top-down, byte-exact vs the per-frame LCG
+    for f in range(4):
+        assert d["frames"][f] == mm._lcg_bytes(3 * 5 * 3, 6 * 1000 + f)
+
+
+def test_avi_truncation_and_header_mismatch_flagged():
+    buf = mm.encode_avi(3, 4, 3, seed=2)
+    assert mm.decode_avi(buf[:-5]) is None  # truncated tail
+    assert mm.decode_avi(buf[:40]) is None  # truncated header
+    # header/frame-count mismatch: drop the last frame chunk but keep the
+    # declared RIFF size consistent -> decoder must flag, not truncate
+    import struct as _s
+
+    stride = (3 * 4 + 3) // 4 * 4
+    frame_chunk = 8 + stride * 3
+    short = buf[: len(buf) - frame_chunk]
+    short = b"RIFF" + _s.pack("<I", len(short) - 8) + short[8:]
+    assert mm.decode_avi(short) is None
+    assert mm.decode_avi(None) is None
+
+
 def test_wav_truncation_flagged():
     # r4 advice: a truncated data chunk must flag, not silently shorten
     buf = mm.encode_wav(60, 8000, seed=4)
