@@ -172,6 +172,42 @@ def split_by_constraints(
     return valid, bad
 
 
+def k_anonymize(
+    df: DataFrame, quasi_cols: list[str], k: int, redacted: str = "*"
+) -> DataFrame:
+    """k-anonymity suppression over string quasi-identifier columns: any
+    quasi-identifier combination shared by fewer than ``k`` rows has those
+    columns REDACTED (replaced by ``redacted``) so no released row's
+    quasi-tuple identifies a group smaller than k — the release-gating
+    governance pass of a data pipeline (complements content-level PII
+    scrubbing in operators/textnorm.py).
+
+    Scale shape: one groupBy over the quasi columns to find small groups
+    (map-side combine; result is group-cardinality-sized) broadcast back
+    onto the corpus as a semi-join flag — the corpus itself never
+    shuffles. Note suppression is all-or-nothing per tuple here;
+    generalization hierarchies (city→region→country) drop in by replacing
+    the redaction literal with a coarser column."""
+    groups = df.groupBy(*quasi_cols).agg(F.count(F.lit(1)).alias("_n"))
+    small = groups.where(F.col("_n") < k).select(*quasi_cols)
+    flagged = df.join(
+        F.broadcast(small.withColumn("_suppress", F.lit(True))),
+        quasi_cols,
+        "left",
+    )
+    out_cols = []
+    for c in df.columns:
+        if c in quasi_cols:
+            out_cols.append(
+                F.when(F.col("_suppress"), F.lit(redacted))
+                .otherwise(F.col(c))
+                .alias(c)
+            )
+        else:
+            out_cols.append(F.col(c))
+    return flagged.select(*out_cols, F.coalesce("_suppress", F.lit(False)).alias("suppressed"))
+
+
 def psi_drift_report(
     base: DataFrame,
     current: DataFrame,

@@ -16,6 +16,8 @@ No Python in the hot path: cosine is zip_with/aggregate (whole-stage codegen).
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -255,6 +257,118 @@ def recall_report(
         (F.expr("hits * 1000000 div n_exact") / F.lit(1000000.0)).alias(
             "recall_at_k"
         ),
+    )
+
+
+def ranking_metrics(
+    embeddings: DataFrame,
+    probe_ids: list[int],
+    k: int = 5,
+    bits: int = 8,
+    n_cells: int = 8,
+    n_probe: int = 2,
+) -> DataFrame:
+    """Ranking quality of the approximate ANN tiers against the exact
+    brute-force top-k, beyond set recall: per method, pooled
+    MRR (reciprocal rank of the first retrieved true neighbor; 0 when a
+    probe retrieves none) and NDCG@k (binary relevance = membership in the
+    exact top-k, IDCG = ideal prefix) averaged over the probe set.
+
+    Same scan discipline as recall_report: corpus materialized once, the
+    exact pair set localCheckpointed and broadcast into each method's
+    join. Means use exact integer division at 1e-6 over sums rounded at
+    1e-6, so values hash against the SQL twin."""
+    embeddings = embeddings.select("vec_id", "embedding").localCheckpoint()
+    exact = (
+        brute_force_topk(embeddings, probe_ids, k)
+        .select("probe_id", "cand_id")
+        .localCheckpoint()
+    )
+    n_probes = len(probe_ids)
+    idcg = sum(1.0 / math.log2(i + 1) for i in range(1, k + 1))
+    tiers = [
+        ("sign_lsh", lsh_bucketed_topk(embeddings, probe_ids, k, bits)),
+        ("ivf", ivf_topk(embeddings, probe_ids, k, n_cells, n_probe)),
+    ]
+    out = None
+    for name, df in tiers:
+        hit = df.join(
+            F.broadcast(exact.withColumn("_rel", F.lit(1))),
+            ["probe_id", "cand_id"],
+            "left",
+        ).select(
+            "probe_id",
+            "rank",
+            F.coalesce("_rel", F.lit(0)).alias("rel"),
+        )
+        per_probe = hit.groupBy("probe_id").agg(
+            F.coalesce(
+                F.max(
+                    F.when(
+                        F.col("rel") == 1, 1.0 / F.col("rank").cast("double")
+                    )
+                ),
+                F.lit(0.0),
+            ).alias("rr"),
+            F.round(
+                F.sum(
+                    F.col("rel")
+                    / F.log2(F.col("rank").cast("double") + F.lit(1.0))
+                )
+                / F.lit(idcg),
+                6,
+            ).alias("ndcg"),
+        )
+        m = per_probe.agg(
+            F.lit(name).alias("method"),
+            (
+                F.expr(f"CAST(round(sum(rr), 6) * 1000000 AS BIGINT) div {n_probes}")
+                / F.lit(1000000.0)
+            ).alias("mrr"),
+            (
+                F.expr(f"CAST(round(sum(ndcg), 6) * 1000000 AS BIGINT) div {n_probes}")
+                / F.lit(1000000.0)
+            ).alias("ndcg_at_k"),
+        )
+        out = m if out is None else out.unionByName(m)
+    return out
+
+
+def ranking_metrics_sql(
+    brute_sql: str,
+    lsh_sql: str,
+    ivf_sql: str,
+    k: int,
+    n_probes: int,
+) -> str:
+    """DuckDB twin of :func:`ranking_metrics` (tier SQLs are the existing
+    per-tier oracles, reused verbatim)."""
+    idcg = sum(1.0 / math.log2(i + 1) for i in range(1, k + 1))
+
+    def per_method(name: str, sql: str) -> str:
+        return f"""
+SELECT '{name}' AS method,
+       CAST(CAST(round(sum(rr), 6) * 1000000 AS BIGINT) // {n_probes} AS DOUBLE)
+         / 1000000.0 AS mrr,
+       CAST(CAST(round(sum(ndcg), 6) * 1000000 AS BIGINT) // {n_probes} AS DOUBLE)
+         / 1000000.0 AS ndcg_at_k
+FROM (
+  SELECT probe_id,
+         coalesce(max(CASE WHEN rel = 1 THEN 1.0 / rank END), 0.0) AS rr,
+         round(sum(rel / log2(CAST(rank AS DOUBLE) + 1.0)) / {idcg!r}, 6) AS ndcg
+  FROM (
+    SELECT m.probe_id, m.rank,
+           CASE WHEN e.cand_id IS NULL THEN 0 ELSE 1 END AS rel
+    FROM ({sql}) m
+    LEFT JOIN (SELECT probe_id, cand_id FROM ({brute_sql}) b) e
+      ON e.probe_id = m.probe_id AND e.cand_id = m.cand_id
+  ) GROUP BY probe_id
+)"""
+
+    return (
+        per_method("sign_lsh", lsh_sql)
+        + "\nUNION ALL\n"
+        + per_method("ivf", ivf_sql)
     )
 
 

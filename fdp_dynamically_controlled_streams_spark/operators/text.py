@@ -300,3 +300,48 @@ def fingerprint(col: Column | str) -> Column:
     (A true rolling/winnowing hash variant lives in dedup.simhash.)"""
     t = F.array_sort(F.array_distinct(tokens(F.lower(F.col(col) if isinstance(col, str) else col))))
     return F.md5(F.array_join(t, " "))
+
+
+def token_entropy(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Shannon entropy of each document's token distribution — the
+    classic diversity/quality signal (near-zero entropy = degenerate
+    repetition, complements repetition_stats' exact ratios).
+
+    Shape: token explode (map-side generate) → ONE (doc, token) count
+    shuffle with map-side combine → per-doc window total + entropy sum —
+    the second aggregation rides the same doc-key partitioning. Entropy
+    terms are double ln() sums rounded at 1e-6 (established PSI
+    convention). Docs with no tokens are absent (nothing to measure)."""
+    from pyspark.sql import Window
+
+    tok = df.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("t")
+    ).where(F.col("t") != "")
+    cnt = tok.groupBy(id_col, "t").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy(id_col)
+    p = F.col("c").cast("double") / F.sum("c").over(w).cast("double")
+    return (
+        cnt.select(F.col(id_col), F.sum("c").over(w).alias("n_tokens"), (-p * F.log(p)).alias("_term"))
+        .groupBy(id_col, "n_tokens")
+        .agg(F.round(F.sum("_term"), 6).alias("token_entropy"))
+        .select(id_col, F.col("n_tokens").cast("long").alias("n_tokens"), "token_entropy")
+    )
+
+
+def token_entropy_sql(table: str = "documents", id_col: str = "doc_id", text_col: str = "text") -> str:
+    r"""DuckDB twin of :func:`token_entropy` (same \s+ split convention as
+    text_token_stats)."""
+    return rf"""
+WITH tok AS (
+  SELECT {id_col}, unnest(string_split_regex(trim({text_col}), '\s+')) AS t
+  FROM {table}
+), cnt AS (
+  SELECT {id_col}, t, count(*) AS c FROM tok WHERE t <> '' GROUP BY 1, 2
+), terms AS (
+  SELECT {id_col}, c, sum(c) OVER (PARTITION BY {id_col}) AS n FROM cnt
+)
+SELECT {id_col}, CAST(max(n) AS BIGINT) AS n_tokens,
+       round(-sum((CAST(c AS DOUBLE) / n) * ln(CAST(c AS DOUBLE) / n)), 6)
+         AS token_entropy
+FROM terms GROUP BY {id_col}
+"""

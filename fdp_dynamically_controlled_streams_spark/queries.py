@@ -1247,6 +1247,25 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "ann_ranking_metrics",
+    sim_ops.ranking_metrics_sql(
+        _ANN_BRUTE_SQL, _ANN_LSH_SQL, _ANN_IVF_SQL, k=5, n_probes=8
+    ),
+    tags=("similarity", "ann", "ranking"),
+)
+def ann_ranking_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking quality (pooled MRR + NDCG@5, binary relevance = membership
+    in the exact top-5) of the sign-LSH and IVF tiers — position-aware
+    where recall_at_k is set-based, so a tier that finds neighbors but
+    ranks them late scores lower. Reuses the per-tier SQL oracles verbatim
+    inside the twin (operators/similarity.py ranking_metrics)."""
+    e = _t(spark, sf_dir, "embeddings")
+    return sim_ops.ranking_metrics(
+        e, _PROBE_IDS, k=5, bits=8, n_cells=_IVF_CELLS, n_probe=_IVF_PROBE
+    )
+
+
 from fdp_dynamically_controlled_streams_spark.operators import clustering as clu
 
 
@@ -1409,6 +1428,76 @@ def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/text.py bigram_lm_score). [ABSENT in reference: SURVEY §2.7
     LLM-pipeline extension.]"""
     return text_ops.bigram_lm_score(_t(spark, sf_dir, "documents"))
+
+
+@query(
+    "text_token_entropy",
+    text_ops.token_entropy_sql("documents"),
+    tags=("text", "quality", "entropy"),
+)
+def text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Shannon entropy of the token distribution — the
+    diversity signal complementing repetition_stats' exact ratios: token
+    explode, one (doc, token) count shuffle with map-side combine, per-doc
+    window total riding the same key partitioning
+    (operators/text.py token_entropy)."""
+    return text_ops.token_entropy(_t(spark, sf_dir, "documents"))
+
+
+@query(
+    "hof_array_function_surface",
+    """
+SELECT vec_id,
+       len(list_filter(embedding, x -> x > 0)) AS n_pos,
+       round(list_reduce(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+             (a, b) -> a + b), 4) AS sum_sq,
+       round(CAST(embedding[1] AS DOUBLE) * 2, 4) AS first_doubled,
+       round(CAST(list_sort(embedding, 'DESC')[1] AS DOUBLE), 4) AS max_elem,
+       round(list_reduce(list_transform(
+                 list_zip(embedding, list_reverse(embedding)),
+                 p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)),
+             (a, b) -> a + b), 4) AS dot_rev,
+       len(list_distinct(embedding)) AS n_distinct
+FROM embeddings
+""",
+    tags=("scalar", "hof", "array"),
+)
+def hof_array_function_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order-function surface over array columns — transform /
+    filter / aggregate / zip_with / reverse / sort / distinct, all
+    codegen'd column expressions with identical left-fold accumulation in
+    the DuckDB list_* twins. The array manipulation layer every
+    embedding-era pipeline leans on, zero UDFs."""
+    e = _t(spark, sf_dir, "embeddings")
+    x2 = lambda x: x.cast("double") * x.cast("double")  # noqa: E731
+    return e.select(
+        "vec_id",
+        F.size(F.filter("embedding", lambda x: x > 0)).alias("n_pos"),
+        F.round(
+            F.aggregate(
+                F.transform("embedding", x2), F.lit(0.0), lambda a, x: a + x
+            ),
+            4,
+        ).alias("sum_sq"),
+        F.round(F.element_at("embedding", 1).cast("double") * 2, 4).alias(
+            "first_doubled"
+        ),
+        F.round(F.array_max("embedding").cast("double"), 4).alias("max_elem"),
+        F.round(
+            F.aggregate(
+                F.zip_with(
+                    "embedding",
+                    F.reverse("embedding"),
+                    lambda a, b: a.cast("double") * b.cast("double"),
+                ),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            ),
+            4,
+        ).alias("dot_rev"),
+        F.size(F.array_distinct("embedding")).alias("n_distinct"),
+    )
 
 
 @query(
@@ -3315,6 +3404,38 @@ def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "embeddings")
     dim = len(e.select("embedding").first()[0])
     return sim_ops.label_centroids(e, dim=dim, label_col="label")
+
+
+@query(
+    "privacy_k_anonymity",
+    """
+WITH small AS (
+  SELECT lang, source FROM documents
+  GROUP BY lang, source HAVING count(*) < 8
+)
+SELECT CASE WHEN s.lang IS NULL THEN d.lang ELSE '*' END AS lang,
+       CASE WHEN s.lang IS NULL THEN d.source ELSE '*' END AS source,
+       count(*) AS n_docs,
+       CAST(sum(d.n_chars) AS BIGINT) AS sum_chars,
+       s.lang IS NOT NULL AS suppressed
+FROM documents d
+LEFT JOIN small s ON s.lang = d.lang AND s.source = d.source
+GROUP BY 1, 2, 5
+""",
+    tags=("quality", "privacy", "governance"),
+)
+def privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity release gate (k=8 over the (lang, source)
+    quasi-identifier): combinations rarer than k are redacted to '*' before
+    aggregation, so no released group is smaller than k. Small-group set is
+    group-cardinality-sized and broadcast; the corpus never shuffles for
+    the flag (operators/quality.py k_anonymize)."""
+    d = _t(spark, sf_dir, "documents")
+    anon = qual.k_anonymize(d, ["lang", "source"], k=8)
+    return anon.groupBy("lang", "source", "suppressed").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+    ).select("lang", "source", "n_docs", "sum_chars", "suppressed")
 
 
 @query(

@@ -99,3 +99,28 @@ def test_psi_drift_laws(spark):
     assert sum(r.cur_n for r in clamped) == 100
     edge = {r.bucket: r.cur_n for r in clamped}
     assert edge[0] + edge[9] == 100  # everything lands in the two edges
+
+
+def test_k_anonymize_no_released_group_below_k(spark):
+    from fdp_dynamically_controlled_streams_spark.operators.quality import (
+        k_anonymize,
+    )
+
+    rows = [(i, ["a", "b", "c", "d"][min(i % 10, 3)], "x" if i % 2 else "y",
+             float(i)) for i in range(40)]
+    df = spark.createDataFrame(rows, "id long, city string, sex string, v double")
+    out = k_anonymize(df, ["city", "sex"], k=5)
+    rel = out.collect()
+    assert len(rel) == 40  # suppression redacts, never drops rows
+    # law: every released (non-redacted) quasi-tuple has >= k rows
+    from collections import Counter
+
+    sizes = Counter((r.city, r.sex) for r in rel if not r.suppressed)
+    assert all(n >= 5 for n in sizes.values())
+    # redacted rows show '*' in ALL quasi columns, others untouched
+    for r in rel:
+        if r.suppressed:
+            assert r.city == "*" and r.sex == "*"
+        assert isinstance(r.v, float) and r.id is not None
+    # some suppression actually happened in this scenario
+    assert any(r.suppressed for r in rel) and any(not r.suppressed for r in rel)
