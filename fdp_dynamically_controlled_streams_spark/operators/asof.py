@@ -64,6 +64,51 @@ def asof_join(
     )
 
 
+def asof_join_forward(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_time: str,
+    right_time: str,
+    payload: Sequence[str],
+) -> DataFrame:
+    """Forward (look-ahead) as-of: for each left row, the EARLIEST right
+    payload with right_time >= left_time, per key — the mirror of
+    :func:`asof_join` (pandas merge_asof direction='forward'): "what
+    happened next". Same union + one-window-pass shape, one shuffle on the
+    key; the frame looks FORWARD (currentRow..unboundedFollowing) with
+    ``first(ignorenulls)``, and left rows sort before right rows on time
+    ties so a simultaneous right row still matches."""
+    lcols = left.columns
+    l = left.select(
+        F.col(on).alias("__k"),
+        F.col(left_time).alias("__t"),
+        F.lit(0).alias("__side"),
+        F.struct(*lcols).alias("__left"),
+        *[F.lit(None).cast(right.schema[p].dataType).alias(p) for p in payload],
+    )
+    r = right.select(
+        F.col(on).alias("__k"),
+        F.col(right_time).alias("__t"),
+        F.lit(1).alias("__side"),
+        F.lit(None).cast(l.schema["__left"].dataType).alias("__left"),
+        *payload,
+    )
+    w = (
+        Window.partitionBy("__k")
+        .orderBy("__t", "__side")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    unioned = r.unionByName(l).select(
+        "__side",
+        "__left",
+        *[F.first(p, ignorenulls=True).over(w).alias(p) for p in payload],
+    )
+    return unioned.where(F.col("__side") == 0).select(
+        *[F.col("__left")[c].alias(c) for c in lcols], *payload
+    )
+
+
 def range_join(
     left: DataFrame,
     right: DataFrame,

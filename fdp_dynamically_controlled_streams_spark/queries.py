@@ -882,6 +882,49 @@ def asof_latest_order_before_event(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 @query(
+    "asof_next_order_after_event",
+    """
+WITH unified AS (
+  SELECT o_custkey AS k, o_orderdate AS t, 1 AS side,
+         NULL AS event_id, o_totalprice
+    FROM orders
+  UNION ALL
+  SELECT user_id AS k, ts AS t, 0 AS side, event_id, NULL AS o_totalprice
+    FROM events
+),
+prop AS (
+  SELECT side, event_id,
+         first_value(o_totalprice IGNORE NULLS) OVER
+           (PARTITION BY k ORDER BY t, side
+            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_order_price
+    FROM unified
+)
+SELECT event_id, round(next_order_price, 2) AS next_order_price
+  FROM prop WHERE side = 0
+""",
+    tags=("join", "asof", "forward"),
+)
+def asof_next_order_after_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join (pandas merge_asof direction='forward'): each
+    event picks up the EARLIEST order total of the same user at-or-after
+    its timestamp — "what happened next" attribution. Mirror window frame
+    of the backward entry, same one-shuffle shape
+    (operators/asof.py asof_join_forward)."""
+    e = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"),
+        F.col("o_orderdate").alias("ts"),
+        "o_totalprice",
+    )
+    joined = asof_ops.asof_join_forward(
+        e, o, on="user_id", left_time="ts", right_time="ts", payload=["o_totalprice"]
+    )
+    return joined.select(
+        "event_id", F.round("o_totalprice", 2).alias("next_order_price")
+    )
+
+
+@query(
     "range_join_event_bursts",
     """
 SELECT a.event_id AS id_a, count(*) AS n_following
@@ -2007,6 +2050,90 @@ def multimodal_avi_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     return mm.decode_avi_features(mm.attach_avi_media(docs))
+
+
+# Same closed-form oracle as the PNG entry, restricted to the 200-file
+# fixture slice: the decode must recover identical fields whether the bytes
+# arrive via a mapInPandas column or from FILES on disk.
+_MULTIMODAL_INGEST_ORACLE = """
+WITH RECURSIVE dims AS (
+  SELECT CAST(doc_id AS BIGINT) AS media_id,
+         CAST(5 + doc_id % 8 AS INT) AS width,
+         CAST(3 + doc_id % 6 AS INT) AS height,
+         CAST((5 + doc_id % 8) * (3 + doc_id % 6) * 3 AS BIGINT) AS n
+  FROM documents WHERE doc_id < 200
+), lcg AS (
+  SELECT media_id, width, height, n, CAST(0 AS BIGINT) AS i,
+         (media_id * 2654435761 + 12345) % 4294967296 AS x,
+         CAST(0 AS BIGINT) AS acc
+  FROM dims
+  UNION ALL
+  SELECT media_id, width, height, n, i + 1,
+         (x * 1103515245 + 12345) % 4294967296,
+         acc + (((x * 1103515245 + 12345) % 4294967296) // 65536) % 256
+  FROM lcg WHERE i < n
+)
+SELECT media_id,
+       'image/png' AS content_type,
+       width, height,
+       CAST(3 AS INT) AS channels,
+       CAST(8 AS INT) AS bit_depth,
+       n AS n_payload_bytes,
+       CAST(acc * 1000000 // n AS DOUBLE) / 1000000 AS mean_intensity,
+       TRUE AS ok
+FROM lcg WHERE i = n
+"""
+
+
+@query(
+    "multimodal_binaryfile_ingest",
+    _MULTIMODAL_INGEST_ORACLE,
+    tags=("multimodal", "codec", "source"),
+)
+def multimodal_binaryfile_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The real media INGESTION path: PNG files written to disk (one file
+    per media id, distributed via mapInPandas — no driver loop), read back
+    through Spark's native `binaryFile` source (path/length/content rows,
+    one file per task), ids parsed from filenames, then the same
+    decode_png_features — proving the codec tier composes with how media
+    actually arrives at 100 TB: as object-store files, not synthesized
+    columns. Oracle identical to the column path's closed form."""
+    from fdp_dynamically_controlled_streams_spark.operators import multimodal as mm
+    from fdp_dynamically_controlled_streams_spark.sources.registry import (
+        cached_fixture,
+    )
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+
+    def _build(p: str) -> None:
+        import os
+
+        def write_files(batches):
+            import pandas as pd
+
+            for pdf in batches:
+                for i in pdf["doc_id"].astype("int64"):
+                    i = int(i)
+                    blob = mm.encode_png(5 + i % 8, 3 + i % 6, seed=i)
+                    with open(os.path.join(p, f"media_{i:08d}.png"), "wb") as fh:
+                        fh.write(blob)
+                yield pd.DataFrame({"n": [len(pdf)]})
+
+        docs.select("doc_id").mapInPandas(write_files, "n long").collect()
+
+    fix = cached_fixture("binaryfile_png_200", sf_dir, _build)
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.png")
+        .load(fix)
+        .select(
+            F.regexp_extract(F.col("path"), r"media_(\d+)\.png$", 1)
+            .cast("long")
+            .alias("media_id"),
+            "content",
+        )
+    )
+    return mm.decode_png_features(files)
 
 
 @query(
@@ -3404,6 +3531,97 @@ def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "embeddings")
     dim = len(e.select("embedding").first()[0])
     return sim_ops.label_centroids(e, dim=dim, label_col="label")
+
+
+@query(
+    "stream_cms_counters_replay",
+    skt.cms_heavy_hitters_sql("events", "user_id"),
+    tags=("streaming", "sketch", "frequency"),
+)
+def stream_cms_counters_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min counters built ON THE STREAM: the d×w cell increments run
+    through a native streaming aggregation (complete mode — the counter
+    table is a fixed 1024 rows, the mergeable-sketch shape exactly), final
+    counters then probed for the top-10 exactly like the batch tier. Hash
+    equality with the batch CMS oracle proves the incrementally-built
+    sketch equals the one-shot build — the mergeability law the sketch's
+    100 TB story rests on, exercised by the streaming runtime itself."""
+    import tempfile
+
+    from fdp_dynamically_controlled_streams_spark.operators.sketches import (
+        CMS_D,
+        CMS_W,
+        _cms_cells,
+    )
+    from fdp_dynamically_controlled_streams_spark.sources.registry import (
+        cached_fixture,
+        replay_dir,
+        write_replay_chunks_df,
+    )
+
+    events = _t(spark, sf_dir, "events")
+    fix = cached_fixture(
+        "events_user_value_2chunks",
+        sf_dir,
+        lambda p: write_replay_chunks_df(
+            events.select("user_id", "ts", "event_id", "value"),
+            f"{p}/data",
+            n_chunks=2,
+            order_cols=("ts", "event_id"),
+        ),
+    )
+    tmp = tempfile.mkdtemp(prefix="dcs-cms-")
+    stream = replay_dir(
+        spark,
+        f"{fix}/data",
+        "user_id long, ts timestamp, event_id long, value double",
+        files_per_trigger=1,
+    )
+    cells = stream.select(
+        F.col("user_id").cast("string").alias("v")
+    ).select(
+        F.posexplode(F.array(*_cms_cells(F.col("v"), CMS_D, CMS_W))).alias("r", "c")
+    )
+    out = f"{tmp}/out"
+    with _replay_conf(spark, partitions=4):
+        q = (
+            cells.groupBy("r", "c")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .writeStream.outputMode("complete")
+            .foreachBatch(
+                lambda bdf, bid: bdf.write.mode("overwrite").parquet(out)
+            )
+            .option("checkpointLocation", f"{tmp}/chk")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    counters = _read_replay_out(spark, "r int, c bigint, cnt long", out)
+
+    base = events.select(F.col("user_id").cast("string").alias("v"))
+    exact = base.groupBy("v").agg(F.count(F.lit(1)).alias("n_exact"))
+    wnd = Window.orderBy(F.desc("n_exact"), F.asc("v"))
+    probes = (
+        exact.withColumn("_rk", F.row_number().over(wnd))
+        .where(F.col("_rk") <= 10)
+        .drop("_rk")
+    )
+    probe_cells = probes.select(
+        "v",
+        "n_exact",
+        F.posexplode(F.array(*_cms_cells(F.col("v"), CMS_D, CMS_W))).alias("r", "c"),
+    )
+    return (
+        probe_cells.join(F.broadcast(counters), ["r", "c"])
+        .groupBy("v", "n_exact")
+        .agg(F.min("cnt").alias("cms_estimate"))
+        .select(
+            F.col("v").alias("value"),
+            "n_exact",
+            "cms_estimate",
+            (F.col("cms_estimate") - F.col("n_exact")).alias("overestimate"),
+        )
+    )
 
 
 @query(

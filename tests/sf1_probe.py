@@ -38,8 +38,11 @@ SF01 = "/root/testdata/sf0.1"
 SF1 = str(REPO / ".sfscale" / "sf1")
 COPIES = 10
 
-#: The 10 priciest entries by BENCH_DETAIL.json (r4) measured wall time.
+#: The priciest entries by measured wall time (r4 BENCH_DETAIL top-10 plus
+#: the round-5 heavyweights).
 PROBE_ENTRIES = [
+    "stream_cusum_replay",
+    "stream_interval_full_join_replay",
     "stream_interval_left_join_replay",
     "ann_recall_report",
     "stream_interval_join_replay",
