@@ -3534,6 +3534,65 @@ def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_state_introspection",
+    "SELECT DISTINCT user_id, event_type FROM events",
+    tags=("streaming", "state", "introspection"),
+)
+def stream_state_introspection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offline STATE-STORE introspection (Spark 4 `statestore` reader): run
+    the global streaming dedup to completion, then read its checkpoint's
+    state store as a DataFrame and project the state KEYS — which must
+    equal batch DISTINCT exactly. The debugging/state-migration surface of
+    a production streaming platform: state is queryable data, not a black
+    box. Per-partition state files read in parallel (one task per state
+    partition)."""
+    import tempfile
+
+    from fdp_dynamically_controlled_streams_spark.sources.registry import (
+        cached_fixture,
+        replay_dir,
+        write_replay_chunks_df,
+    )
+
+    events = _t(spark, sf_dir, "events")
+    fix = cached_fixture(
+        "streaming_dedup_replay",
+        sf_dir,
+        lambda p: write_replay_chunks_df(
+            events.select("user_id", "event_type", "ts", "event_id"),
+            f"{p}/data",
+            n_chunks=2,
+            order_cols=("ts", "event_id"),
+        ),
+    )
+    tmp = tempfile.mkdtemp(prefix="dcs-stintro-")
+    stream = replay_dir(
+        spark,
+        f"{fix}/data",
+        "user_id long, event_type string, ts timestamp",
+        files_per_trigger=1,
+    )
+    with _replay_conf(spark, partitions=4):
+        q = (
+            stream.dropDuplicates(["user_id", "event_type"])
+            .writeStream.outputMode("append")
+            .format("noop")
+            .option("checkpointLocation", f"{tmp}/chk")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    return (
+        spark.read.format("statestore")
+        .load(f"{tmp}/chk")
+        .select(
+            F.col("key.user_id").alias("user_id"),
+            F.col("key.event_type").alias("event_type"),
+        )
+    )
+
+
+@query(
     "stream_cms_counters_replay",
     skt.cms_heavy_hitters_sql("events", "user_id"),
     tags=("streaming", "sketch", "frequency"),
