@@ -3951,6 +3951,104 @@ def sql_subquery_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_SUBQUERY_SQL)
 
 
+@query(
+    "sql_null_semantics_surface",
+    """
+WITH l AS (
+  SELECT CASE WHEN event_id % 7 = 0 THEN NULL ELSE event_id % 5 END AS k,
+         event_id
+  FROM events WHERE event_id < 500
+), r AS (
+  SELECT CASE WHEN n % 3 = 0 THEN NULL ELSE n END AS k, n AS tag
+  FROM (SELECT unnest(range(5)) AS n)
+)
+SELECT 'eq' AS join_kind, count(*) AS n_pairs,
+       CAST(sum(l.event_id) AS BIGINT) AS sum_left
+FROM l JOIN r ON l.k = r.k
+UNION ALL
+SELECT 'null_safe_eq', count(*), CAST(sum(l.event_id) AS BIGINT)
+FROM l JOIN r ON l.k IS NOT DISTINCT FROM r.k
+UNION ALL
+SELECT 'nulls_first_top20', count(*), CAST(sum(event_id) AS BIGINT)
+FROM (SELECT event_id, k FROM l ORDER BY k ASC NULLS FIRST, event_id LIMIT 20)
+UNION ALL
+SELECT 'nulls_last_top20', count(*), CAST(sum(event_id) AS BIGINT)
+FROM (SELECT event_id, k FROM l ORDER BY k ASC NULLS LAST, event_id LIMIT 20)
+""",
+    tags=("sql", "nulls", "semantics"),
+)
+def sql_null_semantics_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-semantics surface: plain equi-join drops NULL keys, the
+    null-safe operator (`<=>` / IS NOT DISTINCT FROM) matches them, and
+    explicit NULLS FIRST/LAST ordering changes which rows a LIMIT keeps —
+    three behaviors any engine swap must preserve exactly, pinned by one
+    aggregate row each."""
+    ev = _t(spark, sf_dir, "events").where(F.col("event_id") < 500)
+    l = ev.select(
+        F.when(F.col("event_id") % 7 == 0, None)
+        .otherwise(F.col("event_id") % 5)
+        .alias("k"),
+        "event_id",
+    )
+    r = spark.range(5).select(
+        F.when(F.col("id") % 3 == 0, None).otherwise(F.col("id")).alias("k"),
+        F.col("id").alias("tag"),
+    )
+
+    def agg(df, kind):
+        return df.agg(
+            F.lit(kind).alias("join_kind"),
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum("event_id").alias("sum_left"),
+        )
+
+    eq = agg(l.join(r, l["k"] == r["k"]), "eq")
+    nseq = agg(l.join(r, l["k"].eqNullSafe(r["k"])), "null_safe_eq")
+    nf = agg(
+        l.orderBy(F.col("k").asc_nulls_first(), "event_id").limit(20),
+        "nulls_first_top20",
+    )
+    nl = agg(
+        l.orderBy(F.col("k").asc_nulls_last(), "event_id").limit(20),
+        "nulls_last_top20",
+    )
+    return eq.unionByName(nseq).unionByName(nf).unionByName(nl)
+
+
+@query(
+    "decimal_exact_arithmetic",
+    """
+SELECT l_returnflag,
+       sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                * CAST(1.0 - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(4,2))
+            AS DECIMAL(28,4))) :: DOUBLE AS revenue_exact,
+       sum(CAST(l_quantity AS DECIMAL(18,2))) :: DOUBLE AS qty_exact,
+       count(*) AS n
+FROM lineitem
+GROUP BY l_returnflag
+""",
+    tags=("sql", "decimal", "exactness"),
+)
+def decimal_exact_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact DECIMAL arithmetic: revenue summed in fixed-point, so the
+    result is bit-identical REGARDLESS of row order — unlike double sums,
+    which this catalog makes comparable only via rounding conventions.
+    The money-column discipline at 100 TB: decimals make the aggregation
+    commutative again. The exact decimal total is cast to double only at
+    the very end (one exactly-representable conversion for the compare
+    layer) — no per-row rounding convention anywhere."""
+    li = _t(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = (F.lit(1.0) - F.col("l_discount").cast("decimal(4,2)")).cast(
+        "decimal(4,2)"
+    )
+    return li.groupBy("l_returnflag").agg(
+        F.sum((price * disc).cast("decimal(28,4)")).cast("double").alias("revenue_exact"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("qty_exact"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
 # Recursive CTE (Spark 4.1 WITH RECURSIVE): a calendar month spine from the
 # order-date span — depth = month count (~80 levels, under the default
 # recursion limit of 100), each level one row, then a broadcast-sized join
