@@ -4598,6 +4598,66 @@ def source_format_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_session_dynamic_gap",
+    """
+WITH gapped AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN event_type = 'purchase' THEN 1800.0 ELSE 600.0 END AS gap
+    FROM events
+),
+ordered AS (
+  SELECT user_id, ts,
+         max(epoch(ts) + gap) OVER
+           (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end,
+         epoch(ts) AS e
+    FROM gapped
+),
+marked AS (
+  SELECT user_id, ts,
+         CASE WHEN prev_end IS NULL OR e >= prev_end THEN 1 ELSE 0 END AS is_new
+    FROM ordered
+),
+sessions AS (
+  SELECT user_id, ts,
+         CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS sno
+    FROM marked
+)
+SELECT user_id,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       count(*) AS n_events,
+       CAST(floor(epoch(max(ts))) - floor(epoch(min(ts))) AS BIGINT) AS duration_sec
+  FROM sessions GROUP BY user_id, sno
+""",
+    tags=("event_time", "session", "dynamic"),
+)
+def events_session_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DYNAMIC-gap session windows: each event extends its session by a
+    per-event gap expression (purchases hold the session open 30 min,
+    everything else 10) — Spark's session_window(gap_expr) form. The
+    oracle replays the merge rule directly: an event opens a new session
+    iff its time >= the running max of (prev event time + prev gap),
+    half-open boundaries like the fixed-gap entry."""
+    e = _t(spark, sf_dir, "events")
+    gap = F.when(F.col("event_type") == "purchase", F.lit("30 minutes")).otherwise(
+        F.lit("10 minutes")
+    )
+    return (
+        e.groupBy("user_id", F.session_window("ts", gap).alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts")))
+            .cast("bigint")
+            .alias("duration_sec"),
+            F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        )
+        .select("user_id", "session_start", "n_events", "duration_sec")
+    )
+
+
+@query(
     "events_session_window_native",
     """
 WITH ordered AS (
