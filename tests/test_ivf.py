@@ -61,3 +61,21 @@ def test_recall_report_anchor_and_bounds(spark):
     for r in rows.values():
         assert 0.0 <= r.recall_at_k <= 1.0
         assert r.hits <= r.n_exact
+
+
+def test_ranking_metrics_laws(spark):
+    """MRR/NDCG bounds and a constructed exact-match tier: metrics of a
+    tier that returns the exact top-k must be 1.0; all metrics in [0,1]."""
+    from fdp_dynamically_controlled_streams_spark.operators.similarity import (
+        ranking_metrics,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    out = {r.method: r for r in ranking_metrics(
+        emb, list(range(4)), k=3, bits=2, n_cells=4, n_probe=4
+    ).collect()}
+    assert set(out) == {"sign_lsh", "ivf"}
+    for r in out.values():
+        assert 0.0 <= r.mrr <= 1.0 and 0.0 <= r.ndcg_at_k <= 1.0
+    # n_probe == n_cells means IVF searches EVERY cell -> exact top-k
+    assert out["ivf"].mrr == 1.0 and out["ivf"].ndcg_at_k == 1.0
