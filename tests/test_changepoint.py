@@ -35,6 +35,36 @@ def test_matches_sequential_recurrence(spark):
             assert got[(k, i)][1] == (s > 10.0), (k, i)
 
 
+def test_window_identity_matches_recurrence_on_random_sequences(spark):
+    """Hypothesis property: the two-window closed form equals the naive
+    sequential recurrence on arbitrary float sequences (incl. negatives,
+    zeros, large jumps), for every prefix."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=20, deadline=None)
+    @given(
+        xs=st.lists(
+            st.floats(min_value=-1e6, max_value=1e6, allow_nan=False),
+            min_size=1,
+            max_size=30,
+        ),
+        drift=st.floats(min_value=-100, max_value=100, allow_nan=False),
+    )
+    def prop(xs, drift):
+        df = spark.createDataFrame(
+            [(1, i, x) for i, x in enumerate(xs)], "k int, i int, x double"
+        )
+        got = {
+            r.i: r.cusum
+            for r in cusum_flags(df, "k", ("i",), "x", drift, 1.0).collect()
+        }
+        for i, s in enumerate(_naive(xs, drift)):
+            assert abs(got[i] - round(s, 6)) < max(1e-6, abs(s) * 1e-9), (i, xs)
+
+    prop()
+
+
 def test_detects_level_shift_not_noise(spark):
     # mean 1.0 for 50 steps then mean 4.0: with drift 2 (between the means)
     # the pre-shift segment never flags, the post-shift segment does

@@ -182,6 +182,72 @@ def test_left_outer_nulls_are_watermark_driven_and_state_bounded(spark, tmpdir):
     assert 0 < peak_state < total_rows * 0.75
 
 
+def test_resume_from_checkpoint_no_loss_no_dup(spark, tmpdir):
+    """Restart semantics for the stream-stream join: run with only the
+    first chunks present, stop, add the remaining chunks, resume from the
+    SAME checkpoint — the union of both runs' outputs must equal the
+    one-shot result exactly (join state and source offsets both recovered;
+    no lost pairs, no duplicates)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    lrows, rrows = _rows(0), _rows(1)
+    lp = pd.DataFrame(lrows, columns=["user_id", "ts", "amount"]).sort_values("ts")
+    rp = pd.DataFrame(rrows, columns=["user_id", "ts", "amount"]).sort_values("ts")
+    for pdf in (lp, rp):
+        pdf["user_id"] = pdf["user_id"].astype("int32")
+        pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    half_l, half_r = len(lp) // 2, len(rp) // 2
+    write_replay_chunks([lp.iloc[:half_l].reset_index(drop=True)], f"{tmpdir}/left")
+    write_replay_chunks([rp.iloc[:half_r].reset_index(drop=True)], f"{tmpdir}/right")
+
+    collected: list = []
+
+    def run():
+        l = replay_dir(spark, f"{tmpdir}/left", DDL, files_per_trigger=1)
+        r = replay_dir(spark, f"{tmpdir}/right", DDL, files_per_trigger=1)
+        joined = interval_join_streams(
+            l, r, "user_id", "ts", "ts", F.expr("INTERVAL 0 SECONDS"),
+            F.expr(BAND), "30 minutes",
+        )
+        q = (
+            joined.writeStream.outputMode("append")
+            .foreachBatch(lambda bdf, bid: collected.extend(bdf.collect()))
+            .option("checkpointLocation", f"{tmpdir}/chk")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    run()
+    n_first = len(collected)
+    for side, pdf, half in (("left", lp, half_l), ("right", rp, half_r)):
+        fp = f"{tmpdir}/{side}/chunk-99999.parquet"
+        pq.write_table(
+            pa.Table.from_pandas(pdf.iloc[half:], preserve_index=False), fp
+        )
+        os.utime(fp, (1_700_000_100, 1_700_000_100))
+    run()
+    got = sorted((x.l_user_id, x.l_ts, x.r_ts) for x in collected)
+
+    batch = range_join(
+        spark.createDataFrame(lrows, DDL), spark.createDataFrame(rrows, DDL),
+        "user_id", "ts", "ts", F.expr("INTERVAL 0 SECONDS"), F.expr(BAND),
+    )
+    want = sorted(
+        (x.u, x.lts, x.rts)
+        for x in batch.select(
+            F.col("l.user_id").alias("u"),
+            F.col("l.ts").alias("lts"),
+            F.col("r.ts").alias("rts"),
+        ).collect()
+    )
+    assert got == want  # no loss, no duplication across the restart
+    assert 0 < n_first < len(want)  # the restart actually split the work
+
+
 def test_full_outer_nulls_on_both_sides(spark, tmpdir):
     """FULL OUTER trio completion: left-null rule as above PLUS the right
     side's own deadline — an unmatched right row emits (NULL, r) once the
