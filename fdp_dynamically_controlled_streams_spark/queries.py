@@ -3951,6 +3951,58 @@ def sql_subquery_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_SUBQUERY_SQL)
 
 
+_FPRINT_ROW = (
+    "CAST(l_orderkey AS VARCHAR) || '|' || CAST(l_linenumber AS VARCHAR)"
+    " || '|' || CAST(CAST(l_quantity AS BIGINT) AS VARCHAR)"
+    " || '|' || l_returnflag"
+)
+
+
+@query(
+    "table_fingerprint_lineitem",
+    f"""
+SELECT count(*) AS n_rows,
+       CAST(sum({{h}}) % 4611686018427387904 AS BIGINT) AS hash_sum,
+       CAST(bit_xor({{h}}) AS BIGINT) AS hash_xor
+FROM lineitem
+""".format(h=__import__(
+        "fdp_dynamically_controlled_streams_spark.functions.hashing",
+        fromlist=["portable_hash64_sql"],
+    ).portable_hash64_sql(f"({_FPRINT_ROW})")),
+    tags=("validation", "fingerprint"),
+)
+def table_fingerprint_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-insensitive TABLE FINGERPRINT: count + modular sum + XOR of a
+    portable per-row hash over the key columns — the cross-system data
+    validation primitive (did the migration/replication/engine-swap
+    preserve every row?). Commutative aggregates of a codegen'd map-side
+    hash: one partial-agg pass, shuffle is 1 row per partition, and two
+    INDEPENDENT accumulators (sum mod 2^62 and XOR) make silent collision
+    of a real diff vanishingly unlikely."""
+    from fdp_dynamically_controlled_streams_spark.functions.hashing import (
+        portable_hash64,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    row = F.concat_ws(
+        "|",
+        F.col("l_orderkey").cast("string"),
+        F.col("l_linenumber").cast("string"),
+        F.col("l_quantity").cast("bigint").cast("string"),
+        F.col("l_returnflag"),
+    )
+    # sum accumulates in DECIMAL(38,0): ~600 k × 2^60 overflows int64, and a
+    # silently-wrapping sum would diverge from DuckDB's exact HUGEINT sum.
+    hashed = li.select(portable_hash64(row).alias("_h"))
+    return hashed.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        (F.sum(F.col("_h").cast("decimal(38,0)")) % F.lit(1 << 62))
+        .cast("long")
+        .alias("hash_sum"),
+        F.expr("CAST(bit_xor(_h) AS BIGINT)").alias("hash_xor"),
+    )
+
+
 @query(
     "sql_null_semantics_surface",
     """
