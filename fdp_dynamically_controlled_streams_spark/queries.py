@@ -3951,6 +3951,61 @@ def sql_subquery_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_SUBQUERY_SQL)
 
 
+@query(
+    "events_markov_transitions",
+    """
+WITH seq AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_type
+  FROM events
+), pairs AS (
+  SELECT prev_type AS from_type, event_type AS to_type, count(*) AS n
+  FROM seq WHERE prev_type IS NOT NULL
+  GROUP BY 1, 2
+)
+SELECT from_type, to_type, n,
+       CAST(n * 1000000 // sum(n) OVER (PARTITION BY from_type) AS DOUBLE)
+         / 1000000.0 AS p
+FROM pairs
+""",
+    tags=("events", "sequence", "markov"),
+)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event journeys:
+    lag pairs (one key shuffle shared by the lag window), transition
+    counts, and row-normalized probabilities via a window over the
+    |event_types|² matrix — exact integer division at 1e-6, so the
+    probabilities hash. The behavioral-model fit that journey mining
+    (events_journey_patterns) feeds."""
+    from pyspark.sql import Window as W
+
+    e = _t(spark, sf_dir, "events")
+    seq = e.select(
+        "user_id",
+        "event_type",
+        F.lag("event_type").over(
+            W.partitionBy("user_id").orderBy("ts", "event_id")
+        ).alias("prev_type"),
+    )
+    pairs = (
+        seq.where(F.col("prev_type").isNotNull())
+        .groupBy(
+            F.col("prev_type").alias("from_type"),
+            F.col("event_type").alias("to_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = W.partitionBy("from_type")
+    return pairs.withColumn("_row_total", F.sum("n").over(tot)).select(
+        "from_type",
+        "to_type",
+        "n",
+        (F.expr("n * 1000000 div _row_total").cast("double") / F.lit(1_000_000.0))
+        .alias("p"),
+    )
+
+
 _FPRINT_ROW = (
     "CAST(l_orderkey AS VARCHAR) || '|' || CAST(l_linenumber AS VARCHAR)"
     " || '|' || CAST(CAST(l_quantity AS BIGINT) AS VARCHAR)"
