@@ -75,6 +75,17 @@ def main() -> None:
     except Exception as exc:  # noqa: BLE001
         print(f"bench warmup (heater_sim) failed: {exc!r}", file=sys.stderr)
 
+    # Previous run's per-query detail (if checked in) BEFORE we overwrite it:
+    # the soft regression report below compares this run's min-of-passes to
+    # the prior round's on the common set, so >20% deltas are flagged in the
+    # artifact instead of needing post-hoc archaeology (r5 verdict task 3c).
+    prev_detail_path = Path(__file__).resolve().parent / "BENCH_DETAIL.json"
+    prev_queries: dict[str, float] = {}
+    try:
+        prev_queries = json.loads(prev_detail_path.read_text()).get("queries", {})
+    except (OSError, ValueError):
+        pass
+
     qs = spark_queries()
     pass_timings: list[dict[str, float]] = []
     build_sec: dict[str, float] = {}
@@ -97,6 +108,32 @@ def main() -> None:
         name: min(t[name] for t in pass_timings) for name in pass_timings[0]
     }
     total = round(sum(measured.values()), 4)
+    # Per-entry phase split for replay entries: pass-1 wall = fixture build
+    # + query; warm passes hit the session fixture cache so `measured` is
+    # already build-free wherever passes >= 2. The split makes pass-1
+    # attribution explicit for entries that build fixtures.
+    query_phase = {
+        name: round(pass_timings[0][name] - build_sec.get(name, 0.0), 4)
+        for name in build_sec
+    }
+    # Soft regression report: common-set entries >20% slower than the
+    # previous checked-in run (and >0.1 s absolute, to skip sub-noise
+    # entries). Informational — printed to stderr and carried in the
+    # artifact; never fails the bench.
+    regressions = {
+        name: {"prev": prev_queries[name], "now": measured[name],
+               "ratio": round(measured[name] / prev_queries[name], 3)}
+        for name in sorted(set(measured) & set(prev_queries))
+        if prev_queries[name] > 1e-9
+        and measured[name] > prev_queries[name] * 1.2
+        and measured[name] - prev_queries[name] > 0.1
+    }
+    for name, r in regressions.items():
+        print(
+            f"bench regression: {name} {r['prev']}s -> {r['now']}s "
+            f"(x{r['ratio']})",
+            file=sys.stderr,
+        )
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     # Full per-query detail goes to a file; the stdout line must stay compact
     # (the driver captures a bounded tail of output — a >2 KB line gets
@@ -120,6 +157,8 @@ def main() -> None:
         ),
         "pass_queries": pass_timings,
         "pass1_fixture_build_sec": build_sec,
+        "pass1_query_phase_sec": query_phase,
+        "regressions_vs_prev": regressions,
         "fixture_stats": dict(FIXTURE_STATS),
     }
     try:

@@ -148,6 +148,11 @@ def minhash_candidate_pairs(
     )
 
 
+#: Rounds the last :func:`connected_components` call took to converge —
+#: diagnostics only (asserted by the long-chain property test).
+LAST_CC_ROUNDS = 0
+
+
 def connected_components(
     pairs: DataFrame,
     a_col: str = "id_a",
@@ -159,49 +164,103 @@ def connected_components(
     dedup pipeline (pairs alone don't dedupe; A~B, B~C must collapse to one
     keeper even when A~C was never a candidate pair).
 
-    Iterative min-label propagation: labels start as own id; each round every
-    node takes the min of its label and its neighbors' labels; converged when
-    no label changes. Rounds needed = graph diameter (near-dup clusters are
-    shallow — a handful). The loop is DRIVER CONTROL ONLY: per round one
-    shuffle join + agg, all data stays distributed; ``localCheckpoint`` cuts
-    the growing lineage so round N's plan doesn't replay rounds 1..N-1.
-    Convergence is detected distributedly (count of changed labels).
+    Alternating LARGE-STAR / SMALL-STAR (Kiveris et al., "Connected
+    Components in MapReduce and Beyond", SoCC 2014): each round rewires the
+    edge set toward a star per component in O(log n) rounds TOTAL —
+    independent of graph diameter. (The previous min-label propagation
+    needed diameter rounds: fine for shallow near-dup clusters, but a
+    chained-duplicate corpus A~B~C~...~Z — the classic crawl-boilerplate
+    shape — degenerated to O(chain length) shuffles; the long-chain property
+    test in tests/test_dedup_clusters.py pins the log bound.)
+
+    Per round: large-star hangs every strictly-larger neighbor of u onto
+    min(Γ(u) ∪ {u}); small-star (on edges oriented big→small) hangs all of
+    u's smaller neighbors and u itself onto their minimum. Both are one
+    groupBy + join over the EDGE set (not the corpus), all distributed; the
+    driver loop is control-only and ``localCheckpoint`` cuts lineage per
+    round. Convergence = the edge set reached a fixpoint, checked exactly
+    with a left-anti join + counts (edge-set-sized, no full re-labeling).
     """
-    edges = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
-    edges = edges.union(
-        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    global LAST_CC_ROUNDS
+    # checkpoint the raw pair list FIRST: nodes and edges both derive from
+    # it, and without the cut the (potentially expensive) upstream pair
+    # pipeline — e.g. the whole MinHash-LSH candidate generation — would
+    # execute twice
+    raw = pairs.select(
+        F.col(a_col).alias("u"), F.col(b_col).alias("v")
     ).localCheckpoint()
-    labels = (
-        edges.select(F.col("src").alias("id"))
+    # nodes stays LAZY (scanned once for the root labels at the end; the
+    # upstream cut is raw's checkpoint)
+    nodes = (
+        raw.select(F.col("u").alias("id"))
+        .union(raw.select(F.col("v").alias("id")))
         .distinct()
-        .select("id", F.col("id").alias("label"))
+    )
+    # canonical orientation big→small (u > v), self-loops dropped
+    edges = (
+        raw.where(F.col("u") != F.col("v"))
+        .select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        .distinct()
         .localCheckpoint()
     )
+    n_edges = edges.count()
+    LAST_CC_ROUNDS = 0
     for _ in range(max_iter):
-        nbr_min = (
-            edges.join(labels, edges.dst == labels.id)
-            .groupBy("src")
-            .agg(F.min("label").alias("nbr_label"))
+        # LARGE-STAR: symmetric neighborhoods; for each u emit (v, m) for
+        # every neighbor v > u, where m = min(Γ(u) ∪ {u}). Each edge is
+        # emitted exactly once (from its smaller endpoint's group), so the
+        # output stays edge-set-sized. Invariant kept: first > second.
+        sym = edges.union(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
         )
-        # Change detection rides the same row (old vs new label), so each
-        # round is ONE join+agg pass; the convergence count then only scans
-        # the checkpointed partitions — no second shuffle join per round.
-        new_labels = (
-            labels.join(nbr_min, labels.id == nbr_min.src, "left")
-            .select(
-                "id",
-                F.least(
-                    F.col("label"), F.coalesce("nbr_label", "label")
-                ).alias("label"),
-                (F.coalesce("nbr_label", "label") < F.col("label")).alias("__chg"),
-            )
+        mins = sym.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+        # (no distinct here: duplicates — two groups hanging the same node
+        # onto the same m — are degree-bounded and collapse in sm's
+        # distinct; skipping the exchange saves a full shuffle per round)
+        lg = (
+            sym.join(mins, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        )
+        # SMALL-STAR: group by the larger endpoint u over its (all smaller)
+        # neighbors N(u); m = min(N(u)); emit (v, m) for v in N(u)\{m} and
+        # (u, m). Orientation big→small holds by construction.
+        mins2 = lg.groupBy("u").agg(F.min("v").alias("m"))
+        sm = (
+            lg.join(mins2, "u")
+            .where(F.col("v") != F.col("m"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(mins2.select("u", F.col("m").alias("v")))
+            .distinct()
             .localCheckpoint()
         )
-        changed = new_labels.where("__chg").count()
-        labels = new_labels.select("id", "label")
-        if changed == 0:
+        LAST_CC_ROUNDS += 1
+        # exact fixpoint check: sm == edges as sets (both are distinct).
+        # The anti-join only runs when the cheap cardinality gate matches,
+        # so non-final rounds pay one count on checkpointed partitions.
+        n_sm = sm.count()
+        if (
+            n_sm == n_edges
+            and sm.join(edges, ["u", "v"], "left_anti").count() == 0
+        ):
+            edges = sm
             break
-    return labels.select("id", F.col("label").alias("cluster_id"))
+        edges, n_edges = sm, n_sm
+    # Fixpoint edge set is a star per component: (member, root). Roots (and
+    # isolated nodes, e.g. self-paired ids) label themselves. The groupBy
+    # min is a no-op at the fixpoint but keeps output well-formed if
+    # max_iter cut the loop short.
+    leaf = edges.groupBy(F.col("u").alias("id")).agg(
+        F.min("v").alias("cluster_id")
+    )
+    root = nodes.join(
+        leaf.select("id"), "id", "left_anti"
+    ).select("id", F.col("id").alias("cluster_id"))
+    return leaf.unionByName(root)
 
 
 def simhash_signatures(

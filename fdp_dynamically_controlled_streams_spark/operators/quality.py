@@ -189,12 +189,22 @@ def k_anonymize(
     generalization hierarchies (city→region→country) drop in by replacing
     the redaction literal with a coarser column."""
     groups = df.groupBy(*quasi_cols).agg(F.count(F.lit(1)).alias("_n"))
-    small = groups.where(F.col("_n") < k).select(*quasi_cols)
+    small = groups.where(F.col("_n") < k).select(
+        *[F.col(c).alias(f"_q_{c}") for c in quasi_cols]
+    )
+    # NULL-safe equality: a quasi-tuple containing NULL is still an
+    # identifiable group (groupBy treats NULL as a value), so the
+    # suppression join must match it too — a plain equi-join would
+    # silently release sub-k NULL-quasi rows unredacted.
+    cond = None
+    for c in quasi_cols:
+        term = F.col(c).eqNullSafe(F.col(f"_q_{c}"))
+        cond = term if cond is None else (cond & term)
     flagged = df.join(
         F.broadcast(small.withColumn("_suppress", F.lit(True))),
-        quasi_cols,
+        cond,
         "left",
-    )
+    ).drop(*[f"_q_{c}" for c in quasi_cols])
     out_cols = []
     for c in df.columns:
         if c in quasi_cols:

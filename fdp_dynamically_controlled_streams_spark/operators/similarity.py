@@ -319,14 +319,26 @@ def ranking_metrics(
                 6,
             ).alias("ndcg"),
         )
+        # round AGAIN after the *1e6 scale-up before the BIGINT cast:
+        # Spark casts double->bigint by truncation while DuckDB rounds to
+        # nearest, so a 6-decimal sum landing epsilon below an integer
+        # (e.g. a 1/3 reciprocal-rank component) would differ by 1 ulp of
+        # the fixed-point grid between engines. round(...,0) snaps both
+        # to the exact integer first, making the cast engine-stable.
         m = per_probe.agg(
             F.lit(name).alias("method"),
             (
-                F.expr(f"CAST(round(sum(rr), 6) * 1000000 AS BIGINT) div {n_probes}")
+                F.expr(
+                    f"CAST(round(round(sum(rr), 6) * 1000000, 0) AS BIGINT)"
+                    f" div {n_probes}"
+                )
                 / F.lit(1000000.0)
             ).alias("mrr"),
             (
-                F.expr(f"CAST(round(sum(ndcg), 6) * 1000000 AS BIGINT) div {n_probes}")
+                F.expr(
+                    f"CAST(round(round(sum(ndcg), 6) * 1000000, 0) AS BIGINT)"
+                    f" div {n_probes}"
+                )
                 / F.lit(1000000.0)
             ).alias("ndcg_at_k"),
         )
@@ -348,9 +360,9 @@ def ranking_metrics_sql(
     def per_method(name: str, sql: str) -> str:
         return f"""
 SELECT '{name}' AS method,
-       CAST(CAST(round(sum(rr), 6) * 1000000 AS BIGINT) // {n_probes} AS DOUBLE)
+       CAST(CAST(round(round(sum(rr), 6) * 1000000, 0) AS BIGINT) // {n_probes} AS DOUBLE)
          / 1000000.0 AS mrr,
-       CAST(CAST(round(sum(ndcg), 6) * 1000000 AS BIGINT) // {n_probes} AS DOUBLE)
+       CAST(CAST(round(round(sum(ndcg), 6) * 1000000, 0) AS BIGINT) // {n_probes} AS DOUBLE)
          / 1000000.0 AS ndcg_at_k
 FROM (
   SELECT probe_id,
@@ -374,7 +386,6 @@ FROM (
 
 def label_centroids(
     embeddings: DataFrame,
-    dim: int,
     label_col: str = "label",
     vec_col: str = "embedding",
 ) -> DataFrame:

@@ -3125,8 +3125,10 @@ def stream_interval_left_join_replay(spark: SparkSession, sf_dir: str) -> DataFr
                 order_cols=("ts",),
             )
 
-    # Same chunking spec as the inner entry -> shared cached fixture.
-    fix = cached_fixture("stream_interval_join_replay", sf_dir, _build)
+    # Own cache key (not shared with the inner entry) so fixture-build cost
+    # attributes to THIS entry in the bench's phase split — shared keys made
+    # round-over-round deltas depend on catalog iteration order (r5 verdict).
+    fix = cached_fixture("stream_interval_left_join_replay", sf_dir, _build)
     tmp = tempfile.mkdtemp(prefix="dcs-ivjlo-")
     joined = interval_join_streams(
         replay_dir(spark, f"{fix}/left", ddl, files_per_trigger=1),
@@ -3220,8 +3222,9 @@ def stream_interval_full_join_replay(spark: SparkSession, sf_dir: str) -> DataFr
                 order_cols=("ts",),
             )
 
-    # Same chunking spec as the inner/leftOuter entries -> shared fixture.
-    fix = cached_fixture("stream_interval_join_replay", sf_dir, _build)
+    # Own cache key for per-entry fixture-build attribution (see the
+    # left-outer entry's note).
+    fix = cached_fixture("stream_interval_full_join_replay", sf_dir, _build)
     tmp = tempfile.mkdtemp(prefix="dcs-ivjfo-")
     joined = interval_join_streams(
         replay_dir(spark, f"{fix}/left", ddl, files_per_trigger=1),
@@ -3524,13 +3527,13 @@ def cusum_changepoints_user_value(spark: SparkSession, sf_dir: str) -> DataFrame
     tags=("similarity", "aggregation"),
 )
 def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-label class prototypes (long form): centroid mean and population
-    variance per dimension from ONE groupBy(label) with map-side-combinable
-    aggregates — the corpus is never unnested into rows×dim on the Spark
-    side (operators/similarity.py label_centroids)."""
+    """Per-label class prototypes (long form): posexplode to (label, dim, v)
+    then ONE groupBy(label, dim) whose map-side partial aggregation
+    collapses to labels×dim rows before the exchange — shuffle volume is
+    independent of corpus size (operators/similarity.py label_centroids,
+    measured 5-6x faster than the dim-wide expression-forest form)."""
     e = _t(spark, sf_dir, "embeddings")
-    dim = len(e.select("embedding").first()[0])
-    return sim_ops.label_centroids(e, dim=dim, label_col="label")
+    return sim_ops.label_centroids(e, label_col="label")
 
 
 @query(
@@ -3687,16 +3690,17 @@ def stream_cms_counters_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     "privacy_k_anonymity",
     """
 WITH small AS (
-  SELECT lang, source FROM documents
+  SELECT lang, source, TRUE AS _suppress FROM documents
   GROUP BY lang, source HAVING count(*) < 8
 )
-SELECT CASE WHEN s.lang IS NULL THEN d.lang ELSE '*' END AS lang,
-       CASE WHEN s.lang IS NULL THEN d.source ELSE '*' END AS source,
+SELECT CASE WHEN s._suppress THEN '*' ELSE d.lang END AS lang,
+       CASE WHEN s._suppress THEN '*' ELSE d.source END AS source,
        count(*) AS n_docs,
        CAST(sum(d.n_chars) AS BIGINT) AS sum_chars,
-       s.lang IS NOT NULL AS suppressed
+       coalesce(s._suppress, FALSE) AS suppressed
 FROM documents d
-LEFT JOIN small s ON s.lang = d.lang AND s.source = d.source
+LEFT JOIN small s ON s.lang IS NOT DISTINCT FROM d.lang
+                 AND s.source IS NOT DISTINCT FROM d.source
 GROUP BY 1, 2, 5
 """,
     tags=("quality", "privacy", "governance"),
@@ -3788,10 +3792,10 @@ def stream_cusum_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.round("value", 6).alias("value"),
         F.round("cusum", 6).alias("cusum"),
-        # flag from the ROUNDED cusum (same rule as the batch operator):
-        # the UDF's live flag compares the raw float, which can straddle
-        # the threshold across engines when S lands exactly on it
-        (F.round("cusum", 6) > F.lit(200.0)).alias("flagged"),
+        # the stateful function already flags from the 1e-6-rounded cusum
+        # (streaming/cusum.py), matching the batch operator — no sink-side
+        # correction needed
+        "flagged",
     )
 
 
@@ -4713,7 +4717,7 @@ WITH gapped AS (
     FROM events
 ),
 ordered AS (
-  SELECT user_id, ts,
+  SELECT user_id, ts, event_id,
          max(epoch(ts) + gap) OVER
            (PARTITION BY user_id ORDER BY ts, event_id
             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end,
@@ -4721,13 +4725,13 @@ ordered AS (
     FROM gapped
 ),
 marked AS (
-  SELECT user_id, ts,
+  SELECT user_id, ts, event_id,
          CASE WHEN prev_end IS NULL OR e >= prev_end THEN 1 ELSE 0 END AS is_new
     FROM ordered
 ),
 sessions AS (
   SELECT user_id, ts,
-         CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+         CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
               AS BIGINT) AS sno
     FROM marked

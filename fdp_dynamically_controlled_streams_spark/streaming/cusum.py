@@ -69,7 +69,10 @@ def _make_fn(drift: float, threshold: float):
                 "event_id": pdf["event_id"].astype("int64"),
                 "value": pdf["value"].astype("float64"),
                 "cusum": s,
-                "flagged": s > threshold,
+                # flag from the ROUNDED cusum — same rule as the batch
+                # operator (changepoint.py): the raw float can straddle
+                # the threshold across engines when S lands exactly on it
+                "flagged": np.round(s, 6) > threshold,
             }
         )
 
@@ -81,7 +84,10 @@ def cusum_streaming(
 ) -> DataFrame:
     """Keyed streaming CUSUM over (user_id, ts, event_id, value); emits
     every row with its running cusum and flag. `cusum` is emitted unrounded
-    — round at the sink so both engines round the identical double."""
+    — round at the sink so both engines round the identical double. The
+    FLAG, however, is already computed from the 1e-6-rounded value inside
+    the stateful function (matching the batch operator), so consumers get
+    the engine-stable flag without sink-side correction."""
     return events.groupBy("user_id").applyInPandasWithState(
         _make_fn(drift, threshold),
         outputStructType=OUTPUT_SCHEMA,

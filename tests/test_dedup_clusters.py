@@ -34,6 +34,20 @@ def test_long_chain_needs_many_rounds(spark):
     assert set(got.values()) == {0} and len(got) == n + 1
 
 
+def test_long_chain_converges_in_log_rounds(spark):
+    # the large-star/small-star property: a 10k-node PATH (diameter 10k —
+    # label propagation would need 10k shuffle rounds) converges in
+    # O(log n) rounds. Bound: 2*ceil(log2(n)) + 2 = 30 with headroom.
+    from fdp_dynamically_controlled_streams_spark.operators import dedup
+
+    n = 10_000
+    df = spark.range(n - 1).selectExpr("id AS id_a", "id + 1 AS id_b")
+    out = dedup.connected_components(df, max_iter=40)
+    labels = {r.id: r.cluster_id for r in out.collect()}
+    assert len(labels) == n and set(labels.values()) == {0}
+    assert dedup.LAST_CC_ROUNDS <= 30, dedup.LAST_CC_ROUNDS
+
+
 def test_empty_pairs(spark):
     df = spark.createDataFrame([(1, 2)], "id_a long, id_b long").where("id_a < 0")
     assert connected_components(df).count() == 0

@@ -124,3 +124,19 @@ def test_k_anonymize_no_released_group_below_k(spark):
         assert isinstance(r.v, float) and r.id is not None
     # some suppression actually happened in this scenario
     assert any(r.suppressed for r in rel) and any(not r.suppressed for r in rel)
+    # NULL quasi-identifiers are still identifiable groups: a sub-k group
+    # whose tuple contains NULL must be suppressed too (null-safe join),
+    # not silently released
+    nrows = [(100 + i, None, "z", 1.0) for i in range(3)] + [
+        (200 + i, "big", "w", 1.0) for i in range(10)
+    ]
+    ndf = spark.createDataFrame(
+        nrows, "id long, city string, sex string, v double"
+    )
+    nrel = k_anonymize(ndf, ["city", "sex"], k=5).collect()
+    assert len(nrel) == 13
+    null_group = [r for r in nrel if r.id >= 100 and r.id < 200]
+    assert len(null_group) == 3 and all(r.suppressed for r in null_group)
+    assert all(r.city == "*" and r.sex == "*" for r in null_group)
+    big = [r for r in nrel if r.id >= 200]
+    assert all(not r.suppressed and r.city == "big" for r in big)
