@@ -28,6 +28,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from fdp_dynamically_controlled_streams_spark.functions.hashing import (
+    portable_hash64,
+    portable_hash64_sql,
+)
+
+#: hash range for the derandomized uniform draw (same constant as
+#: sampling.weighted_bottomk_sample's A-ES scheme).
+_HASH_RANGE = float(1 << 60)
+
 
 def _sq_dist(vec, cent):
     """Squared euclidean distance, element-order left fold (exact plan)."""
@@ -40,23 +49,93 @@ def _sq_dist(vec, cent):
     )
 
 
+def kmeanspp_init(
+    embeddings: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 0,
+) -> list[list[float]]:
+    """Deterministic k-means++ initialization: D²-weighted sequential center
+    selection, derandomized with the A-ES trick the repo's weighted sampler
+    already proves cross-engine (sampling.weighted_bottomk_sample) — row r
+    draws u = uniform(0,1) from its key hash; round j picks
+    argmin -ln(u)/D²(r) where D² is the (1e-6-rounded) squared distance to
+    the nearest already-chosen center. That argmin IS a draw with
+    probability ∝ D² (Efraimidis-Spirakis), so this is the k-means++
+    seeding distribution with the randomness replaced by the seeded hash —
+    reproducible on any cluster, any partitioning, and replayable by the
+    SQL oracle.
+
+    Scale shape: each of the k rounds is ONE shuffle-free
+    TakeOrderedAndProject(1) over a two-column scan (vector + id), with the
+    chosen-center matrix a single array literal — k bounded driver
+    decisions of k×dim floats each, exactly the dedup_clusters convergence
+    pattern. Points coincident with a chosen center (D² = 0) are excluded,
+    per the k-means++ definition. Selection discipline: the float priority
+    is ordered on, never output (last-ulp ln() differences cannot surface).
+
+    Returns the k centers (rounded 1e-6, selection order)."""
+    u = (
+        portable_hash64(F.col(id_col).cast("string"), seed=seed) + F.lit(0.5)
+    ) / F.lit(_HASH_RANGE)
+    base = embeddings.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        u.alias("_u"),
+    )
+    first = base.orderBy("_u", "id").limit(1).collect()[0]
+    cents = [[round(float(x), 6) for x in first["vec"]]]
+    for _ in range(1, k):
+        m = F.lit(cents)
+        d2 = F.round(
+            F.array_min(F.transform(m, lambda c: _sq_dist(F.col("vec"), c))), 6
+        )
+        nxt = (
+            base.withColumn("_d2", d2)
+            .where(F.col("_d2") > 0)
+            .withColumn("_pri", -F.log("_u") / F.col("_d2"))
+            .orderBy("_pri", "id")
+            .take(1)
+        )
+        if not nxt:
+            # fewer distinct points than k: every remaining point coincides
+            # with a chosen center. Stop (no padding) — the SQL twin's
+            # empty init_j CTE contributes nothing either, so both engines
+            # proceed with the same (shorter) center list.
+            break
+        cents.append([round(float(x), 6) for x in nxt[0]["vec"]])
+    return cents
+
+
 def kmeans_assign(
     embeddings: DataFrame,
     k: int = 4,
     n_iter: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    init: str = "kmeanspp",
+    seed: int = 0,
 ) -> DataFrame:
-    """Run ``n_iter`` Lloyd iterations from the deterministic init
-    (centroid j = the embedding of id j, matching ivf_topk's convention)
-    and return the final assignment: (id, cell, dist) with dist rounded
-    at 1e-6. Ties (equal distance to two centroids) break to the lowest
-    cell id in both engines."""
-    init = sorted(
-        embeddings.where(F.col(id_col) < k).select(id_col, vec_col).collect(),
-        key=lambda r: r[0],
-    )
-    cents = [[round(float(x), 6) for x in r[1]] for r in init]
+    """Run ``n_iter`` Lloyd iterations from the chosen init and return the
+    final assignment: (id, cell, dist) with dist rounded at 1e-6. Ties
+    (equal distance to two centroids) break to the lowest cell id in both
+    engines.
+
+    init='kmeanspp' (default): deterministic D²-weighted seeding
+    (:func:`kmeanspp_init`) — the real algorithm's init, seed-replayable.
+    init='ids': centroid j = the embedding of id j (ivf_topk's convention),
+    kept as the cheap baseline and for the inertia comparison test."""
+    if init == "kmeanspp":
+        cents = kmeanspp_init(embeddings, k, id_col, vec_col, seed=seed)
+    elif init == "ids":
+        rows = sorted(
+            embeddings.where(F.col(id_col) < k).select(id_col, vec_col).collect(),
+            key=lambda r: r[0],
+        )
+        cents = [[round(float(x), 6) for x in r[1]] for r in rows]
+    else:
+        raise ValueError(f"unknown init {init!r}")
     dim = len(cents[0])
 
     def assign(mat: list[list[float]]) -> DataFrame:
@@ -97,7 +176,7 @@ def kmeans_assign(
             [round(by_cell[j][i], 6) for i in range(dim)]
             if j in by_cell
             else cents[j]
-            for j in range(k)
+            for j in range(len(cents))  # may be < k (degenerate init)
         ]
 
     return assign(cents).select(
@@ -108,23 +187,57 @@ def kmeans_assign(
 
 
 def kmeans_oracle_sql(
-    k: int = 4, n_iter: int = 2, table: str = "embeddings"
+    k: int = 4,
+    n_iter: int = 2,
+    table: str = "embeddings",
+    init: str = "kmeanspp",
+    seed: int = 0,
 ) -> str:
-    """DuckDB twin of :func:`kmeans_assign`: iterations unrolled as CTE
-    pairs (assign_i, cents_i), identical rounding at every boundary,
-    identical left-fold distance accumulation (list_reduce), identical
-    lowest-cell tie-break."""
+    """DuckDB twin of :func:`kmeans_assign`: the k-means++ seeding rounds
+    AND the Lloyd iterations unrolled as CTE chains, identical rounding at
+    every boundary, identical left-fold distance accumulation
+    (list_reduce), identical priority/tie ordering."""
     dist = (
         "list_reduce(list_transform(list_zip(e.embedding, c.c),"
         " p -> (CAST(p[1] AS DOUBLE) - p[2]) * (CAST(p[1] AS DOUBLE) - p[2])),"
         " (acc, v) -> acc + v)"
     )
-    parts = [
-        f"""cents_0 AS (
+    if init == "kmeanspp":
+        h = portable_hash64_sql("CAST(vec_id AS VARCHAR)", seed)
+        u = f"(({h} + 0.5) / {_HASH_RANGE!r})"
+        rc = "list_transform(e.embedding, x -> round(CAST(x AS DOUBLE), 6))"
+        parts = [
+            f"""init_0 AS (
+  SELECT 0 AS cell, {rc} AS c
+  FROM {table} e ORDER BY {u}, vec_id LIMIT 1)"""
+        ]
+        for j in range(1, k):
+            prev = " UNION ALL ".join(
+                f"SELECT c FROM init_{i}" for i in range(j)
+            )
+            parts.append(
+                f"""init_{j} AS (
+  SELECT {j} AS cell, c FROM (
+    SELECT {rc} AS c, e.vec_id,
+           round(min({dist}), 6) AS d2, min({u}) AS u
+    FROM {table} e CROSS JOIN ({prev}) c
+    GROUP BY e.vec_id, e.embedding
+  ) WHERE d2 > 0 ORDER BY (-ln(u)) / d2, vec_id LIMIT 1)"""
+            )
+        parts.append(
+            "cents_0 AS ("
+            + " UNION ALL ".join(
+                f"SELECT cell, c FROM init_{i}" for i in range(k)
+            )
+            + ")"
+        )
+    else:
+        parts = [
+            f"""cents_0 AS (
   SELECT CAST(vec_id AS INT) AS cell,
          list_transform(embedding, x -> round(CAST(x AS DOUBLE), 6)) AS c
   FROM {table} WHERE vec_id < {k})"""
-    ]
+        ]
     for i in range(n_iter):
         parts.append(
             f"""assign_{i} AS (

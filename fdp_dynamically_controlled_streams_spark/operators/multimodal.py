@@ -9,10 +9,12 @@ typically a pointer (uri + byte-range) into object storage with the payload
 fetched inside the UDF — the plumbing below is identical either way.
 
 Codec reality in this container: no image/audio libraries are installed, so
-real decoding is STUBBED — ``decode_image`` tries Pillow and raises
-``NotImplementedError`` for real formats, while a deterministic in-repo fake
-format ("DCSM": magic + width + height + channels + payload) exercises every
-seam (schema, batching, partitioning, null handling) with real bytes.
+every codec here is an in-repo spec-exact implementation over stdlib (+
+numpy for the JPEG DCT): uncompressed 24-bit BMP, 16-bit PCM WAV,
+zlib-deflate PNG (all 5 scanline filters), AVI/RIFF video, and baseline
+sequential JPEG — plus a deterministic fake format ("DCSM": magic + width +
+height + channels + payload) that exercises every seam (schema, batching,
+partitioning, null handling) with minimal bytes.
 """
 
 from __future__ import annotations
@@ -73,10 +75,11 @@ def _decode_fake(buf: bytes) -> tuple[int, int, int, bytes] | None:
 
 
 def decode_image(buf: bytes) -> tuple[int, int, int, bytes]:
-    """Decode one image payload. The in-repo decoders handle the DCSM fake
-    format and real uncompressed 24-bit BMP (decode_bmp — a genuine format
-    parser, no dependencies); compressed formats (JPEG/PNG) require Pillow,
-    which is intentionally not vendored here."""
+    """Decode one image payload. All image decoders are in-repo and
+    dependency-free: the DCSM fake format, uncompressed 24-bit BMP,
+    zlib-deflate PNG, and baseline sequential JPEG (stdlib + numpy).
+    Unrecognized or corrupt payloads raise ValueError — there is no stubbed
+    format left."""
     fake = _decode_fake(buf)
     if fake is not None:
         return fake
@@ -86,14 +89,10 @@ def decode_image(buf: bytes) -> tuple[int, int, int, bytes]:
     png = decode_png(buf)
     if png is not None:
         return png["width"], png["height"], 3, png["pixels"]
-    try:
-        import PIL.Image  # noqa: F401
-    except ImportError as exc:
-        raise NotImplementedError(
-            "JPEG decoding needs Pillow; DCSM, uncompressed BMP and "
-            "zlib-deflate PNG decode in-repo"
-        ) from exc
-    raise NotImplementedError("JPEG decode path not wired yet")
+    jpg = decode_jpeg(buf)
+    if jpg is not None:
+        return jpg["width"], jpg["height"], 3, jpg["pixels"]
+    raise ValueError("unrecognized or corrupt media payload")
 
 
 # ---------------------------------------------------------------------------
@@ -893,3 +892,524 @@ def resize_media(media: DataFrame, width: int, height: int) -> DataFrame:
         ]
     )
     return media.select("media_id", "content").mapInPandas(run, schema)
+
+
+# ---------------------------------------------------------------------------
+# JPEG (r5 verdict task 2): baseline sequential JPEG, stdlib + numpy only —
+# the last codec gap. Full ITU-T T.81 baseline decoder: marker walk
+# (SOI/APPn/COM/DQT/DHT/SOF0/SOS/EOI), DHT-driven canonical Huffman decode
+# with byte unstuffing, zigzag, dequantization, float IDCT, level shift,
+# YCbCr→RGB. Two encoders share the entropy core:
+#   * encode_jpeg — the EXACT tier: every 8x8 block is a flat gray from the
+#     shared LCG. Flat gray survives baseline JPEG bit-exactly by
+#     construction: gray ⇒ Cb=Cr=128 ⇒ level-shifted chroma DC 0; a flat
+#     block has only a DC coefficient (8·(g−128)); the quant table's DC
+#     step is 8, so quantized DC = g−128 with zero rounding; the decoder's
+#     IDCT of a DC-only block is flat DC/8 to ~1e-13, snapping back to g.
+#     So decoded pixels == closed-form LCG replay, SQL-oracle-checkable —
+#     lossy format, lossless tier.
+#   * encode_jpeg_rgb — the general lossy path (forward DCT + quant +
+#     run-length Huffman over arbitrary RGB), used by the roundtrip
+#     tolerance tests to prove the AC/run-length machinery on real content.
+# Huffman tables are spec-legal uniform-length canonical tables (all 12 DC
+# symbols at 4 bits, all 162 AC symbols at 8 bits) — written to DHT and
+# read back generically, so the decoder exercises the same table-building
+# path any external JPEG needs.
+# ---------------------------------------------------------------------------
+
+_JPEG_DC_SYMS = list(range(12))
+_JPEG_DC_BITS = [0, 0, 0, 12] + [0] * 12  # all DC size categories at 4 bits
+_JPEG_AC_SYMS = [0x00] + [r * 16 + s for r in range(16) for s in range(1, 11)] + [0xF0]
+_JPEG_AC_BITS = [0] * 7 + [162] + [0] * 8  # all AC symbols at 8 bits
+
+#: Quant table (natural order): DC step 8 (exact flat-gray roundtrip), AC
+#: step 4 (mild quality for the lossy path). Written to DQT in zigzag order
+#: per spec.
+_JPEG_QTAB = [8] + [4] * 63
+
+
+def _jpeg_zigzag() -> list[int]:
+    """Zigzag scan order: natural (row*8+col) index of the k-th zigzag
+    element, generated from the diagonal rule instead of transcribed."""
+    order = []
+    for d in range(15):
+        rows = range(max(0, d - 7), min(d, 7) + 1)
+        for r in (rows if d % 2 else reversed(list(rows))):
+            order.append(r * 8 + (d - r))
+    return order
+
+
+_JPEG_ZZ = _jpeg_zigzag()
+
+
+def _jpeg_dct_matrix():
+    import math
+
+    import numpy as np
+
+    a = np.zeros((8, 8))
+    for u in range(8):
+        cu = math.sqrt(0.5) if u == 0 else 1.0
+        for x in range(8):
+            a[u, x] = 0.5 * cu * math.cos((2 * x + 1) * u * math.pi / 16)
+    return a
+
+
+def _jpeg_canonical_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """symbol -> (code, length) via the spec's canonical assignment."""
+    codes: dict[int, tuple[int, int]] = {}
+    code, k = 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            codes[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+class _JpegError(Exception):
+    pass
+
+
+class _JpegBitWriter:
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, value: int, length: int) -> None:
+        for i in reversed(range(length)):
+            self.acc = (self.acc << 1) | ((value >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.buf.append(self.acc)
+                if self.acc == 0xFF:
+                    self.buf.append(0x00)  # byte stuffing
+                self.acc = 0
+                self.n = 0
+
+    def flush(self) -> None:
+        while self.n:
+            self.write(1, 1)  # pad with 1-bits per spec
+
+
+class _JpegBitReader:
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.d = data
+        self.pos = pos
+        self.acc = 0
+        self.n = 0
+
+    def bit(self) -> int:
+        if self.n == 0:
+            if self.pos >= len(self.d):
+                raise _JpegError("truncated entropy data")
+            b = self.d[self.pos]
+            self.pos += 1
+            if b == 0xFF:
+                if self.pos >= len(self.d) or self.d[self.pos] != 0x00:
+                    raise _JpegError("marker inside entropy data")
+                self.pos += 1  # unstuff
+            self.acc = b
+            self.n = 8
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def bits(self, k: int) -> int:
+        v = 0
+        for _ in range(k):
+            v = (v << 1) | self.bit()
+        return v
+
+
+def _jpeg_receive_extend(reader: "_JpegBitReader", size: int) -> int:
+    if size == 0:
+        return 0
+    v = reader.bits(size)
+    if v < (1 << (size - 1)):
+        v -= (1 << size) - 1
+    return v
+
+
+def _jpeg_category(v: int) -> int:
+    return (v if v >= 0 else -v).bit_length()
+
+
+def _jpeg_seg(marker: int, body: bytes) -> bytes:
+    return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+
+def _jpeg_headers(width: int, height: int, n_comp: int) -> bytes:
+    dqt = _jpeg_seg(
+        0xDB, bytes([0x00]) + bytes(_JPEG_QTAB[i] for i in _JPEG_ZZ)
+    )
+    comp_specs = b"".join(
+        bytes([cid + 1, 0x11, 0x00]) for cid in range(n_comp)
+    )
+    sof0 = _jpeg_seg(
+        0xC0, struct.pack(">BHHB", 8, height, width, n_comp) + comp_specs
+    )
+    dht = _jpeg_seg(
+        0xC4,
+        bytes([0x00]) + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_SYMS)
+        + bytes([0x10]) + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_SYMS),
+    )
+    app0 = _jpeg_seg(0xE0, b"JFIF\x00" + bytes([1, 1, 0]) + struct.pack(">HH", 1, 1) + b"\x00\x00")
+    return b"\xff\xd8" + app0 + dqt + sof0 + dht
+
+
+def _jpeg_encode_block(
+    w: "_JpegBitWriter",
+    zz: list[int],
+    pred: int,
+    dc_codes: dict[int, tuple[int, int]],
+    ac_codes: dict[int, tuple[int, int]],
+) -> int:
+    """Entropy-encode one quantized block given in zigzag order; returns the
+    new DC predictor."""
+    diff = zz[0] - pred
+    s = _jpeg_category(diff)
+    code, length = dc_codes[s]
+    w.write(code, length)
+    if s:
+        w.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
+    run = 0
+    for k in range(1, 64):
+        if zz[k] == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, length = ac_codes[0xF0]
+            w.write(code, length)
+            run -= 16
+        s = _jpeg_category(zz[k])
+        code, length = ac_codes[run * 16 + s]
+        w.write(code, length)
+        v = zz[k]
+        w.write(v if v >= 0 else v + (1 << s) - 1, s)
+        run = 0
+    if run:
+        code, length = ac_codes[0x00]
+        w.write(code, length)
+    return zz[0]
+
+
+def encode_jpeg(width: int, height: int, seed: int = 0) -> bytes:
+    """Real baseline JFIF JPEG, EXACT tier: dimensions must be multiples of
+    8; each 8x8 block (MCU raster order) is a flat gray from the shared LCG
+    (one byte per block, seed-keyed), which survives the lossy pipeline
+    bit-exactly (see the section comment). Any external JPEG tool decodes
+    these files."""
+    if width % 8 or height % 8:
+        raise ValueError("exact tier requires multiple-of-8 dimensions")
+    dc_codes = _jpeg_canonical_codes(_JPEG_DC_BITS, _JPEG_DC_SYMS)
+    ac_codes = _jpeg_canonical_codes(_JPEG_AC_BITS, _JPEG_AC_SYMS)
+    mx, my = width // 8, height // 8
+    grays = _lcg_bytes(mx * my, seed)
+    w = _JpegBitWriter()
+    preds = [0, 0, 0]
+    for k in range(mx * my):
+        # Y block: flat g-128 -> DC (8*(g-128))/Q00 = g-128; chroma blocks
+        # flat 128 -> DC 0. ACs all zero -> immediate EOB.
+        g = grays[k]
+        for comp in range(3):
+            zz = [0] * 64
+            zz[0] = (g - 128) if comp == 0 else 0
+            preds[comp] = _jpeg_encode_block(w, zz, preds[comp], dc_codes, ac_codes)
+    w.flush()
+    sos = _jpeg_seg(0xDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0]))
+    return _jpeg_headers(width, height, 3) + sos + bytes(w.buf) + b"\xff\xd9"
+
+
+def encode_jpeg_rgb(width: int, height: int, rgb: bytes) -> bytes:
+    """General lossy baseline encoder over arbitrary top-down RGB bytes:
+    YCbCr conversion, edge-replicated padding to 8x8, forward DCT (numpy),
+    quantization, run-length Huffman. Used by the roundtrip tolerance tests
+    to exercise the AC path end-to-end."""
+    import numpy as np
+
+    if len(rgb) != width * height * 3:
+        raise ValueError("payload size mismatch")
+    a = _jpeg_dct_matrix()
+    q = np.array(_JPEG_QTAB, dtype=np.float64).reshape(8, 8)
+    px = np.frombuffer(rgb, dtype=np.uint8).reshape(height, width, 3).astype(np.float64)
+    r, g, b = px[..., 0], px[..., 1], px[..., 2]
+    planes = [
+        0.299 * r + 0.587 * g + 0.114 * b,
+        128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b,
+        128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b,
+    ]
+    mx, my = (width + 7) // 8, (height + 7) // 8
+    padded = []
+    for p in planes:
+        pp = np.empty((my * 8, mx * 8))
+        pp[:height, :width] = p
+        pp[height:, :width] = p[-1:, :]  # edge-replicate
+        pp[:, width:] = pp[:, width - 1 : width]
+        padded.append(pp)
+    dc_codes = _jpeg_canonical_codes(_JPEG_DC_BITS, _JPEG_DC_SYMS)
+    ac_codes = _jpeg_canonical_codes(_JPEG_AC_BITS, _JPEG_AC_SYMS)
+    w = _JpegBitWriter()
+    preds = [0, 0, 0]
+    for by in range(my):
+        for bx in range(mx):
+            for comp in range(3):
+                blk = padded[comp][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
+                coeff = a @ blk @ a.T
+                quant = np.rint(coeff / q).astype(np.int64)
+                flat = quant.reshape(64)
+                zz = [int(flat[i]) for i in _JPEG_ZZ]
+                preds[comp] = _jpeg_encode_block(w, zz, preds[comp], dc_codes, ac_codes)
+    w.flush()
+    sos = _jpeg_seg(0xDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0]))
+    return _jpeg_headers(width, height, 3) + sos + bytes(w.buf) + b"\xff\xd9"
+
+
+def decode_jpeg(buf: bytes) -> dict | None:
+    """Full baseline sequential JPEG decoder (stdlib + numpy): marker walk,
+    8-bit DQT, DHT canonical Huffman tables, SOF0 (8-bit precision, 1 or 3
+    components, no subsampling), single interleaved scan, byte unstuffing,
+    dezigzag, dequant, IDCT, level shift, clamp, YCbCr→RGB (BT.601).
+    Progressive/extended modes, 16-bit quant tables, subsampled chroma, and
+    restart intervals return None (unsupported, never mis-decoded); any
+    truncation or stray marker inside entropy data returns None."""
+    import numpy as np
+
+    if buf is None or len(buf) < 4 or buf[:2] != b"\xff\xd8":
+        return None
+    qtabs: dict[int, list[int]] = {}
+    huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    sof = None
+    pos = 2
+    try:
+        while pos + 4 <= len(buf):
+            if buf[pos] != 0xFF:
+                return None
+            marker = buf[pos + 1]
+            if marker == 0xD9:  # EOI before SOS
+                return None
+            seglen = struct.unpack_from(">H", buf, pos + 2)[0]
+            body = buf[pos + 4 : pos + 2 + seglen]
+            if len(body) != seglen - 2:
+                return None
+            if marker == 0xDB:
+                i = 0
+                while i < len(body):
+                    pq, tq = body[i] >> 4, body[i] & 0xF
+                    if pq != 0:
+                        return None  # 16-bit tables: not baseline
+                    if i + 65 > len(body):
+                        return None
+                    tab = [0] * 64
+                    for k in range(64):
+                        tab[_JPEG_ZZ[k]] = body[i + 1 + k]
+                    qtabs[tq] = tab
+                    i += 65
+            elif marker == 0xC4:
+                i = 0
+                while i + 17 <= len(body):
+                    tc, th = body[i] >> 4, body[i] & 0xF
+                    bits = list(body[i + 1 : i + 17])
+                    nv = sum(bits)
+                    vals = list(body[i + 17 : i + 17 + nv])
+                    if len(vals) != nv:
+                        return None
+                    codes = _jpeg_canonical_codes(bits, vals)
+                    huff[(tc, th)] = {
+                        (length, code): sym for sym, (code, length) in codes.items()
+                    }
+                    i += 17 + nv
+            elif marker == 0xC0:
+                prec, h, w_, nc = struct.unpack_from(">BHHB", body, 0)
+                if prec != 8 or nc not in (1, 3) or w_ <= 0 or h <= 0:
+                    return None
+                comps = []
+                for c in range(nc):
+                    cid, samp, tq = body[6 + 3 * c : 9 + 3 * c]
+                    if samp != 0x11:
+                        return None  # subsampling unsupported
+                    comps.append((cid, tq))
+                sof = (w_, h, comps)
+            elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                            0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+                return None  # non-baseline frame types
+            elif marker == 0xDD:
+                if struct.unpack_from(">H", body, 0)[0] != 0:
+                    return None  # restart intervals unsupported
+            elif marker == 0xDA:
+                if sof is None:
+                    return None
+                ns = body[0]
+                if ns != len(sof[2]):
+                    return None
+                scan_tabs = []
+                for c in range(ns):
+                    td, ta = body[2 + 2 * c] >> 4, body[2 + 2 * c] & 0xF
+                    dc = huff.get((0, td))
+                    ac = huff.get((1, ta))
+                    if dc is None or ac is None:
+                        return None
+                    scan_tabs.append((dc, ac))
+                reader = _JpegBitReader(buf, pos + 2 + seglen)
+                w_, h, comps = sof
+                for _, tq in comps:
+                    if tq not in qtabs:
+                        return None
+                a = _jpeg_dct_matrix()
+                mx, my = (w_ + 7) // 8, (h + 7) // 8
+                planes = [
+                    np.zeros((my * 8, mx * 8)) for _ in comps
+                ]
+                preds = [0] * len(comps)
+                for by in range(my):
+                    for bx in range(mx):
+                        for ci, (_, tq) in enumerate(comps):
+                            dc_tab, ac_tab = scan_tabs[ci]
+                            zz = [0] * 64
+                            s = _jpeg_huff_decode(reader, dc_tab)
+                            preds[ci] += _jpeg_receive_extend(reader, s)
+                            zz[0] = preds[ci]
+                            k = 1
+                            while k < 64:
+                                rs = _jpeg_huff_decode(reader, ac_tab)
+                                if rs == 0x00:
+                                    break  # EOB
+                                if rs == 0xF0:
+                                    k += 16
+                                    continue
+                                k += rs >> 4
+                                if k > 63:
+                                    raise _JpegError("AC run overflow")
+                                zz[k] = _jpeg_receive_extend(reader, rs & 0xF)
+                                k += 1
+                            q = qtabs[tq]
+                            coeff = np.zeros(64)
+                            for k2 in range(64):
+                                coeff[_JPEG_ZZ[k2]] = zz[k2] * q[_JPEG_ZZ[k2]]
+                            blk = a.T @ coeff.reshape(8, 8) @ a
+                            planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = blk
+                if b"\xff\xd9" not in buf[reader.pos :]:
+                    return None  # missing EOI: truncated file
+                for i in range(len(planes)):
+                    planes[i] = planes[i][:h, :w_] + 128.0
+                if len(planes) == 1:
+                    y = np.clip(np.rint(planes[0]), 0, 255).astype(np.uint8)
+                    rgb = np.repeat(y[:, :, None], 3, axis=2)
+                else:
+                    y, cb, cr = planes
+                    r = y + 1.402 * (cr - 128.0)
+                    g = (
+                        y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+                    )
+                    b = y + 1.772 * (cb - 128.0)
+                    rgb = np.stack(
+                        [
+                            np.clip(np.rint(p), 0, 255).astype(np.uint8)
+                            for p in (r, g, b)
+                        ],
+                        axis=2,
+                    )
+                pixels = rgb.tobytes()
+                return {
+                    "width": w_,
+                    "height": h,
+                    "bit_depth": 8,
+                    "channels": 3,
+                    "n_payload_bytes": len(pixels),
+                    "file_size": len(buf),
+                    "pixels": pixels,
+                }
+            pos += 2 + seglen
+    except (_JpegError, struct.error, IndexError):
+        return None
+    return None  # no SOS reached
+
+
+def _jpeg_huff_decode(reader: "_JpegBitReader", table: dict[tuple[int, int], int]) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | reader.bit()
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise _JpegError("invalid Huffman code")
+
+
+JPEG_DECODED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("content_type", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("bit_depth", T.IntegerType()),
+        T.StructField("n_payload_bytes", T.LongType()),
+        T.StructField("mean_intensity", T.DoubleType()),
+        T.StructField("ok", T.BooleanType()),
+    ]
+)
+
+
+def attach_jpeg_media(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic real-JPEG media column per row (exact tier): width
+    8*(1+id%3), height 8*(1+id%2), seed=id — (w/8)*(h/8) flat-gray blocks
+    whose values a SQL oracle replays from the LCG closed form. Same
+    mapInPandas shape as the other attach_* helpers."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            blobs = [
+                encode_jpeg(8 * (1 + int(i) % 3), 8 * (1 + int(i) % 2), seed=int(i))
+                for i in ids
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "content": blobs,
+                    "content_type": ["image/jpeg"] * len(ids),
+                    "n_bytes": [len(b) for b in blobs],
+                }
+            )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("content", T.BinaryType()),
+            T.StructField("content_type", T.StringType()),
+            T.StructField("n_bytes", T.LongType()),
+        ]
+    )
+    return docs.select(id_col).mapInPandas(gen, out_schema)
+
+
+def decode_jpeg_features(media: DataFrame) -> DataFrame:
+    """Decode + feature-extract real JPEGs over (media_id, content): full
+    baseline decode, then the exact integer-truncated decoded-pixel mean —
+    oracle equality proves Huffman decode, dequant, IDCT, and color
+    conversion recovered the byte-exact flat-tier payload. Corrupt rows
+    flag ok=false with zeroed fields."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, buf in zip(pdf["media_id"], pdf["content"]):
+                mid = int(mid)
+                d = decode_jpeg(bytes(buf)) if buf is not None else None
+                if d is None:
+                    rows.append((mid, "unknown", 0, 0, 0, 0, 0, 0.0, False))
+                else:
+                    px = d["pixels"]
+                    n = len(px)
+                    mean = (sum(px) * 1_000_000 // n) / 1e6 if n else 0.0
+                    rows.append(
+                        (mid, "image/jpeg", d["width"], d["height"],
+                         d["channels"], d["bit_depth"], d["n_payload_bytes"],
+                         mean, True)
+                    )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in JPEG_DECODED_SCHEMA.fields]
+            )
+
+    return media.select("media_id", "content").mapInPandas(run, JPEG_DECODED_SCHEMA)

@@ -1318,13 +1318,15 @@ from fdp_dynamically_controlled_streams_spark.operators import clustering as clu
     tags=("similarity", "clustering", "iterative"),
 )
 def kmeans_document_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distributed Lloyd k-means (k=4, 2 iterations, deterministic init =
-    embeddings of ids 0..3): map-side assignment from a single broadcast
-    centroid-matrix literal, one groupBy(cell) mean per iteration, driver
-    holds only the k x dim matrix between rounds — the iterative-algorithm
-    pattern alongside dedup_clusters. Centroids round at 1e-6 at every
-    iteration boundary in both engines so cell assignments value-hash-match
-    the unrolled DuckDB CTE twin (operators/clustering.py)."""
+    """Distributed Lloyd k-means (k=4, 2 iterations) seeded by DETERMINISTIC
+    k-means++: D²-weighted sequential center selection derandomized with the
+    A-ES hash trick (operators/clustering.py kmeanspp_init) — the real
+    algorithm's init, seed-replayable by the unrolled DuckDB CTE twin.
+    Assignment is map-side from a single broadcast centroid-matrix literal,
+    one groupBy(cell) mean per iteration, driver holds only the k x dim
+    matrix between rounds — the iterative-algorithm pattern alongside
+    dedup_clusters. Centroids round at 1e-6 at every boundary in both
+    engines so cell assignments value-hash-match."""
     return clu.kmeans_assign(_t(spark, sf_dir, "embeddings"), k=4, n_iter=2)
 
 
@@ -2152,6 +2154,62 @@ def multimodal_png_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     return mm.decode_png_features(mm.attach_png_media(docs))
+
+
+# Baseline JPEG, the exact flat-gray tier: every 8x8 block is one LCG byte
+# (seed = doc_id, one step per block in MCU raster order), which survives
+# the lossy pipeline bit-exactly (DC quant step 8; gray => Cb=Cr=128). The
+# decoded mean is therefore the closed-form block-gray mean:
+# sum(px) = 3*64*sum(g), n = w*h*3 = 64*nb*3 => floor-mean = acc*1e6 // nb.
+_MULTIMODAL_JPEG_ORACLE = """
+WITH RECURSIVE dims AS (
+  SELECT CAST(doc_id AS BIGINT) AS media_id,
+         CAST(8 * (1 + doc_id % 3) AS INT) AS width,
+         CAST(8 * (1 + doc_id % 2) AS INT) AS height,
+         CAST((1 + doc_id % 3) * (1 + doc_id % 2) AS BIGINT) AS nb
+  FROM documents
+), lcg AS (
+  SELECT media_id, width, height, nb, CAST(0 AS BIGINT) AS i,
+         (media_id * 2654435761 + 12345) % 4294967296 AS x,
+         CAST(0 AS BIGINT) AS acc
+  FROM dims
+  UNION ALL
+  SELECT media_id, width, height, nb, i + 1,
+         (x * 1103515245 + 12345) % 4294967296,
+         acc + (((x * 1103515245 + 12345) % 4294967296) // 65536) % 256
+  FROM lcg WHERE i < nb
+)
+SELECT media_id,
+       'image/jpeg' AS content_type,
+       width, height,
+       CAST(3 AS INT) AS channels,
+       CAST(8 AS INT) AS bit_depth,
+       CAST(width AS BIGINT) * height * 3 AS n_payload_bytes,
+       CAST(acc * 1000000 // nb AS DOUBLE) / 1000000 AS mean_intensity,
+       TRUE AS ok
+FROM lcg WHERE i = nb
+"""
+
+
+@query(
+    "multimodal_jpeg_formats",
+    _MULTIMODAL_JPEG_ORACLE,
+    tags=("multimodal", "codec"),
+)
+def multimodal_jpeg_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real baseline-JPEG multimodal decode — the last codec gap closed
+    (r5 verdict task 2): spec-exact encoder and FULL baseline sequential
+    decoder (marker walk, DHT canonical Huffman, zigzag, dequant, IDCT,
+    YCbCr) on stdlib + numpy only (operators/multimodal.py encode_jpeg /
+    decode_jpeg), through the same mapInPandas plumbing as the other
+    codecs. The flat-gray-per-block exact tier makes a lossy format
+    losslessly oracle-checkable: mean_intensity equals the LCG closed form
+    only if Huffman decode, dequantization, IDCT, and color conversion all
+    recovered the byte-exact payload."""
+    from fdp_dynamically_controlled_streams_spark.operators import multimodal as mm
+
+    docs = _t(spark, sf_dir, "documents")
+    return mm.decode_jpeg_features(mm.attach_jpeg_media(docs))
 
 
 # =========================================================================

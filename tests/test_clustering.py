@@ -65,3 +65,58 @@ def test_empty_cell_keeps_previous_centroid(spark):
     # only 2 distinct points exist; k=3 must not crash and must cover all
     assert len(out) == 10
     assert {r.cell for r in out} <= {0, 1, 2}
+
+
+def _emb_skewed_ids(spark, n=60, dim=6, spread=8.0):
+    # adversarial for the id<k init: ids 0..2 all land in blob 0 (blob =
+    # id // 20), so fixed-id seeding starts every center in one blob while
+    # k-means++ must spread by D^2 weighting
+    rows = []
+    for i in range(n):
+        blob = i // 20
+        vec = [
+            spread * blob + 0.01 * ((i * 7 + d * 13) % 11)
+            for d in range(dim)
+        ]
+        rows.append((i, vec))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_kmeanspp_init_spreads_centers(spark):
+    from fdp_dynamically_controlled_streams_spark.operators.clustering import (
+        kmeanspp_init,
+    )
+
+    e = _emb_skewed_ids(spark)
+    cents = kmeanspp_init(e, k=3)
+    blobs = {round(c[0] / 8.0) for c in cents}
+    assert blobs == {0, 1, 2}, cents  # one seed per blob
+
+
+def test_kmeanspp_inertia_beats_fixed_id_init(spark):
+    # the r5 verdict's acceptance bar: on the blob fixture where fixed-id
+    # init degenerates (all seeds in one blob), k-means++ inertia is
+    # STRICTLY lower after the same iteration budget
+    e = _emb_skewed_ids(spark)
+    pp = (
+        kmeans_assign(e, 3, 2, init="kmeanspp")
+        .agg(F.sum("dist")).collect()[0][0]
+    )
+    fixed = (
+        kmeans_assign(e, 3, 2, init="ids")
+        .agg(F.sum("dist")).collect()[0][0]
+    )
+    assert pp < fixed, (pp, fixed)
+
+
+def test_kmeanspp_partition_and_seed_determinism(spark):
+    from fdp_dynamically_controlled_streams_spark.operators.clustering import (
+        kmeanspp_init,
+    )
+
+    e = _emb_skewed_ids(spark)
+    a = kmeanspp_init(e, k=3, seed=5)
+    b = kmeanspp_init(e.repartition(17), k=3, seed=5)
+    assert a == b  # partitioning-invariant
+    c = kmeanspp_init(e, k=3, seed=6)
+    assert a != c  # the seed is live

@@ -67,6 +67,23 @@ def test_sf01_tier_artifact_covers_priciest_exactly():
     assert not bad, f"{arts[-1].name} non-green: {sorted(bad)}"
 
 
+def test_sf1_tier_artifact_covers_fixed_set_exactly():
+    from tests.test_sf1_selfcheck import SF1_ENTRIES
+
+    arts = sorted(REPO.glob("CORRECTNESS_SELF_r[0-9][0-9]_sf1.json"))
+    assert arts, "no sf1-tier artifact checked in"
+    records = json.loads(arts[-1].read_text())
+    missing = set(SF1_ENTRIES) - set(records)
+    stale = set(records) - set(SF1_ENTRIES)
+    assert not missing, f"{arts[-1].name} missing tier entries: {sorted(missing)}"
+    assert not stale, f"{arts[-1].name} stale tier entries: {sorted(stale)}"
+    bad = {
+        n: r for n, r in records.items()
+        if r.get("err") not in (None, "no_oracle") or r.get("hash_match") is False
+    }
+    assert not bad, f"{arts[-1].name} non-green: {sorted(bad)}"
+
+
 def test_selfcheck_artifact_is_green():
     art = _latest_selfcheck()
     bad = {

@@ -1,8 +1,7 @@
 """Multimodal plumbing tests: binary columns + mapInPandas seams (schema,
-batching, corrupt payloads, binary-out transforms). Compressed codecs are
-stubbed (NotImplementedError); uncompressed 24-bit BMP and 16-bit PCM WAV
-decode for real via in-repo spec-exact parsers, and the fake DCSM format
-carries the rest of the plumbing."""
+batching, corrupt payloads, binary-out transforms). Every codec is an
+in-repo spec-exact implementation (BMP, WAV, PNG, AVI, baseline JPEG); the
+fake DCSM format carries the rest of the plumbing."""
 
 from __future__ import annotations
 
@@ -72,8 +71,10 @@ def test_frame_sample_fan_out_and_compose(spark):
     assert {(r.width, r.height) for r in decoded} == {(4, 3), (5, 2)}
 
 
-def test_real_codec_stub_raises():
-    with pytest.raises(NotImplementedError):
+def test_unrecognized_payload_raises():
+    # every real format decodes in-repo now; corrupt/unknown bytes raise
+    # instead of silently passing or hitting a stub
+    with pytest.raises(ValueError):
         mm.decode_image(b"\x89PNG\r\n\x1a\n" + b"\x00" * 16)
 
 
@@ -246,3 +247,88 @@ def test_real_media_corrupt_flagged(spark):
     df = spark.createDataFrame(rows, "media_id long, content binary")
     out = {r.media_id: r.ok for r in mm.decode_media_real(df).collect()}
     assert out == {1: True, 2: False, 3: True, 4: False, 5: False}
+
+
+# --- baseline JPEG: the exact flat-gray tier + general lossy path ---
+
+
+def test_jpeg_exact_tier_roundtrip():
+    # flat gray blocks survive the lossy pipeline bit-exactly (DC quant
+    # step 8, gray => Cb=Cr=128): decoded pixels == LCG replay
+    for seed, (w, h) in ((0, (8, 8)), (7, (16, 8)), (123, (24, 16))):
+        buf = mm.encode_jpeg(w, h, seed=seed)
+        d = mm.decode_jpeg(buf)
+        assert d is not None
+        assert (d["width"], d["height"], d["channels"], d["bit_depth"]) == (w, h, 3, 8)
+        assert d["n_payload_bytes"] == w * h * 3 == len(d["pixels"])
+        assert d["file_size"] == len(buf)
+        grays = mm._lcg_bytes((w // 8) * (h // 8), seed)
+        mx = w // 8
+        exp = bytes(
+            grays[(y // 8) * mx + (x // 8)]
+            for y in range(h)
+            for x in range(w)
+            for _ in range(3)
+        )
+        assert d["pixels"] == exp
+
+
+def test_jpeg_lossy_roundtrip_bounded():
+    # the general encoder exercises the AC/run-length path; baseline JPEG
+    # is lossy, so assert a tight error BOUND, not equality (quant table
+    # is DC 8 / AC 4 — worst-case error stays single-digit even on noise)
+    import random
+
+    import numpy as np
+
+    random.seed(42)
+    w, h = 19, 13  # non-multiple-of-8: exercises padding + crop
+    rgb = bytes(random.randrange(256) for _ in range(w * h * 3))
+    d = mm.decode_jpeg(mm.encode_jpeg_rgb(w, h, rgb))
+    assert d is not None and (d["width"], d["height"]) == (w, h)
+    a = np.frombuffer(rgb, dtype=np.uint8).astype(int)
+    b = np.frombuffer(d["pixels"], dtype=np.uint8).astype(int)
+    assert np.abs(a - b).max() <= 12
+    # smooth content roundtrips much tighter
+    grad = bytes(
+        (x * 7 + y * 3 + c) % 200 for y in range(h) for x in range(w) for c in range(3)
+    )
+    d2 = mm.decode_jpeg(mm.encode_jpeg_rgb(w, h, grad))
+    g = np.frombuffer(grad, dtype=np.uint8).astype(int)
+    g2 = np.frombuffer(d2["pixels"], dtype=np.uint8).astype(int)
+    assert np.abs(g - g2).max() <= 4
+
+
+def test_jpeg_corruption_flagged():
+    buf = mm.encode_jpeg(16, 8, seed=3)
+    assert mm.decode_jpeg(buf[:-4]) is None  # EOI truncated
+    assert mm.decode_jpeg(buf[:30]) is None  # header truncated
+    assert mm.decode_jpeg(b"\xff\xd8" + b"\x00" * 20) is None  # garbage body
+    assert mm.decode_jpeg(b"NOPE") is None
+    assert mm.decode_jpeg(None) is None
+    # progressive frame marker (SOF2) is unsupported -> None, never wrong
+    prog = bytearray(buf)
+    sof = prog.find(b"\xff\xc0")
+    prog[sof + 1] = 0xC2
+    assert mm.decode_jpeg(bytes(prog)) is None
+
+
+def test_decode_image_jpeg_path():
+    w, h, c, px = mm.decode_image(mm.encode_jpeg(8, 16, seed=9))
+    assert (w, h, c) == (8, 16, 3)
+    grays = mm._lcg_bytes(2, 9)
+    assert px[:3] == bytes([grays[0]] * 3) and px[-3:] == bytes([grays[1]] * 3)
+
+
+def test_jpeg_media_distributed(spark):
+    docs = spark.range(0, 24).select(F.col("id").alias("doc_id"))
+    out = mm.decode_jpeg_features(mm.attach_jpeg_media(docs)).orderBy("media_id").collect()
+    assert len(out) == 24 and all(r.ok for r in out)
+    for r in out:
+        i = r.media_id
+        w, h = 8 * (1 + i % 3), 8 * (1 + i % 2)
+        assert (r.width, r.height, r.channels, r.bit_depth) == (w, h, 3, 8)
+        assert r.n_payload_bytes == w * h * 3
+        grays = mm._lcg_bytes((w // 8) * (h // 8), i)
+        exp_mean = (sum(grays) * 64 * 3 * 1_000_000 // (w * h * 3)) / 1e6
+        assert r.mean_intensity == exp_mean
