@@ -1,0 +1,134 @@
+"""Iterative graph analytics: deterministic integer PageRank.
+
+The float PageRank recurrence cannot hash across engines (groupBy sums of
+doubles associate in partition order), so the whole iteration is EXACT
+FIXED-POINT INTEGER arithmetic: ranks are bigint micro-units of a 1e12
+total, per-edge contributions use integer division r // outdeg, dangling
+mass redistributes as dmass // N, and the damping update is
+(15·base + 85·inflow) // 100. Integer sums are order-independent, so the
+result value-hashes against the SQL twin at any partitioning — same
+discipline as the Markov transition matrix's exact-integer probabilities.
+
+Scale shape (per iteration): ONE join edges⋈ranks on src (both sides
+shuffle on the same key every round — a co-partitioned pair at 100 TB),
+one groupBy(dst) with map-side partial sums, one left join back onto the
+node list. The driver holds two bounded scalars (N once; the dangling
+mass per round — one bigint, same class as dedup_clusters' convergence
+count) and the loop is control-only; ``localCheckpoint`` cuts lineage per
+round. Rounds are a fixed small constant (PageRank converges
+geometrically; rank ordering stabilizes in a handful of iterations).
+
+[ABSENT in reference: SURVEY §2.7 — engine extension.]
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: total rank mass in micro-units (1e12 => 6 significant decimals per node
+#: at N ~ 1e6 nodes; bigint headroom: 85 * 1e12 << 2^63).
+TOTAL_MASS = 1_000_000_000_000
+
+
+def pagerank(
+    edges: DataFrame,
+    n_iter: int = 3,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Deterministic integer PageRank over a directed edge list (damping
+    0.85 as the exact fraction 85/100). Returns (node, rank) with rank the
+    final bigint micro-mass. Dangling nodes (no out-edges) redistribute
+    their mass uniformly each round. Truncation makes this a deterministic
+    variant (total mass decays by the dropped remainders — identically in
+    both engines)."""
+    e = edges.select(
+        F.col(src_col).cast("long").alias("src"),
+        F.col(dst_col).cast("long").alias("dst"),
+    ).localCheckpoint()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).localCheckpoint()
+    n = nodes.count()  # bounded driver scalar (node count)
+    base = TOTAL_MASS // n
+    ranks = nodes.select("node", F.lit(base).cast("long").alias("r")).localCheckpoint()
+    for _ in range(n_iter):
+        r_deg = ranks.join(outdeg, ranks.node == outdeg.src).select(
+            "src", F.expr("r div deg").alias("c")
+        )
+        inflow = (
+            e.join(r_deg, "src")
+            .groupBy("dst")
+            .agg(F.sum("c").alias("inflow"))
+        )
+        # dangling mass: one bigint to the driver per round (bounded
+        # control data, like the CC convergence count)
+        dmass = (
+            ranks.join(outdeg, ranks.node == outdeg.src, "left_anti")
+            .agg(F.coalesce(F.sum("r"), F.lit(0)).alias("d"))
+            .collect()[0]["d"]
+        )
+        share = dmass // n
+        ranks = (
+            nodes.join(inflow, nodes.node == inflow.dst, "left")
+            .select(
+                "node",
+                F.coalesce("inflow", F.lit(0)).alias("_in"),
+            )
+            .select(
+                "node",
+                F.expr(f"(15 * {base} + 85 * (_in + {share})) div 100")
+                .cast("long")
+                .alias("r"),
+            )
+            .localCheckpoint()
+        )
+    return ranks.select("node", F.col("r").alias("rank"))
+
+
+def pagerank_oracle_sql(
+    edges_sql: str,
+    n_iter: int = 3,
+) -> str:
+    """DuckDB twin of :func:`pagerank`: iterations unrolled as CTE chains,
+    identical integer truncation at every step. ``edges_sql`` must yield
+    (src, dst) BIGINT columns."""
+    parts = [
+        f"edges AS ({edges_sql})",
+        "nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges)",
+        "nn AS (SELECT count(*) AS n FROM nodes)",
+        "outdeg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src)",
+        f"r_0 AS (SELECT node, CAST({TOTAL_MASS} // n AS BIGINT) AS r"
+        "  FROM nodes CROSS JOIN nn)",
+    ]
+    for i in range(n_iter):
+        parts.append(
+            f"""c_{i + 1} AS (
+  SELECT e.dst, sum(r.r // d.deg) AS inflow
+  FROM edges e JOIN r_{i} r ON r.node = e.src JOIN outdeg d ON d.src = e.src
+  GROUP BY e.dst)"""
+        )
+        parts.append(
+            f"""d_{i + 1} AS (
+  SELECT COALESCE(sum(r.r), 0) AS dmass
+  FROM r_{i} r LEFT JOIN outdeg d ON d.src = r.node WHERE d.src IS NULL)"""
+        )
+        parts.append(
+            f"""r_{i + 1} AS (
+  SELECT n2.node,
+         CAST((15 * ({TOTAL_MASS} // nn.n)
+               + 85 * (COALESCE(c.inflow, 0) + d.dmass // nn.n)) // 100
+              AS BIGINT) AS r
+  FROM nodes n2 CROSS JOIN nn CROSS JOIN d_{i + 1} d
+  LEFT JOIN c_{i + 1} c ON c.dst = n2.node)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"\nSELECT node, r AS rank FROM r_{n_iter}"
+    )

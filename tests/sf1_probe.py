@@ -39,7 +39,9 @@ SF1 = str(REPO / ".sfscale" / "sf1")
 COPIES = 10
 
 #: The priciest entries by measured wall time (r4 BENCH_DETAIL top-10 plus
-#: the round-5 heavyweights).
+#: the round-5 heavyweights), extended r6 with the remaining replay-family
+#: entries (r5 verdict task 7) so the streaming tier's trend line is
+#: complete.
 PROBE_ENTRIES = [
     "stream_cusum_replay",
     "stream_interval_full_join_replay",
@@ -53,6 +55,8 @@ PROBE_ENTRIES = [
     "join_min_cost_supplier",
     "stream_tumbling_agg_replay",
     "stream_sliding_agg_replay",
+    "stream_cms_counters_replay",
+    "streaming_dedup_replay",
 ]
 
 _ALPHA = "abcdefghijklmnopqrstuvwxyz"

@@ -23,9 +23,9 @@ import pytest
 from tests.oracle_harness import compare, duck_con
 from tests.sf1_probe import PROBE_ENTRIES, SF1
 
-#: The probe's fixed entry set plus the streaming-sketch replay (r5 verdict
-#: task 7 wants the whole replay family trend-lined at sf1).
-SF1_ENTRIES = [*PROBE_ENTRIES, "stream_cms_counters_replay", "streaming_dedup_replay"]
+#: The probe's fixed entry set (includes the whole replay family, r5
+#: verdict task 7) — correctness tier and timing probe cover the same set.
+SF1_ENTRIES = list(PROBE_ENTRIES)
 
 pytestmark = pytest.mark.skipif(
     not os.environ.get("SPARK_GRAFT_SF1_CHECK"),
