@@ -82,7 +82,11 @@ def pagerank(
             )
             .select(
                 "node",
-                F.expr(f"(15 * {base} + 85 * (_in + {share})) div 100")
+                # 15*base precomputed in Python: two int32-sized literals
+                # multiplied in SQL would overflow INT under ANSI mode
+                F.expr(
+                    f"({15 * base}L + 85L * (_in + {share}L)) div 100L"
+                )
                 .cast("long")
                 .alias("r"),
             )

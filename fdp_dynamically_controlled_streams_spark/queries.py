@@ -1310,6 +1310,80 @@ def ann_ranking_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 from fdp_dynamically_controlled_streams_spark.operators import clustering as clu
+from fdp_dynamically_controlled_streams_spark.operators import graph as gph
+
+
+@query(
+    "fuzzy_part_name_pairs",
+    """
+SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+       CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist
+FROM part a JOIN part b
+  ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+ AND a.p_partkey < b.p_partkey
+WHERE levenshtein(a.p_name, b.p_name) <= 6
+""",
+    tags=("text", "fuzzy", "join"),
+)
+def fuzzy_part_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy string-match join: near-identical part names by edit distance,
+    candidate-bounded by a (brand, size) blocking key so the join is a
+    plain equi-shuffle with per-block pair expansion — never all-pairs
+    (the standard entity-resolution blocking shape). The distance uses
+    Spark's BOUNDED levenshtein(l, r, threshold) — O(threshold·len) with
+    early exit instead of the full O(len²) matrix, returning -1 past the
+    bound; the oracle's unbounded levenshtein + WHERE proves the bounded
+    form is exact within threshold."""
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_name", "p_brand", "p_size")
+    a, b = p.alias("a"), p.alias("b")
+    d = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"), 6)
+    return (
+        a.join(
+            b,
+            (F.col("a.p_brand") == F.col("b.p_brand"))
+            & (F.col("a.p_size") == F.col("b.p_size"))
+            & (F.col("a.p_partkey") < F.col("b.p_partkey")),
+        )
+        .select(
+            F.col("a.p_partkey").alias("id_a"),
+            F.col("b.p_partkey").alias("id_b"),
+            d.cast("int").alias("dist"),
+        )
+        .where(F.col("dist") >= 0)
+    )
+
+
+_PAGERANK_EDGES_SQL = """
+SELECT DISTINCT CAST(o.o_custkey AS BIGINT) AS src,
+       CAST(10000000 + l.l_suppkey AS BIGINT) AS dst
+FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+"""
+
+
+@query(
+    "graph_pagerank_suppliers",
+    gph.pagerank_oracle_sql(_PAGERANK_EDGES_SQL, n_iter=3),
+    tags=("graph", "iterative", "pagerank"),
+)
+def graph_pagerank_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic integer PageRank (3 iterations, damping 85/100) over
+    the customer->supplier purchase graph: the ranks are exact bigint
+    micro-mass so groupBy sums are order-independent and the result
+    value-hashes at any partitioning — floats never enter the recurrence
+    (operators/graph.py). Per iteration: one co-partitioned edges-ranks
+    join, one map-side-combinable groupBy(dst), one node-list left join;
+    driver holds only N and the per-round dangling mass."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    edges = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            F.col("o_custkey").cast("long").alias("src"),
+            (F.lit(10_000_000) + F.col("l_suppkey")).cast("long").alias("dst"),
+        )
+        .distinct()
+    )
+    return gph.pagerank(edges, n_iter=3)
 
 
 @query(

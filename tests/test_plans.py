@@ -348,3 +348,13 @@ def test_weighted_bottomk_take_ordered(audits):
     a = audits("sample_weighted_bottomk_documents")
     assert a.n_python_evals == 0
     assert "TakeOrderedAndProject" in a.raw
+
+
+def test_fuzzy_pairs_blocked_equi_join(audits):
+    # blocking must make this an EQUI join (broadcast at this SF, shuffle
+    # hash/sort-merge at scale) with the edit distance as a post-join
+    # filter — never a nested-loop over all pairs; JVM-side throughout
+    a = audits("fuzzy_part_name_pairs")
+    assert a.n_nestedloop_joins == 0
+    assert a.joins == 1
+    assert a.n_python_evals == 0
