@@ -286,7 +286,75 @@ def simhash_signatures(
     out = F.lit(0)
     for i in range(bits):
         out = out + F.when(F.col(f"v{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
-    return grouped.select("id", out.cast("int").alias("simhash"))
+    # 32-bit signatures exceed INT range; narrower ones keep the int type
+    # the existing 16-bit entry hashes against
+    sig_type = "long" if bits > 31 else "int"
+    return grouped.select("id", out.cast(sig_type).alias("simhash"))
+
+
+def simhash_hamming_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 32,
+    max_dist: int = 1,
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance ≤ ``max_dist``, found
+    COMPLETELY without an all-pairs join: split the signature into
+    ``max_dist + 1`` bit-bands and equi-join on (band_id, band_value) —
+    by pigeonhole, any pair within the radius agrees exactly on at least
+    one band, so the blocked join misses nothing (the oracle brute-forces
+    all pairs to prove exactly that). Candidates then filter on the exact
+    popcount distance. One explode (map-side) + one equi self-join; never
+    quadratic in the corpus.
+
+    Precision is the RATIO max_dist/bits: on a homogeneous corpus (shared
+    vocabulary pulls every signature toward the same votes) a loose ratio
+    returns a dense pair set — measured here: radius 3 on 16 bits matched
+    56% of ALL pairs, radius 1 on 32 bits (the default) 3.5%. Band width
+    bits/(max_dist+1) also sets bucket cardinality, so wider signatures
+    spread the blocking buckets (16-bit bands → 65k buckets)."""
+    n_bands = max_dist + 1
+    if bits % n_bands:
+        raise ValueError("bits must divide evenly into max_dist + 1 bands")
+    band_bits = bits // n_bands
+    mask = (1 << band_bits) - 1
+    # signature aggregation runs once (both join sides read the checkpoint)
+    sigs = simhash_signatures(docs, id_col, text_col, bits).localCheckpoint()
+    bands = sigs.select(
+        "id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright("simhash", i * band_bits)
+                    .bitwiseAND(F.lit(mask))
+                    for i in range(n_bands)
+                ]
+            )
+        ).alias("band_id", "band_val"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.simhash").alias("_sa"),
+            F.col("b.simhash").alias("_sb"),
+        )
+        .distinct()  # a pair can match on up to n_bands bands
+    )
+    dist = F.bit_count(F.col("_sa").bitwiseXOR(F.col("_sb"))).cast("int")
+    return (
+        cand.select("id_a", "id_b", dist.alias("hamming"))
+        .where(F.col("hamming") <= max_dist)
+    )
 
 
 def ngram_jaccard_pairs(

@@ -1105,6 +1105,40 @@ def dedup_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_ops.simhash_signatures(d).select(F.col("id").alias("doc_id"), "simhash")
 
 
+_SIMHASH32_SQL = " + ".join(
+    f"CASE WHEN sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) > 0 "
+    f"THEN (CAST(1 AS BIGINT) << {i}) ELSE CAST(0 AS BIGINT) END"
+    for i in range(32)
+)
+
+
+@query(
+    "dedup_simhash_hamming",
+    f"""
+WITH {_TOKS_CTE},
+ex AS (SELECT doc_id, {portable_hash64_sql("tok")} AS h
+         FROM (SELECT doc_id, unnest(list_distinct(t)) AS tok FROM toks)),
+sig AS (SELECT doc_id, CAST({_SIMHASH32_SQL} AS BIGINT) AS simhash
+          FROM ex GROUP BY doc_id)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 1
+""",
+    tags=("dedup", "simhash", "hamming"),
+)
+def dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs within Hamming radius 1 of a 32-bit
+    signature, found by the pigeonhole band trick (two 16-bit bands; any
+    pair within the radius agrees exactly on one band, so one explode +
+    one equi self-join finds the COMPLETE pair set —
+    operators/dedup.py simhash_hamming_pairs, incl. the measured
+    radius/bits precision analysis). The oracle brute-forces all O(n²)
+    pairs, so hash equality proves the blocking missed nothing."""
+    d = _t(spark, sf_dir, "documents")
+    return dedup_ops.simhash_hamming_pairs(d, bits=32, max_dist=1)
+
+
 @query(
     "dedup_ngram_jaccard",
     f"""

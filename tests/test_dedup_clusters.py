@@ -51,3 +51,44 @@ def test_long_chain_converges_in_log_rounds(spark):
 def test_empty_pairs(spark):
     df = spark.createDataFrame([(1, 2)], "id_a long, id_b long").where("id_a < 0")
     assert connected_components(df).count() == 0
+
+
+def test_simhash_hamming_band_blocking_is_complete(spark):
+    # the pigeonhole law: the banded equi-join finds EXACTLY the pairs a
+    # brute-force all-pairs popcount scan finds, at any radius the band
+    # split supports
+    from pyspark.sql import functions as F
+
+    from fdp_dynamically_controlled_streams_spark.operators.dedup import (
+        simhash_hamming_pairs,
+        simhash_signatures,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"tok{i % 7} tok{(i * 3) % 5} alpha beta gamma delta " * 3)
+         for i in range(40)],
+        "doc_id long, text string",
+    )
+    for bits, radius in ((32, 1), (16, 3)):
+        banded = sorted(
+            (r.id_a, r.id_b, r.hamming)
+            for r in simhash_hamming_pairs(
+                docs, bits=bits, max_dist=radius
+            ).collect()
+        )
+        sigs = simhash_signatures(docs, bits=bits)
+        a, b = sigs.alias("a"), sigs.alias("b")
+        brute = sorted(
+            (r.id_a, r.id_b, r.hamming)
+            for r in a.join(b, F.col("a.id") < F.col("b.id"))
+            .select(
+                F.col("a.id").alias("id_a"),
+                F.col("b.id").alias("id_b"),
+                F.bit_count(
+                    F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+                ).cast("int").alias("hamming"),
+            )
+            .where(F.col("hamming") <= radius)
+            .collect()
+        )
+        assert banded == brute, (bits, radius)
