@@ -20,7 +20,7 @@ MinHash per Broder '97; banding per Leskovec/Rajaraman/Ullman MMDS ch.3.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from fdp_dynamically_controlled_streams_spark.functions.hashing import (
@@ -389,3 +389,139 @@ def ngram_jaccard_pairs(
         )
         .where(F.col("jaccard") >= threshold)
     )
+
+
+def duplicate_ngram_spans(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Span-level exact-substring dedup at token-n-gram granularity (the
+    "Deduplicating Training Data Makes Language Models Better" shape,
+    approximated on token n-grams instead of a suffix array): per doc,
+    how much of it is verbatim-shared with other docs, and the longest
+    contiguous shared span — the signal a curation pipeline uses to cut
+    boilerplate / licence blocks / mirrored passages out of training
+    text.
+
+    Semantics: an n-gram position is *duplicated* iff its exact token
+    n-gram occurs in >= ``min_docs`` distinct documents. Contiguous
+    duplicated positions merge into spans (gaps-and-islands);
+    ``max_dup_span_tokens`` = longest span's token coverage
+    (run_length + n - 1); ``dup_fraction`` = duplicated positions /
+    total positions.
+
+    Scale shape: one tokenize+slide pass (all codegen HOFs — transform/
+    slice/concat_ws, no UDF), ONE groupBy(ngram) with map-side partial
+    distinct-doc aggregation to build the duplicated-n-gram set, one
+    shuffle join back, one per-doc window + groupBy. The n-gram key is
+    the literal string here for oracle portability; at 100 TB the key
+    would be portable_hash64(ngram) — 8 bytes instead of ~40 — with
+    identical plan shape (the hash exists: functions/hashing.py).
+    Never all-pairs, never a driver loop.
+
+    [ABSENT in reference: SURVEY §2.7 — engine extension.]
+    """
+    toks = docs.select(
+        F.col(id_col).alias("id"),
+        F.split(F.trim(F.col(text_col)), r"\s+").alias("t"),
+    )
+    grams = toks.select(
+        "id",
+        F.explode(
+            F.expr(
+                f"CASE WHEN size(t) >= {n} THEN"
+                f" transform(sequence(1, size(t) - {n} + 1),"
+                f"           i -> struct(i AS pos, concat_ws(' ', slice(t, i, {n})) AS ngram))"
+                f" ELSE CAST(array() AS array<struct<pos:int,ngram:string>>) END"
+            )
+        ).alias("g"),
+    ).select("id", F.col("g.pos").alias("pos"), F.col("g.ngram").alias("ngram"))
+    dup_ngrams = (
+        grams.groupBy("ngram")
+        .agg(F.countDistinct("id").alias("ndocs"))
+        .where(F.col("ndocs") >= min_docs)
+        .select("ngram")
+    )
+    dup = grams.join(dup_ngrams, "ngram").select("id", "pos")
+    w = Window.partitionBy("id").orderBy("pos")
+    runs = dup.withColumn("grp", F.col("pos") - F.row_number().over(w))
+    spans = runs.groupBy("id", "grp").agg(
+        F.count(F.lit(1)).alias("run_len"),
+    )
+    per_doc = spans.groupBy("id").agg(
+        F.sum("run_len").cast("long").alias("n_dup_ngrams"),
+        (F.max("run_len") + F.lit(n - 1)).cast("long").alias("max_dup_span_tokens"),
+    )
+    base = toks.select(
+        "id",
+        F.greatest(F.size("t") - F.lit(n - 1), F.lit(0))
+        .cast("long")
+        .alias("n_ngrams"),
+    )
+    return (
+        base.join(per_doc, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            "n_ngrams",
+            F.coalesce("n_dup_ngrams", F.lit(0)).cast("long").alias("n_dup_ngrams"),
+            F.coalesce("max_dup_span_tokens", F.lit(0))
+            .cast("long")
+            .alias("max_dup_span_tokens"),
+            F.when(
+                F.col("n_ngrams") > 0,
+                F.round(
+                    F.coalesce("n_dup_ngrams", F.lit(0)) / F.col("n_ngrams"), 6
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("dup_fraction"),
+        )
+    )
+
+
+def duplicate_ngram_spans_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    min_docs: int = 2,
+) -> str:
+    """DuckDB twin of :func:`duplicate_ngram_spans` (1-based inclusive
+    list slice t[i : i+n-1] mirrors Spark's slice(t, i, n))."""
+    return rf"""
+WITH toks AS (
+  SELECT {id_col} AS id, string_split_regex(trim({text_col}), '\s+') AS t
+  FROM {table}
+), grams AS (
+  SELECT id, i AS pos, array_to_string(t[i : i + {n - 1}], ' ') AS ngram
+  FROM toks, UNNEST(generate_series(1, len(t) - {n} + 1)) AS g(i)
+), dupg AS (
+  SELECT ngram FROM grams GROUP BY ngram
+  HAVING count(DISTINCT id) >= {min_docs}
+), dup AS (
+  SELECT g.id, g.pos FROM grams g JOIN dupg USING (ngram)
+), runs AS (
+  SELECT id, pos,
+         pos - row_number() OVER (PARTITION BY id ORDER BY pos) AS grp
+  FROM dup
+), spans AS (
+  SELECT id, grp, count(*) AS run_len FROM runs GROUP BY id, grp
+), per_doc AS (
+  SELECT id, CAST(sum(run_len) AS BIGINT) AS n_dup_ngrams,
+         CAST(max(run_len) + {n - 1} AS BIGINT) AS max_dup_span_tokens
+  FROM spans GROUP BY id
+), base AS (
+  SELECT id, CAST(greatest(len(t) - {n - 1}, 0) AS BIGINT) AS n_ngrams
+  FROM toks
+)
+SELECT b.id AS {id_col}, b.n_ngrams,
+       CAST(COALESCE(p.n_dup_ngrams, 0) AS BIGINT) AS n_dup_ngrams,
+       CAST(COALESCE(p.max_dup_span_tokens, 0) AS BIGINT) AS max_dup_span_tokens,
+       CASE WHEN b.n_ngrams > 0
+            THEN round(COALESCE(p.n_dup_ngrams, 0) / b.n_ngrams, 6)
+            ELSE 0.0 END AS dup_fraction
+FROM base b LEFT JOIN per_doc p ON p.id = b.id
+"""

@@ -1413,3 +1413,72 @@ def decode_jpeg_features(media: DataFrame) -> DataFrame:
             )
 
     return media.select("media_id", "content").mapInPandas(run, JPEG_DECODED_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Audio feature extraction: frame-level PCM features over real WAV blobs —
+# the "feature-extract" leg of the charter's multimodal pipeline for audio.
+# All features are EXACT INTEGERS (sum of squares, zero-crossing count,
+# peak), so the result value-hashes against the byte-replaying oracle with
+# no float portability concerns.
+# ---------------------------------------------------------------------------
+
+AUDIO_FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_id", T.IntegerType()),
+        T.StructField("n_samples", T.IntegerType()),
+        T.StructField("energy", T.LongType()),
+        T.StructField("n_zero_cross", T.IntegerType()),
+        T.StructField("peak", T.IntegerType()),
+    ]
+)
+
+
+def audio_frame_features(media: DataFrame, frame_size: int = 32) -> DataFrame:
+    """Per-frame PCM features over (media_id, content) WAV blobs: fixed
+    ``frame_size``-sample frames (last frame ragged), per frame the exact
+    integer energy (sum of s²), zero-crossing count (sign flips between
+    adjacent samples WITHIN the frame), and peak |s|. Non-WAV / corrupt
+    rows yield no frames (the dead-letter path handles flagging).
+
+    Scale shape: one mapInPandas pass — decode + vectorized numpy frame
+    reduction per Arrow batch, output rows ~ n_samples/frame_size per
+    media. No shuffle at all: features are computed where the bytes
+    live, the plan is a single codegen-free map stage exactly like the
+    codec tiers."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out: list[tuple] = []
+            for mid, buf in zip(pdf["media_id"], pdf["content"]):
+                b = bytes(buf) if buf is not None else b""
+                d = decode_wav(b)
+                if d is None or d["bit_depth"] != 16 or d["n_channels"] != 1:
+                    continue
+                s = np.frombuffer(
+                    d["samples"][: 2 * d["n_samples"]], dtype="<i2"
+                ).astype(np.int64)
+                mid = int(mid)
+                for f in range(0, (len(s) + frame_size - 1) // frame_size):
+                    fr = s[f * frame_size : (f + 1) * frame_size]
+                    neg = fr < 0
+                    out.append(
+                        (
+                            mid,
+                            f,
+                            int(len(fr)),
+                            int(np.sum(fr * fr)),
+                            int(np.count_nonzero(neg[1:] != neg[:-1])),
+                            int(np.max(np.abs(fr))) if len(fr) else 0,
+                        )
+                    )
+            yield pd.DataFrame(
+                out, columns=[fld.name for fld in AUDIO_FRAME_SCHEMA.fields]
+            )
+
+    return media.select("media_id", "content").mapInPandas(
+        run, AUDIO_FRAME_SCHEMA
+    )

@@ -1,0 +1,156 @@
+"""BM25 inverted-index retrieval: score a query set against a document
+corpus through a term-postings join and return top-k per query.
+
+This is the retrieval primitive a training-data pipeline uses for
+contamination sweeps (eval-set queries vs corpus), RAG corpus QA, and
+query-driven curation — the lexical complement to the embedding ANN tiers
+in operators/similarity.py.
+
+Scale shape: the ONLY corpus-sized structures are the postings list
+(doc_id, term, tf) and the per-doc length table, both built in one
+tokenize pass with map-side partial aggregation. Scoring is a single
+postings ⋈ query-terms shuffle join on `term` — candidates are bounded by
+shared terms, never query × corpus. Stop-term skew (a term matching half
+the corpus would both blow the join AND carry ~zero idf) is cut by a
+df <= N/2 cap applied identically in the oracle. Top-k per query is a
+window row_number — per-partition heap + k-merge, never a global sort.
+
+Numeric portability: every per-term BM25 contribution is computed in
+doubles with IDENTICAL expression shape in both engines, rounded to 1e-6,
+scaled to bigint micro-units (round-then-cast, the engine-stable idiom —
+Spark truncates double->bigint, DuckDB rounds), and SUMMED AS INTEGERS so
+the per-(query, doc) score is order-independent under any partitioning.
+
+[ABSENT in reference: SURVEY §2.7 — engine extension.]
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from fdp_dynamically_controlled_streams_spark.operators import tfidf as tfidf_ops
+
+K1 = 1.2
+B = 0.75
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_docs: DataFrame,
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_df_frac: float = 0.5,
+) -> DataFrame:
+    """Top-``k`` corpus docs per query doc under BM25 (k1=1.2, b=0.75,
+    Robertson idf ln((N-df+0.5)/(df+0.5)+1)); the query doc itself is
+    excluded from its own candidates. Terms present in more than
+    ``max_df_frac`` of the corpus are dropped (stop-term/skew cap — on a
+    natural-language corpus 0.5 cuts the join-exploding stopwords that
+    carry ~zero idf anyway; 1.0 disables, for tiny-vocabulary fixtures).
+    Returns (query_id, doc_id, rank, score)."""
+    tdc = tfidf_ops.term_doc_counts(docs, text_col, id_col)
+    dl = tdc.groupBy("doc_id").agg(F.sum("tf").cast("double").alias("dl"))
+    n_total = docs.agg(F.count(F.lit(1)).alias("n"))
+    avg = dl.agg(F.sum("dl").alias("s")).crossJoin(n_total).select(
+        (F.col("s") / F.col("n")).alias("avgdl"), "n"
+    )
+    df_t = tdc.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    qterms = (
+        tfidf_ops.tokens(query_docs, text_col, id_col)
+        .select(F.col("doc_id").alias("query_id"), "term")
+        .distinct()
+    )
+    postings = tdc.join(dl, "doc_id")
+    scored = (
+        qterms.join(postings, "term")
+        .where(F.col("query_id") != F.col("doc_id"))
+        .join(df_t, "term")
+        .crossJoin(F.broadcast(avg))
+        .where(F.col("df") <= F.floor(F.col("n") * F.lit(max_df_frac)))  # stop-term / skew cap
+        .select(
+            "query_id",
+            "doc_id",
+            F.expr(
+                f"CAST(round(round("
+                f"  ln((n - df + 0.5) / (df + 0.5) + 1.0)"
+                f"  * (tf * ({K1} + 1.0))"
+                f"  / (tf + {K1} * (1.0 - {B} + {B} * dl / avgdl))"
+                f", 6) * 1000000, 0) AS BIGINT)"
+            ).alias("c"),
+        )
+    )
+    per_pair = scored.groupBy("query_id", "doc_id").agg(
+        F.sum("c").alias("score_micro")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score_micro").desc(), F.col("doc_id").asc()
+    )
+    return (
+        per_pair.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "doc_id",
+            "rank",
+            (F.col("score_micro") / F.lit(1000000.0)).alias("score"),
+        )
+    )
+
+
+def bm25_topk_sql(
+    table: str = "documents",
+    query_pred: str = "doc_id % 50 = 0",
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_df_frac: float = 0.5,
+) -> str:
+    """DuckDB twin of :func:`bm25_topk` with the query set selected by
+    ``query_pred`` over the same table."""
+    return rf"""
+WITH toks AS (
+  SELECT {id_col} AS doc_id, t.term
+  FROM {table},
+       UNNEST(regexp_split_to_array(lower({text_col}), '[^a-z0-9]+')) AS t(term)
+  WHERE t.term <> ''
+), tdc AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM toks GROUP BY doc_id, term
+), dl AS (
+  SELECT doc_id, CAST(sum(tf) AS DOUBLE) AS dl FROM tdc GROUP BY doc_id
+), nn AS (
+  SELECT count(*) AS n FROM {table}
+), avgd AS (
+  SELECT (SELECT sum(dl) FROM dl) / n AS avgdl, n FROM nn
+), df_t AS (
+  SELECT term, count(*) AS df FROM tdc GROUP BY term
+), qterms AS (
+  SELECT DISTINCT doc_id AS query_id, term FROM tdc
+  WHERE {query_pred}
+), scored AS (
+  SELECT q.query_id, p.doc_id,
+         CAST(round(round(
+             ln((a.n - f.df + 0.5) / (f.df + 0.5) + 1.0)
+             * (p.tf * ({K1} + 1.0))
+             / (p.tf + {K1} * (1.0 - {B} + {B} * d.dl / a.avgdl))
+         , 6) * 1000000, 0) AS BIGINT) AS c
+  FROM qterms q
+  JOIN tdc p ON p.term = q.term AND p.doc_id <> q.query_id
+  JOIN dl d ON d.doc_id = p.doc_id
+  JOIN df_t f ON f.term = q.term
+  CROSS JOIN avgd a
+  WHERE f.df <= floor(a.n * {max_df_frac})
+), per_pair AS (
+  SELECT query_id, doc_id, sum(c) AS score_micro
+  FROM scored GROUP BY query_id, doc_id
+)
+SELECT query_id, doc_id, rank, score FROM (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score_micro DESC, doc_id ASC) AS rank,
+         score_micro / 1000000.0 AS score
+  FROM per_pair
+) WHERE rank <= {k}
+"""

@@ -1168,6 +1168,23 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_ngram_span_removal",
+    dedup_ops.duplicate_ngram_spans_sql("documents", n=5, min_docs=2),
+    tags=("dedup", "ngram", "span"),
+)
+def dedup_ngram_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level exact-substring dedup: per doc, the count of token
+    5-gram positions shared verbatim with >=2 docs, the longest
+    contiguous shared span, and the duplicated fraction — the signal for
+    cutting boilerplate/mirrored passages from training text. One
+    codegen tokenize+slide pass, one groupBy(ngram) with map-side
+    partial distinct, one join back, one gaps-and-islands window
+    (operators/dedup.py::duplicate_ngram_spans)."""
+    d = _t(spark, sf_dir, "documents")
+    return dedup_ops.duplicate_ngram_spans(d, n=5, min_docs=2)
+
+
+@query(
     "dedup_embedding_near",
     f"""
 WITH b AS (
@@ -1418,6 +1435,40 @@ def graph_pagerank_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return gph.pagerank(edges, n_iter=3)
+
+
+_COSUPPLIER_EDGES_SQL = """
+SELECT CAST(x.l_suppkey AS BIGINT) AS u, CAST(y.l_suppkey AS BIGINT) AS v
+FROM lineitem x JOIN lineitem y
+  ON x.l_orderkey = y.l_orderkey AND x.l_suppkey < y.l_suppkey
+"""
+
+
+@query(
+    "graph_triangles_cosupplier",
+    gph.triangles_oracle_sql(_COSUPPLIER_EDGES_SQL),
+    tags=("graph", "triangles"),
+)
+def graph_triangles_cosupplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle count + local clustering coefficient over the
+    co-supplier graph (suppliers sharing an order). Edge generation is
+    per-order blocked (self-join on l_orderkey — group size is order
+    width, never corpus size); counting uses DEGREE ORIENTATION so the
+    wedge join is bounded m^1.5 even on a power-law graph, and each
+    triangle is found exactly once at its (deg,id)-minimum apex
+    (operators/graph.py::triangles). Integer counts end-to-end."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    x = li.alias("x")
+    y = li.alias("y")
+    edges = (
+        x.join(y, "l_orderkey")
+        .where(F.col("x.l_suppkey") < F.col("y.l_suppkey"))
+        .select(
+            F.col("x.l_suppkey").cast("long").alias("u"),
+            F.col("y.l_suppkey").cast("long").alias("v"),
+        )
+    )
+    return gph.triangles(edges)
 
 
 @query(
@@ -2063,6 +2114,68 @@ def multimodal_real_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     return mm.decode_media_real(mm.attach_real_media(docs))
+
+
+# Audio feature extraction: the oracle replays the WAV byte stream (the
+# same per-byte LCG the encoder used, two bytes -> one int16 LE sample)
+# inside a recursive CTE, then aggregates 32-sample frames — so equality
+# proves the RIFF parse AND the sample decode AND the frame math, on
+# exact integers (energy = sum s², zero crossings, peak).
+_AUDIO_FRAMES_ORACLE = """
+WITH RECURSIVE wavs AS (
+  SELECT CAST(doc_id AS BIGINT) AS media_id,
+         CAST(2 * (50 + doc_id % 101) AS BIGINT) AS nb,
+         (doc_id * 2654435761 + 12345) % 4294967296 AS x
+  FROM documents WHERE doc_id % 2 = 1
+), bytes AS (
+  SELECT media_id, nb, CAST(0 AS BIGINT) AS j, x, CAST(0 AS BIGINT) AS b
+  FROM wavs
+  UNION ALL
+  SELECT media_id, nb, j + 1,
+         (x * 1103515245 + 12345) % 4294967296,
+         (((x * 1103515245 + 12345) % 4294967296) // 65536) % 256
+  FROM bytes WHERE j < nb
+), samp AS (
+  SELECT media_id, (j - 1) // 2 AS i,
+         sum(CASE WHEN j % 2 = 1 THEN b ELSE 256 * b END) AS u
+  FROM bytes WHERE j >= 1 GROUP BY media_id, (j - 1) // 2
+), sv AS (
+  SELECT media_id, i,
+         CAST(u - CASE WHEN u >= 32768 THEN 65536 ELSE 0 END AS BIGINT) AS s
+  FROM samp
+), wz AS (
+  SELECT media_id, i, s, CAST(i // 32 AS INT) AS frame_id,
+         CASE WHEN i % 32 <> 0
+                   AND (lag(s) OVER (PARTITION BY media_id ORDER BY i) < 0)
+                       <> (s < 0)
+              THEN 1 ELSE 0 END AS zc
+  FROM sv
+)
+SELECT media_id, frame_id,
+       CAST(count(*) AS INT) AS n_samples,
+       CAST(sum(s * s) AS BIGINT) AS energy,
+       CAST(sum(zc) AS INT) AS n_zero_cross,
+       CAST(max(abs(s)) AS INT) AS peak
+FROM wz GROUP BY media_id, frame_id
+"""
+
+
+@query(
+    "multimodal_audio_frame_features",
+    _AUDIO_FRAMES_ORACLE,
+    tags=("multimodal", "audio", "features"),
+)
+def multimodal_audio_frame_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-level audio features over the real WAV media (odd doc ids):
+    32-sample frames with exact-integer energy, zero-crossing count and
+    peak — the audio leg of decode/feature-extract. One mapInPandas
+    stage, zero shuffles: decode + vectorized numpy frame reduction
+    happen where the bytes live
+    (operators/multimodal.py::audio_frame_features)."""
+    from fdp_dynamically_controlled_streams_spark.operators import multimodal as mm
+
+    docs = _t(spark, sf_dir, "documents")
+    return mm.audio_frame_features(mm.attach_real_media(docs), frame_size=32)
 
 
 # PNG (r4 verdict task 4): a COMPRESSED real format with zero dependencies —
@@ -3529,6 +3642,33 @@ def text_tfidf_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/tfidf.py::tfidf)."""
     docs = _t(spark, sf_dir, "documents")
     return tfidf_ops.tfidf(docs, "text", "doc_id")
+
+
+from fdp_dynamically_controlled_streams_spark.operators import retrieval as retr_ops
+
+
+@query(
+    "retrieval_bm25_topk",
+    retr_ops.bm25_topk_sql(
+        "documents", query_pred="doc_id % 50 = 0", k=10, max_df_frac=1.0
+    ),
+    tags=("text", "retrieval", "bm25"),
+)
+def retrieval_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 retrieval (k1=1.2, b=0.75) for a deterministic query
+    panel (every 50th doc) against the corpus via ONE postings ⋈
+    query-terms join — candidates bounded by shared terms with a
+    df <= N/2 stop-term cap, never query x corpus; per-term
+    contributions integerized to micro-units before the order-
+    independent bigint sum (operators/retrieval.py::bm25_topk). The
+    lexical sibling of the ANN tiers: contamination sweeps and
+    query-driven curation run on exactly this plan at 100 TB. The
+    df-cap is disabled (max_df_frac=1.0) because the synthetic fixture
+    has a 31-word vocabulary where every term tops the natural-language
+    0.5 default."""
+    docs = _t(spark, sf_dir, "documents")
+    qdocs = docs.where(F.col("doc_id") % 50 == 0)
+    return retr_ops.bm25_topk(docs, qdocs, k=10, max_df_frac=1.0)
 
 
 from fdp_dynamically_controlled_streams_spark.operators import histogram as hist_ops

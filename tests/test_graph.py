@@ -47,3 +47,60 @@ def test_partition_invariance(spark):
     df = spark.createDataFrame(edges, "src long, dst long").repartition(13)
     b = {r.node: r["rank"] for r in pagerank(df).collect()}
     assert a == b
+
+
+# ---------------------------------------------------------------- triangles
+
+from fdp_dynamically_controlled_streams_spark.operators.graph import triangles
+
+
+def _tri(spark, edges):
+    df = spark.createDataFrame(edges, "u long, v long")
+    return {
+        r.node: (r.deg, r.n_triangles, r.clustering_coeff)
+        for r in triangles(df).collect()
+    }
+
+
+def test_k4_every_node_in_three_triangles(spark):
+    # complete graph on 4 nodes: C(3,2)=3 triangles per node, coeff 1.0
+    edges = [(a, b) for a in range(4) for b in range(4) if a < b]
+    got = _tri(spark, edges)
+    assert got == {i: (3, 3, 1.0) for i in range(4)}
+
+
+def test_path_and_star_have_no_triangles(spark):
+    got = _tri(spark, [(1, 2), (2, 3), (3, 4), (0, 9), (0, 8), (0, 7)])
+    assert all(t == 0 for (_, t, _) in got.values())
+    assert all(c == 0.0 for (_, _, c) in got.values())
+
+
+def test_triangle_with_pendant(spark):
+    # triangle 1-2-3 plus pendant 3-4: node 3 has deg 3, 1 triangle,
+    # coeff 2*1/(3*2) = 1/3
+    got = _tri(spark, [(1, 2), (2, 3), (1, 3), (3, 4)])
+    assert got[1] == (2, 1, 1.0)
+    assert got[2] == (2, 1, 1.0)
+    assert got[3] == (3, 1, round(1 / 3, 6))
+    assert got[4] == (1, 0, 0.0)
+
+
+def test_duplicate_and_reversed_edges_collapse(spark):
+    # same triangle listed with dupes / both orientations / self-loop
+    edges = [(1, 2), (2, 1), (2, 3), (3, 1), (1, 3), (2, 2), (1, 2)]
+    got = _tri(spark, edges)
+    assert got[1] == (2, 1, 1.0) and got[2] == (2, 1, 1.0) and got[3] == (2, 1, 1.0)
+
+
+def test_triangles_partition_invariance(spark):
+    import random
+
+    rng = random.Random(7)
+    edges = list({(rng.randrange(30), rng.randrange(30)) for _ in range(120)})
+    a = _tri(spark, edges)
+    df = spark.createDataFrame(edges, "u long, v long").repartition(17)
+    b = {
+        r.node: (r.deg, r.n_triangles, r.clustering_coeff)
+        for r in triangles(df).collect()
+    }
+    assert a == b

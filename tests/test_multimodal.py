@@ -332,3 +332,69 @@ def test_jpeg_media_distributed(spark):
         grays = mm._lcg_bytes((w // 8) * (h // 8), i)
         exp_mean = (sum(grays) * 64 * 3 * 1_000_000 // (w * h * 3)) / 1e6
         assert r.mean_intensity == exp_mean
+
+
+# ----------------------------------------------------------- audio frames
+
+
+def test_audio_frame_features_known_signal(spark):
+    import struct
+
+    from fdp_dynamically_controlled_streams_spark.operators.multimodal import (
+        audio_frame_features,
+        encode_wav,
+    )
+
+    # hand-built WAV: alternating +1000/-1000 for 40 samples -> 2 frames
+    # (32 + 8), energy = n*1e6, zero crossings = n_pairs_in_frame
+    samples = [1000 if i % 2 == 0 else -1000 for i in range(40)]
+    data = b"".join(struct.pack("<h", s) for s in samples)
+    wav = encode_wav(40, 8000, seed=0)
+    wav = wav[:44] + data  # splice our payload over the LCG one
+    media = spark.createDataFrame(
+        [(7, bytearray(wav))], "media_id long, content binary"
+    )
+    got = {
+        r.frame_id: r for r in audio_frame_features(media, frame_size=32).collect()
+    }
+    assert got[0].n_samples == 32
+    assert got[0].energy == 32 * 1000 * 1000
+    assert got[0].n_zero_cross == 31
+    assert got[0].peak == 1000
+    assert got[1].n_samples == 8
+    assert got[1].energy == 8 * 1000 * 1000
+    assert got[1].n_zero_cross == 7
+
+
+def test_audio_frame_features_skips_non_wav(spark):
+    from fdp_dynamically_controlled_streams_spark.operators.multimodal import (
+        audio_frame_features,
+        encode_bmp,
+    )
+
+    media = spark.createDataFrame(
+        [(1, bytearray(encode_bmp(4, 3, seed=1))), (2, bytearray(b"garbage"))],
+        "media_id long, content binary",
+    )
+    assert audio_frame_features(media).count() == 0
+
+
+def test_audio_frame_features_zero_crossing_sign_rule(spark):
+    import struct
+
+    from fdp_dynamically_controlled_streams_spark.operators.multimodal import (
+        audio_frame_features,
+        encode_wav,
+    )
+
+    # 0 counts as non-negative: [-5, 0, 5, -5] crosses at (-5,0) and (5,-5)
+    samples = [-5, 0, 5, -5]
+    data = b"".join(struct.pack("<h", s) for s in samples)
+    wav = encode_wav(4, 8000, seed=0)[:44] + data
+    media = spark.createDataFrame(
+        [(1, bytearray(wav))], "media_id long, content binary"
+    )
+    r = audio_frame_features(media, frame_size=32).collect()[0]
+    assert r.n_zero_cross == 2
+    assert r.energy == 25 + 0 + 25 + 25
+    assert r.peak == 5

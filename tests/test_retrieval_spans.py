@@ -1,0 +1,141 @@
+"""Behavioral laws for BM25 retrieval and span-level n-gram dedup (the
+catalog entries prove engine parity; these prove the operators behave)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from fdp_dynamically_controlled_streams_spark.operators.dedup import (
+    duplicate_ngram_spans,
+)
+from fdp_dynamically_controlled_streams_spark.operators.retrieval import bm25_topk
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+# ---------------------------------------------------------------- BM25
+
+CORPUS = [
+    (0, "spark shuffle join window"),
+    (1, "spark shuffle join window extra words here"),
+    (2, "completely different vocabulary tokens appear"),
+    (3, "spark spark spark shuffle shuffle join join window window"),
+    (4, "join window"),
+]
+
+
+def test_bm25_near_duplicate_ranks_first(spark):
+    docs = _docs(spark, CORPUS)
+    out = bm25_topk(
+        docs, docs.where(F.col("doc_id") == 0), k=3, max_df_frac=1.0
+    ).collect()
+    ranked = [r.doc_id for r in sorted(out, key=lambda r: r.rank)]
+    # doc 1 shares all 4 query terms at ideal length; doc 2 shares none
+    assert ranked[0] in (1, 3)
+    assert 2 not in ranked
+    assert all(r.query_id == 0 for r in out)
+
+
+def test_bm25_excludes_self_and_caps_k(spark):
+    docs = _docs(spark, CORPUS)
+    out = bm25_topk(docs, docs, k=2, max_df_frac=1.0).collect()
+    assert all(r.query_id != r.doc_id for r in out)
+    from collections import Counter
+
+    per_q = Counter(r.query_id for r in out)
+    assert all(c <= 2 for c in per_q.values())
+    # ranks are 1..k dense per query
+    for q in per_q:
+        assert sorted(r.rank for r in out if r.query_id == q) == list(
+            range(1, per_q[q] + 1)
+        )
+
+
+def test_bm25_df_cap_drops_ubiquitous_terms(spark):
+    # 'common' appears in every doc -> dropped at max_df_frac=0.5;
+    # only 'rare' (df=2) can score
+    rows = [
+        (0, "common rare"),
+        (1, "common rare"),
+        (2, "common"),
+        (3, "common"),
+    ]
+    docs = _docs(spark, rows)
+    out = bm25_topk(
+        docs, docs.where(F.col("doc_id") == 0), k=4, max_df_frac=0.5
+    ).collect()
+    assert [r.doc_id for r in out] == [1]
+
+
+def test_bm25_scores_monotone_in_rank(spark):
+    docs = _docs(spark, CORPUS)
+    out = sorted(
+        bm25_topk(
+            docs, docs.where(F.col("doc_id") == 3), k=5, max_df_frac=1.0
+        ).collect(),
+        key=lambda r: r.rank,
+    )
+    scores = [r.score for r in out]
+    assert scores == sorted(scores, reverse=True)
+
+
+# ------------------------------------------------- duplicate n-gram spans
+
+
+def test_span_dedup_flags_shared_block(spark):
+    shared = "one two three four five six seven"
+    rows = [
+        (0, f"intro words {shared} tail a"),
+        (1, f"other start {shared} different end"),
+        (2, "nothing in common with anything else at all"),
+    ]
+    out = {
+        r.doc_id: r
+        for r in duplicate_ngram_spans(_docs(spark, rows), n=5).collect()
+    }
+    # shared block is 7 tokens -> 3 shared 5-gram positions -> span 7
+    assert out[0].n_dup_ngrams == 3
+    assert out[0].max_dup_span_tokens == 7
+    assert out[1].n_dup_ngrams == 3
+    assert out[2].n_dup_ngrams == 0 and out[2].dup_fraction == 0.0
+    assert out[0].dup_fraction == round(3 / out[0].n_ngrams, 6)
+
+
+def test_span_dedup_within_doc_repeat_not_flagged(spark):
+    # the same 5-gram twice in ONE doc is not a cross-doc duplicate
+    rows = [
+        (0, "a b c d e a b c d e"),
+        (1, "totally unrelated text goes right here now"),
+    ]
+    out = {
+        r.doc_id: r
+        for r in duplicate_ngram_spans(_docs(spark, rows), n=5).collect()
+    }
+    assert out[0].n_dup_ngrams == 0
+
+
+def test_span_dedup_short_docs_zero_ngrams(spark):
+    rows = [(0, "just four small tokens"), (1, "just four small tokens")]
+    out = {
+        r.doc_id: r
+        for r in duplicate_ngram_spans(_docs(spark, rows), n=5).collect()
+    }
+    assert all(r.n_ngrams == 0 and r.dup_fraction == 0.0 for r in out.values())
+
+
+def test_span_dedup_two_separate_runs(spark):
+    blk1 = "p q r s t"
+    blk2 = "v w x y z"
+    rows = [
+        (0, f"{blk1} GAP1 GAP2 {blk2}"),
+        (1, f"{blk1} other filler words {blk2}"),
+    ]
+    out = {
+        r.doc_id: r
+        for r in duplicate_ngram_spans(_docs(spark, rows), n=5).collect()
+    }
+    # each block is exactly one 5-gram; runs are separate -> max span 5
+    assert out[0].n_dup_ngrams == 2
+    assert out[0].max_dup_span_tokens == 5
