@@ -1,0 +1,279 @@
+"""Product quantization (PQ) ANN tier: compress each embedding to m
+sub-space code ids, then answer top-k by asymmetric distance computation
+(ADC) — the memory-side complement to the IVF pruning tier in
+operators/similarity.py (FAISS pairs them as IVF-PQ; both shapes exist
+here as independent, oracle-checked operators).
+
+Why this matters at 100 TB: a 64-dim float32 corpus is 256 B/vector;
+PQ(m=4, k=16) is m log2(k) = 2 BYTES/vector — the whole corpus codebook
+index fits in a fraction of executor memory, and the scan side of a query
+reads codes, not vectors. ADC evaluates each candidate with m integer
+table lookups instead of a dim-wide dot product.
+
+Determinism/oracle discipline (same one as operators/clustering.py):
+  * codebook seeds = sub-vectors of ids < k (rounded 1e-6), ONE Lloyd
+    update with means rounded 1e-6 at the boundary, empty cells keep
+    their seed — the DuckDB twin unrolls the identical computation;
+  * code assignment argmin ties break to the lowest code id in both
+    engines, on bit-identical fixed-order left-fold distances;
+  * per-(probe, sub-space, code) ADC cells are rounded 1e-6 and
+    integerized to micro-units (round-then-cast), so the per-pair
+    distance is an order-independent BIGINT sum.
+
+Scale shape: training is one map-side assignment pass (codebook is ONE
+nested array literal — plan cost independent of m*k*dim, the
+similarity.ivf_topk lesson) + one groupBy(s, code, dim) with map-side
+partial aggregation; the driver holds only the m*k*(dim/m) matrix.
+Encoding is map-only. ADC is broadcast(probes) x codes with per-pair
+cost m lookups. No shuffle touches the corpus except the 1024-row
+codebook mean.
+
+[ABSENT in reference: SURVEY §2.7 — LLM-pipeline engine extension.]
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _subs_expr(vec_col: str, m: int, sub: int) -> str:
+    """SQL expr: array of m sub-vectors (double) of length ``sub``."""
+    return (
+        f"transform(sequence(0, {m - 1}),"
+        f" s -> transform(slice({vec_col}, s * {sub} + 1, {sub}),"
+        f"                x -> CAST(x AS DOUBLE)))"
+    )
+
+
+def _sq_dist_expr(a: str, b: str) -> str:
+    """Fixed-order left-fold squared L2 distance between two double arrays
+    (bit-identical to DuckDB's list_reduce over list_zip)."""
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> (x - y) * (x - y)),"
+        f" CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+
+
+def pq_train(
+    embeddings: DataFrame,
+    m: int = 4,
+    k: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[list[float]]]:
+    """Train the m codebooks (k codes each): seeds = sub-vectors of the
+    first k ids (rounded 1e-6), one Lloyd mean update rounded at the
+    boundary, empty cells keep their seed. Returns codebooks[s][j] as a
+    (dim/m)-float list. Driver holds only m*k*(dim/m) floats."""
+    seed_rows = sorted(
+        embeddings.where(F.col(id_col) < k).select(id_col, vec_col).collect(),
+        key=lambda r: r[0],
+    )
+    dim = len(seed_rows[0][1])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    sub = dim // m
+    cb0 = [
+        [
+            [round(float(x), 6) for x in r[1][s * sub : (s + 1) * sub]]
+            for r in seed_rows
+        ]
+        for s in range(m)
+    ]
+    assigned = embeddings.select(
+        F.col(id_col).alias("id"),
+        F.expr(_subs_expr(vec_col, m, sub)).alias("subs"),
+    ).select(
+        "id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, {m1}), s -> struct(s AS s,"
+                " element_at(subs, s + 1) AS sv))".format(m1=m - 1)
+            )
+        ).alias("e"),
+    ).select("id", F.col("e.s").alias("s"), F.col("e.sv").alias("sv"))
+    cb_lit = F.lit(cb0)
+    d2 = _sq_dist_expr("sv", "c")
+    coded = (
+        assigned.withColumn("cb", cb_lit)
+        .select(
+            "s",
+            "sv",
+            (
+                F.expr(
+                    f"array_position(transform(element_at(cb, s + 1), c -> {d2}),"
+                    f" array_min(transform(element_at(cb, s + 1), c -> {d2})))"
+                )
+                - 1
+            )
+            .cast("int")
+            .alias("code"),
+        )
+    )
+    means = (
+        coded.select("s", "code", F.posexplode("sv").alias("d", "v"))
+        .groupBy("s", "code", "d")
+        .agg(F.avg("v").alias("mv"))
+        .collect()
+    )
+    upd: dict[tuple[int, int], dict[int, float]] = {}
+    for r in means:
+        upd.setdefault((int(r["s"]), int(r["code"])), {})[int(r["d"])] = float(
+            r["mv"]
+        )
+    return [
+        [
+            [round(upd[(s, j)][d], 6) for d in range(sub)]
+            if (s, j) in upd
+            else cb0[s][j]
+            for j in range(k)
+        ]
+        for s in range(m)
+    ]
+
+
+def pq_adc_topk(
+    embeddings: DataFrame,
+    probe_ids: list[int],
+    k_nn: int = 5,
+    m: int = 4,
+    k_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ-ADC top-``k_nn`` (squared-L2) per probe, self excluded: encode
+    the corpus to m codes map-side from the trained codebook literal,
+    build each probe's (m x k) ADC table in micro-units, then one
+    broadcast(probes) x codes join with per-pair cost m integer lookups.
+    Returns (probe_id, cand_id, adc_dist, rank)."""
+    cbs = pq_train(embeddings, m=m, k=k_codes, id_col=id_col, vec_col=vec_col)
+    sub = len(cbs[0][0])
+    d2 = _sq_dist_expr("sv", "c")
+    base = embeddings.select(
+        F.col(id_col).alias("id"),
+        F.expr(_subs_expr(vec_col, m, sub)).alias("subs"),
+    ).withColumn("cb", F.lit(cbs))
+    enc = base.select(
+        F.col("id").alias("cand_id"),
+        F.expr(
+            f"transform(sequence(0, {m - 1}), s ->"
+            f" CAST(array_position("
+            f"   transform(element_at(cb, s + 1),"
+            f"             c -> {_sq_dist_expr('element_at(subs, s + 1)', 'c')}),"
+            f"   array_min(transform(element_at(cb, s + 1),"
+            f"             c -> {_sq_dist_expr('element_at(subs, s + 1)', 'c')}))"
+            f" ) - 1 AS INT))"
+        ).alias("codes"),
+    )
+    probes = base.where(F.col("id").isin(probe_ids)).select(
+        F.col("id").alias("probe_id"),
+        F.expr(
+            f"transform(sequence(0, {m - 1}), s ->"
+            f" transform(element_at(cb, s + 1), c ->"
+            f"   CAST(round(round({_sq_dist_expr('element_at(subs, s + 1)', 'c')}, 6)"
+            f"        * 1000000, 0) AS BIGINT)))"
+        ).alias("dtab"),
+    )
+    pairs = (
+        F.broadcast(probes)
+        .join(enc, F.col("probe_id") != F.col("cand_id"))
+        .select(
+            "probe_id",
+            "cand_id",
+            F.expr(
+                f"aggregate(sequence(0, {m - 1}), CAST(0 AS BIGINT),"
+                f" (acc, s) -> acc + element_at(element_at(dtab, s + 1),"
+                f"                              element_at(codes, s + 1) + 1))"
+            ).alias("dist_micro"),
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("dist_micro").asc(), F.col("cand_id").asc()
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k_nn)
+        .select(
+            "probe_id",
+            "cand_id",
+            (F.col("dist_micro") / F.lit(1000000.0)).alias("adc_dist"),
+            "rank",
+        )
+    )
+
+
+def pq_adc_topk_sql(
+    probe_list: str,
+    k_nn: int = 5,
+    m: int = 4,
+    k_codes: int = 16,
+    dim: int = 64,
+    table: str = "embeddings",
+) -> str:
+    """DuckDB twin of :func:`pq_adc_topk`: seeds, the single Lloyd update,
+    encoding, ADC tables and the integer pair sum all unrolled with
+    identical rounding and tie order."""
+    sub = dim // m
+    d2 = (
+        "list_reduce(list_transform(list_zip({a}, {b}),"
+        " p -> (p[1] - p[2]) * (p[1] - p[2])), (acc, v) -> acc + v)"
+    )
+    d_sv_c = d2.format(a="sv", b="c")
+    return f"""
+WITH subv AS (
+  SELECT vec_id, s,
+         list_transform(embedding[s * {sub} + 1 : s * {sub} + {sub}],
+                        x -> CAST(x AS DOUBLE)) AS sv
+  FROM {table}, UNNEST(generate_series(0, {m - 1})) AS t(s)
+), seed AS (
+  SELECT s, CAST(vec_id AS INT) AS j,
+         list_transform(sv, x -> round(x, 6)) AS c
+  FROM subv WHERE vec_id < {k_codes}
+), a0 AS (
+  SELECT vec_id, s, sv, j AS code FROM (
+    SELECT sb.vec_id, sb.s, sb.sv, sd.j,
+           row_number() OVER (PARTITION BY sb.vec_id, sb.s
+                              ORDER BY {d2.format(a="sb.sv", b="sd.c")}, sd.j)
+             AS rk
+    FROM subv sb JOIN seed sd ON sd.s = sb.s
+  ) WHERE rk = 1
+), m1 AS (
+  SELECT s, code, ord, round(avg(v), 6) AS mv FROM (
+    SELECT s, code, generate_subscripts(sv, 1) AS ord, unnest(sv) AS v
+    FROM a0
+  ) GROUP BY s, code, ord
+), cb1 AS (
+  SELECT sd.s, sd.j,
+         CASE WHEN count(m1.mv) = 0 THEN sd.c
+              ELSE list(m1.mv ORDER BY m1.ord) END AS c
+  FROM seed sd LEFT JOIN m1 ON m1.s = sd.s AND m1.code = sd.j
+  GROUP BY sd.s, sd.j, sd.c
+), enc AS (
+  SELECT vec_id, s, j AS code FROM (
+    SELECT sb.vec_id, sb.s, cb.j,
+           row_number() OVER (PARTITION BY sb.vec_id, sb.s
+                              ORDER BY {d2.format(a="sb.sv", b="cb.c")}, cb.j)
+             AS rk
+    FROM subv sb JOIN cb1 cb ON cb.s = sb.s
+  ) WHERE rk = 1
+), dt AS (
+  SELECT sb.vec_id AS probe_id, sb.s, cb.j,
+         CAST(round(round({d2.format(a="sb.sv", b="cb.c")}, 6) * 1000000, 0)
+              AS BIGINT) AS dm
+  FROM subv sb JOIN cb1 cb ON cb.s = sb.s
+  WHERE sb.vec_id IN ({probe_list})
+), pair AS (
+  SELECT dt.probe_id, enc.vec_id AS cand_id, sum(dt.dm) AS dist_micro
+  FROM dt JOIN enc
+    ON enc.s = dt.s AND enc.code = dt.j AND enc.vec_id <> dt.probe_id
+  GROUP BY dt.probe_id, enc.vec_id
+)
+SELECT probe_id, cand_id, adc_dist, rank FROM (
+  SELECT probe_id, cand_id,
+         row_number() OVER (PARTITION BY probe_id
+                            ORDER BY dist_micro ASC, cand_id ASC) AS rank,
+         dist_micro / 1000000.0 AS adc_dist
+  FROM pair
+) WHERE rank <= {k_nn}
+"""

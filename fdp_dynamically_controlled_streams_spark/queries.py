@@ -1297,6 +1297,26 @@ def ann_brute_force_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim_ops.brute_force_topk(e, _PROBE_IDS, k=5)
 
 
+from fdp_dynamically_controlled_streams_spark.operators import pq as pq_ops
+
+
+@query(
+    "ann_pq_adc_topk",
+    pq_ops.pq_adc_topk_sql(_PROBE_LIST, k_nn=5, m=4, k_codes=16, dim=64),
+    tags=("similarity", "ann", "pq"),
+)
+def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN: corpus compressed to 4 sub-space codes
+    (16-entry codebooks, deterministic seed + one Lloyd update), top-5
+    per probe by asymmetric distance — per-candidate cost is 4 integer
+    table lookups instead of a 64-dim dot product, and the scan side
+    reads 2-byte codes, not vectors (operators/pq.py). The memory-side
+    complement to the IVF pruning tier; ADC cells integerized to
+    micro-units so pair distances are order-independent bigint sums."""
+    e = _t(spark, sf_dir, "embeddings")
+    return pq_ops.pq_adc_topk(e, _PROBE_IDS, k_nn=5, m=4, k_codes=16)
+
+
 @query("ann_lsh_bucketed_topk", _ANN_LSH_SQL, tags=("similarity", "ann", "lsh"))
 def ann_lsh_bucketed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-5: candidates restricted to the probe's sign-LSH bucket

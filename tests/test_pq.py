@@ -1,0 +1,85 @@
+"""PQ laws: codebook shape/determinism, duplicate-vector retrieval, and
+partition invariance (the catalog entry proves engine parity)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from fdp_dynamically_controlled_streams_spark.operators.pq import (
+    pq_adc_topk,
+    pq_train,
+)
+
+
+def _emb(spark, rows, dim):
+    return spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        f"vec_id long, embedding array<float>",
+    )
+
+
+def _blobs(n, dim, k=4):
+    # k well-separated blobs on axis-aligned anchors
+    rows = []
+    for i in range(n):
+        c = i % k
+        v = [0.0] * dim
+        for d in range(dim):
+            v[d] = 10.0 * c + ((i * 31 + d * 7) % 5) * 0.01
+        rows.append((i, v))
+    return rows
+
+
+def test_pq_train_shape_and_determinism(spark):
+    df = _emb(spark, _blobs(64, 16), 16)
+    cb = pq_train(df, m=4, k=8)
+    assert len(cb) == 4 and all(len(s) == 8 for s in cb)
+    assert all(len(c) == 4 for s in cb for c in s)
+    cb2 = pq_train(df.repartition(13), m=4, k=8)
+    assert cb == cb2
+
+
+def test_pq_duplicate_vector_ranks_first(spark):
+    rows = _blobs(40, 16)
+    # make id 39 an exact duplicate of probe id 0
+    rows[39] = (39, rows[0][1])
+    df = _emb(spark, rows, 16)
+    out = pq_adc_topk(df, [0], k_nn=39, m=4, k_codes=8).collect()
+    # duplicate shares q's own codes -> minimal possible ADC distance
+    # (blob-mates quantizing to the same codes tie; they cannot beat it)
+    dup = [r for r in out if r.cand_id == 39]
+    assert dup and dup[0].adc_dist == min(r.adc_dist for r in out)
+
+
+def test_pq_adc_partition_invariance(spark):
+    df = _emb(spark, _blobs(60, 16), 16)
+    a = sorted(
+        map(tuple, pq_adc_topk(df, [0, 1], k_nn=4, m=4, k_codes=8).collect())
+    )
+    b = sorted(
+        map(
+            tuple,
+            pq_adc_topk(
+                df.repartition(11), [0, 1], k_nn=4, m=4, k_codes=8
+            ).collect(),
+        )
+    )
+    assert a == b
+
+
+def test_pq_excludes_self_and_dense_ranks(spark):
+    df = _emb(spark, _blobs(30, 16), 16)
+    out = pq_adc_topk(df, [2, 5], k_nn=4, m=4, k_codes=8).collect()
+    assert all(r.probe_id != r.cand_id for r in out)
+    for p in (2, 5):
+        assert sorted(r.rank for r in out if r.probe_id == p) == [1, 2, 3, 4]
+
+
+def test_pq_dim_not_divisible_raises(spark):
+    df = _emb(spark, _blobs(20, 18), 18)
+    try:
+        pq_train(df, m=4, k=8)
+    except ValueError as e:
+        assert "divisible" in str(e)
+    else:
+        raise AssertionError("expected ValueError")
