@@ -513,6 +513,109 @@ def join_outer_nation_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+@query(
+    "join_waiting_sole_supplier",
+    """
+SELECT n_name, s_name, count(*) AS numwait
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+JOIN orders o ON o_orderkey = l1.l_orderkey
+WHERE o.o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_returnflag = 'R')
+GROUP BY n_name, s_name
+""",
+    tags=("join", "subquery", "exists"),
+)
+def join_waiting_sole_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21's correlated EXISTS / NOT-EXISTS shape (sole supplier to
+    blame on a multi-supplier order — here: the only supplier with a
+    returned line on a finished multi-supplier order). Spark-first
+    REFORMULATION: both correlated subqueries collapse into ONE per-order
+    aggregation (n_supp = countDistinct(supp), n_bad = countDistinct(supp
+    where flag='R')) joined back once — one lineitem shuffle instead of
+    two correlated rescans of the 100 TB fact table; the blamed row is
+    then n_supp > 1 AND n_bad = 1. Supplier/nation dims broadcast."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(
+            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+        ).alias("n_bad"),
+    )
+    blamed = (
+        li.where(F.col("l_returnflag") == "R")
+        .join(o.where(F.col("o_orderstatus") == "F"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(per_order, "l_orderkey")
+        .where((F.col("n_supp") > 1) & (F.col("n_bad") == 1))
+    )
+    return (
+        blamed.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name", "s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+@query(
+    "subquery_acctbal_opportunity",
+    """
+SELECT cntrycode, count(*) AS numcust,
+       round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE), 2)
+         AS totacctbal
+FROM (
+  SELECT c_nationkey % 10 AS cntrycode, c_acctbal
+  FROM customer
+  WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
+    AND NOT EXISTS (SELECT 1 FROM orders
+                    WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+)
+GROUP BY cntrycode
+""",
+    tags=("join", "subquery", "scalar"),
+)
+def subquery_acctbal_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22's shape (above-average-balance customers who never
+    placed a large order, grouped by a derived country code — nationkey
+    digit here, the fixture has no phone column and every customer has
+    some order): the scalar AVG subquery becomes a
+    broadcast single-row cross join (computed once, never per-row), NOT
+    EXISTS becomes a left-anti join on o_custkey, money sums go through
+    the DECIMAL(18,4) exact idiom. At 100 TB: anti-join shuffles on the
+    key both sides already group on; the scalar never serializes the
+    fact table through the driver."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    avg_bal = c.where(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("_avg")
+    )
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("_avg"))
+        .join(
+            o.where(F.col("o_totalprice") > 300000),
+            c.c_custkey == o.o_custkey,
+            "left_anti",
+        )
+        .select((F.col("c_nationkey") % 10).alias("cntrycode"), "c_acctbal")
+        .groupBy("cntrycode")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            _dsum(F.col("c_acctbal"), 2).alias("totacctbal"),
+        )
+    )
+
+
 # =========================================================================
 # 3. Window functions / sorts / top-k (SURVEY §2.7)
 # =========================================================================

@@ -358,3 +358,49 @@ def test_fuzzy_pairs_blocked_equi_join(audits):
     assert a.n_nestedloop_joins == 0
     assert a.joins == 1
     assert a.n_python_evals == 0
+
+
+def test_bm25_one_broadcast_scalar_no_python(audits):
+    a = audits("retrieval_bm25_topk", execute=True)
+    # postings/query-terms/df joins are equi-joins; the only nested-loop
+    # joins are the SINGLE-ROW scalar attaches (sum(dl) x count(n) and
+    # the avgdl broadcast onto the scored join) — constant-size build
+    # sides, not data-sized; the whole pipeline is JVM-side.
+    assert a.n_python_evals == 0
+    assert a.n_nestedloop_joins <= 4
+    assert a.n_sortmerge_joins == 0
+    assert a.n_codegen_spans >= 1
+
+
+def test_triangles_equi_joins_only(audits):
+    a = audits("graph_triangles_cosupplier", execute=True)
+    # degree orientation keeps every join an equi-join: NO cartesian /
+    # nested-loop anywhere in wedge generation or closure check.
+    assert a.n_nestedloop_joins == 0
+    assert a.n_python_evals == 0
+
+
+def test_span_dedup_jvm_side_single_ngram_agg(audits):
+    a = audits("dedup_ngram_span_removal", execute=True)
+    # tokenize+slide is codegen HOFs (no Python), dup-set is one
+    # groupBy(ngram) agg, islands one window — all JVM-side.
+    assert a.n_python_evals == 0
+    assert a.n_nestedloop_joins == 0
+    assert a.n_codegen_spans >= 1
+
+
+def test_audio_frames_map_only_no_exchange(audits):
+    a = audits("multimodal_audio_frame_features", execute=True)
+    # two mapInPandas stages (attach + features), zero shuffles: features
+    # are computed where the bytes live.
+    assert a.n_exchanges == 0
+    assert a.joins == 0
+
+
+def test_pq_adc_probe_side_broadcasts(audits):
+    a = audits("ann_pq_adc_topk", execute=True)
+    # corpus side never shuffles for the pair join: probes broadcast
+    # (theta join probe_id != cand_id -> BroadcastNestedLoopJoin over the
+    # 8-row probe side is the intended shape); encoding is map-side.
+    assert a.n_python_evals == 0
+    assert a.n_sortmerge_joins == 0
