@@ -329,3 +329,90 @@ SELECT bucket, base_n, cur_n, round(term, 6) AS psi_term,
        sum(term) OVER () > {float(alert_at)!r} AS drifted
 FROM t
 """
+
+
+def mad_outliers(
+    df: DataFrame,
+    key_col: str,
+    val_col: str,
+    id_col: str,
+    z_cut: float = 3.5,
+) -> DataFrame:
+    """Robust per-group outlier flags via the modified z-score
+    (Iglewicz-Hoaglin): rz = 0.6745 * (x - median) / MAD, flagged at
+    |rz| > ``z_cut``. Median/MAD are EXACT interpolated order statistics
+    (the engine-stable statistic — no accumulation order), each rounded
+    1e-6 before use so the derived columns are bit-identical across
+    engines. Degenerate groups (MAD = 0, i.e. >50% of the group at the
+    median) flag nothing — a zero spread gives no outlier scale.
+
+    Scale shape: two grouped exact-percentile aggregations over the same
+    key (the per-group stats tables are group-cardinality-sized and
+    broadcast back onto the fact scan), one map-side projection for the
+    flags. At 100 TB swap `percentile` for `approx_percentile` — same
+    call shape, same plan.
+
+    [ABSENT in reference: SURVEY §2.7 — quality-gate engine extension.]
+    """
+    med = (
+        df.groupBy(key_col)
+        .agg(F.round(F.expr(f"percentile({val_col}, 0.5D)"), 6).alias("_med"))
+    )
+    with_med = df.join(F.broadcast(med), key_col)
+    mad = (
+        with_med.groupBy(key_col)
+        .agg(
+            F.round(
+                F.expr(f"percentile(abs({val_col} - _med), 0.5D)"), 6
+            ).alias("_mad")
+        )
+    )
+    out = with_med.join(F.broadcast(mad), key_col)
+    rz = F.round(
+        F.lit(0.6745) * (F.col(val_col) - F.col("_med")) / F.col("_mad"), 6
+    )
+    return out.select(
+        F.col(id_col),
+        F.col(key_col),
+        F.round(F.col(val_col), 6).alias("value"),
+        F.col("_med").alias("group_median"),
+        F.col("_mad").alias("group_mad"),
+        F.when(F.col("_mad") > 0, rz).otherwise(F.lit(0.0)).alias("robust_z"),
+        F.when(F.col("_mad") > 0, F.abs(rz) > z_cut)
+        .otherwise(F.lit(False))
+        .alias("is_outlier"),
+    )
+
+
+def mad_outliers_sql(
+    table: str,
+    key_col: str,
+    val_col: str,
+    id_col: str,
+    z_cut: float = 3.5,
+) -> str:
+    """DuckDB twin of :func:`mad_outliers` (quantile_cont = Spark's exact
+    interpolated percentile; identical rounding boundaries)."""
+    return f"""
+WITH med AS (
+  SELECT {key_col}, round(quantile_cont({val_col}, 0.5), 6) AS _med
+  FROM {table} GROUP BY {key_col}
+), wm AS (
+  SELECT t.*, m._med FROM {table} t JOIN med m USING ({key_col})
+), mad AS (
+  SELECT {key_col}, round(quantile_cont(abs({val_col} - _med), 0.5), 6) AS _mad
+  FROM wm GROUP BY {key_col}
+)
+SELECT w.{id_col}, w.{key_col},
+       round(w.{val_col}, 6) AS value,
+       w._med AS group_median,
+       d._mad AS group_mad,
+       CASE WHEN d._mad > 0
+            THEN round(0.6745 * (w.{val_col} - w._med) / d._mad, 6)
+            ELSE 0.0 END AS robust_z,
+       CASE WHEN d._mad > 0
+            THEN abs(round(0.6745 * (w.{val_col} - w._med) / d._mad, 6))
+                 > {float(z_cut)!r}
+            ELSE FALSE END AS is_outlier
+FROM wm w JOIN mad d USING ({key_col})
+"""

@@ -123,3 +123,99 @@ def resample_interpolate(
     return filled.select(
         key, "bucket_start", interp.alias(value_col), "filled"
     )
+
+
+EWMA_SCHEMA = "user_id long, event_id long, value double, ewma double"
+
+
+def ewma(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    val_col: str,
+    id_col: str,
+    alpha: float = 0.2,
+) -> DataFrame:
+    """Per-key exponentially-weighted moving average over event time:
+    y_0 = x_0, y_i = (1-α)·y_{i-1} + α·x_i, ties on ``ts_col`` broken by
+    ``id_col``. Output is (key, id, value, ewma) with ewma rounded 1e-6
+    at the boundary only — the recurrence itself runs in raw doubles
+    with EXACTLY the expression shape the DuckDB twin replays
+    ((1-α)*prev + α*x, same op order), so results value-hash.
+
+    Why not a closed-form window expression: the algebraic prefix trick
+    (y_i = α·(1-α)^i · Σ x_j/(1-α)^j) overflows double for series longer
+    than ~700 points at α=0.2 — the recurrence is the numerically honest
+    form. So this is the CUSUM-class sequential operator: batch form
+    here is ONE shuffle (groupBy key) + an Arrow-batched per-group scan
+    (applyInPandas, vectorized sort + tight loop); per-key state is one
+    double, so the streaming twin is applyInPandasWithState exactly like
+    streaming/cusum.py. Keys are independent — 100 TB parallelism is
+    across keys, as for any per-entity recurrence.
+
+    [ABSENT in reference: SURVEY §2.7 — time-series engine extension.]
+    """
+    one_minus = 1.0 - alpha
+
+    def run(pdf):
+        import numpy as np
+        import pandas as pd
+
+        pdf = pdf.sort_values([ts_col, id_col], kind="mergesort")
+        x = pdf[val_col].to_numpy(dtype="float64")
+        y = np.empty_like(x)
+        prev = 0.0
+        for i in range(len(x)):
+            prev = x[i] if i == 0 else one_minus * prev + alpha * x[i]
+            y[i] = prev
+        return pd.DataFrame(
+            {
+                "user_id": pdf[key_col].to_numpy(dtype="int64"),
+                "event_id": pdf[id_col].to_numpy(dtype="int64"),
+                "value": x,
+                "ewma": y,
+            }
+        )
+
+    out = (
+        df.select(key_col, ts_col, val_col, id_col)
+        .groupBy(key_col)
+        .applyInPandas(run, EWMA_SCHEMA)
+    )
+    # Rounding happens JVM-side so the Spark/DuckDB pairing stays the
+    # repo's established HALF_UP round ↔ round (np.round is half-even).
+    return out.select(
+        "user_id",
+        "event_id",
+        F.round("value", 6).alias("value"),
+        F.round("ewma", 6).alias("ewma"),
+    )
+
+
+def ewma_sql(
+    table: str,
+    key_col: str,
+    ts_col: str,
+    val_col: str,
+    id_col: str,
+    alpha: float = 0.2,
+) -> str:
+    """DuckDB twin of :func:`ewma`: the recurrence unrolled as a recursive
+    CTE stepping row_number order, identical float expression shape."""
+    a = float(alpha)
+    return f"""
+WITH RECURSIVE s AS (
+  SELECT {key_col} AS k, {id_col} AS id, {val_col} AS x,
+         row_number() OVER (PARTITION BY {key_col}
+                            ORDER BY {ts_col}, {id_col}) AS rn
+  FROM {table}
+), r AS (
+  SELECT k, id, x, rn, x AS y FROM s WHERE rn = 1
+  UNION ALL
+  SELECT s.k, s.id, s.x, s.rn, ({1.0 - a!r}) * r.y + ({a!r}) * s.x
+  FROM r JOIN s ON s.k = r.k AND s.rn = r.rn + 1
+)
+SELECT k AS user_id, id AS event_id,
+       round(x, 6) AS value, round(y, 6) AS ewma
+FROM r
+"""

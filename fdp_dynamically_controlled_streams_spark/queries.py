@@ -3303,6 +3303,101 @@ def stream_tumbling_agg_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_windowed_topk_replay",
+    """
+WITH mx AS (SELECT max(ts) AS m FROM events),
+counts AS (
+  SELECT date_trunc('hour', ts) AS w_start, event_type,
+         count(*) AS n_events
+    FROM events, mx
+   WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR <= mx.m - INTERVAL 30 MINUTE
+   GROUP BY date_trunc('hour', ts), event_type
+)
+SELECT window_start, event_type, n_events, rnk FROM (
+  SELECT strftime(w_start, '%Y-%m-%d %H:%M:%S') AS window_start,
+         event_type, n_events,
+         row_number() OVER (PARTITION BY w_start
+                            ORDER BY n_events DESC, event_type) AS rnk
+    FROM counts
+) WHERE rnk <= 3
+""",
+    tags=("streaming", "event_time", "window_agg", "topk", "watermark"),
+)
+def stream_windowed_topk_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-window LEADERBOARD on the streaming runtime: top-3 event types
+    per closed hour window, rank assigned ON WINDOW CLOSE. Append-mode
+    watermark finalization emits every group of a closed window in the
+    same micro-batch (the watermark is global), so the rank is computed
+    inside foreachBatch over exactly the finalized rows — no state
+    beyond the windowed counts, no rank retraction, and the batch oracle
+    (closed-window counts + row_number) proves both the counting and
+    the close-then-rank semantics, chunking-invariant."""
+    import tempfile
+
+    from fdp_dynamically_controlled_streams_spark.sources.registry import (
+        cached_fixture,
+        replay_dir,
+        write_replay_chunks_df,
+    )
+
+    events = _t(spark, sf_dir, "events")
+    fix = cached_fixture(
+        "events_ts_value_2chunks",
+        sf_dir,
+        lambda p: write_replay_chunks_df(
+            events.select("event_id", "ts", "event_type", "value"),
+            f"{p}/data",
+            n_chunks=2,
+            order_cols=("ts", "event_id"),
+        ),
+    )
+    tmp = tempfile.mkdtemp(prefix="dcs-wtopk-")
+    stream = replay_dir(
+        spark,
+        f"{fix}/data",
+        "event_id long, ts timestamp, event_type string, value double",
+        files_per_trigger=1,
+    )
+    agg = (
+        stream.withWatermark("ts", "30 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+    out = f"{tmp}/out"
+
+    def rank_on_close(bdf: DataFrame, bid: int) -> None:
+        w = Window.partitionBy("window_start").orderBy(
+            F.col("n_events").desc(), F.col("event_type").asc()
+        )
+        (
+            bdf.withColumn("rnk", F.row_number().over(w))
+            .where(F.col("rnk") <= 3)
+            .write.mode("append")
+            .parquet(out)
+        )
+
+    with _replay_conf(spark, partitions=4):
+        q = (
+            agg.writeStream.outputMode("append")
+            .foreachBatch(rank_on_close)
+            .option("checkpointLocation", f"{tmp}/chk")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    return _read_replay_out(
+        spark,
+        "window_start string, event_type string, n_events long, rnk int",
+        out,
+    ).select("window_start", "event_type", "n_events", "rnk")
+
+
+@query(
     "stream_sliding_agg_replay",
     """
 WITH mx AS (SELECT max(ts) AS m FROM events),
@@ -3923,6 +4018,22 @@ def ts_resample_interp_user_value(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+@query(
+    "ts_ewma_user_value",
+    ts_ops.ewma_sql("events", "user_id", "ts", "value", "event_id", alpha=0.2),
+    tags=("timeseries", "smoothing", "recurrence"),
+)
+def ts_ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user EWMA (α=0.2) over event time — the CUSUM-class sequential
+    recurrence as a smoother: one groupBy(user) shuffle + Arrow-batched
+    per-group recurrence; the closed-form window reformulation is
+    documented-rejected for double overflow past ~700 points
+    (operators/timeseries.py::ewma, oracle = recursive-CTE replay with
+    identical float expression shape)."""
+    ev = _t(spark, sf_dir, "events")
+    return ts_ops.ewma(ev, "user_id", "ts", "value", "event_id", alpha=0.2)
+
+
 from fdp_dynamically_controlled_streams_spark.operators import changepoint as cpt
 
 
@@ -4257,6 +4368,21 @@ def quality_psi_drift_nchars(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_buckets=12,
         alert_at=0.1,
     )
+
+
+@query(
+    "quality_mad_outliers_value",
+    qual.mad_outliers_sql("events", "event_type", "value", "event_id"),
+    tags=("quality", "outliers", "robust"),
+)
+def quality_mad_outliers_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-event-type outlier flags (modified z-score, MAD-based —
+    immune to the outliers it hunts, unlike mean/std): two grouped EXACT
+    interpolated percentiles broadcast back onto the scan, flags map-side
+    (operators/quality.py::mad_outliers). At 100 TB: approx_percentile,
+    same plan shape."""
+    ev = _t(spark, sf_dir, "events")
+    return qual.mad_outliers(ev, "event_type", "value", "event_id")
 
 
 from fdp_dynamically_controlled_streams_spark.operators import funnel as funnel_ops

@@ -140,3 +140,42 @@ def test_k_anonymize_no_released_group_below_k(spark):
     assert all(r.city == "*" and r.sex == "*" for r in null_group)
     big = [r for r in nrel if r.id >= 200]
     assert all(not r.suppressed and r.city == "big" for r in big)
+
+
+# ------------------------------------------------------------ MAD outliers
+
+from fdp_dynamically_controlled_streams_spark.operators.quality import mad_outliers
+
+
+def test_mad_flags_obvious_outlier(spark):
+    rows = [(i, "a", float(v)) for i, v in enumerate([10, 11, 12, 13, 14, 1000])]
+    df = spark.createDataFrame(rows, "event_id long, event_type string, value double")
+    out = {r.event_id: r for r in mad_outliers(df, "event_type", "value", "event_id").collect()}
+    assert out[5].is_outlier
+    assert not any(out[i].is_outlier for i in range(5))
+    # median of [10..14, 1000] = 12.5, MAD = median(|x-12.5|) = 1.5+... sanity:
+    assert out[0].group_median == 12.5
+
+
+def test_mad_zero_spread_flags_nothing(spark):
+    rows = [(i, "b", 5.0) for i in range(6)] + [(9, "b", 9.0)]
+    df = spark.createDataFrame(rows, "event_id long, event_type string, value double")
+    out = mad_outliers(df, "event_type", "value", "event_id").collect()
+    # >50% of the group at the median -> MAD 0 -> no outlier scale
+    assert all(not r.is_outlier for r in out)
+    assert all(r.robust_z == 0.0 for r in out)
+
+
+def test_mad_partition_invariance(spark):
+    rows = [(i, "t" + str(i % 3), float((i * 37) % 100)) for i in range(60)]
+    df = spark.createDataFrame(rows, "event_id long, event_type string, value double")
+    a = sorted(map(tuple, mad_outliers(df, "event_type", "value", "event_id").collect()))
+    b = sorted(
+        map(
+            tuple,
+            mad_outliers(
+                df.repartition(7), "event_type", "value", "event_id"
+            ).collect(),
+        )
+    )
+    assert a == b

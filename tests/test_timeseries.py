@@ -112,3 +112,67 @@ def test_trailing_gaps_carry_forward(spark):
     ff = resample_ffill(df, "k", "ts", "v", unit="day", tie_break="id")
     assert [r.v for r in fi.orderBy("bucket_start").collect()] == [1.0, 2.0, 3.0]
     assert [r.v for r in ff.orderBy("bucket_start").collect()] == [1.0, 1.0, 3.0]
+
+
+# ------------------------------------------------------------------- EWMA
+
+from fdp_dynamically_controlled_streams_spark.operators.timeseries import ewma
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(
+        rows, "user_id long, ts timestamp, value double, event_id long"
+    )
+
+
+def test_ewma_hand_computed(spark):
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, t0, 10.0, 1),
+        (1, t0 + dt.timedelta(hours=1), 20.0, 2),
+        (1, t0 + dt.timedelta(hours=2), 30.0, 3),
+    ]
+    out = {r.event_id: r.ewma for r in ewma(_ev(spark, rows), "user_id", "ts", "value", "event_id", alpha=0.2).collect()}
+    assert out[1] == 10.0
+    assert out[2] == round(0.8 * 10.0 + 0.2 * 20.0, 6)  # 12.0
+    assert out[3] == round(0.8 * 12.0 + 0.2 * 30.0, 6)  # 15.6
+
+
+def test_ewma_singleton_is_identity(spark):
+    import datetime as dt
+
+    rows = [(u, dt.datetime(2024, 1, 1), float(u * 7), u) for u in range(1, 6)]
+    out = ewma(_ev(spark, rows), "user_id", "ts", "value", "event_id").collect()
+    assert all(r.ewma == r.value for r in out)
+
+
+def test_ewma_tie_broken_by_event_id(spark):
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [(1, t0, 100.0, 2), (1, t0, 0.0, 1)]  # same ts: id 1 first
+    out = {r.event_id: r.ewma for r in ewma(_ev(spark, rows), "user_id", "ts", "value", "event_id", alpha=0.5).collect()}
+    assert out[1] == 0.0
+    assert out[2] == 50.0
+
+
+def test_ewma_partition_invariance(spark):
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (u, t0 + dt.timedelta(minutes=i), float((i * u * 13) % 50), i)
+        for u in range(1, 4)
+        for i in range(40)
+    ]
+    df = _ev(spark, rows)
+    a = sorted(map(tuple, ewma(df, "user_id", "ts", "value", "event_id").collect()))
+    b = sorted(
+        map(
+            tuple,
+            ewma(df.repartition(9), "user_id", "ts", "value", "event_id").collect(),
+        )
+    )
+    assert a == b
