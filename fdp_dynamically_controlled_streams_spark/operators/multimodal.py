@@ -1482,3 +1482,37 @@ def audio_frame_features(media: DataFrame, frame_size: int = 32) -> DataFrame:
     return media.select("media_id", "content").mapInPandas(
         run, AUDIO_FRAME_SCHEMA
     )
+
+
+def attach_fake_video(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Derive a deterministic fake VIDEO per row (2 + id%3 frames of
+    (6 + id%4) x (4 + id%3) x 3, frame f seeded id*1000 + f) — the input
+    side of the frame-sample/resize pipeline entry."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            blobs = [
+                encode_fake_video(
+                    2 + int(i) % 3, 6 + int(i) % 4, 4 + int(i) % 3, 3, seed=int(i)
+                )
+                for i in ids
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "content": blobs,
+                    "content_type": ["application/x-dcsv"] * len(ids),
+                    "n_bytes": [len(b) for b in blobs],
+                }
+            )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("content", T.BinaryType()),
+            T.StructField("content_type", T.StringType()),
+            T.StructField("n_bytes", T.LongType()),
+        ]
+    )
+    return docs.select(id_col).mapInPandas(gen, out_schema)

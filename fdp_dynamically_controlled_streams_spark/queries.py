@@ -2239,6 +2239,69 @@ def multimodal_real_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.decode_media_real(mm.attach_real_media(docs))
 
 
+# Video pipeline: attach fake video -> frame_sample(every 2nd) ->
+# nearest-neighbor resize to 4x3 -> decode/feature. The oracle replays
+# each SAMPLED frame's LCG byte stream and applies the identical integer
+# nearest-neighbor index map ((y*h)//3, (x*w)//4), so equality proves the
+# sampling stride, the resize arithmetic, and the integer mean.
+_VIDEO_PIPELINE_ORACLE = """
+WITH RECURSIVE vids AS (
+  SELECT CAST(doc_id AS BIGINT) AS m,
+         2 + doc_id % 3 AS nf,
+         CAST(6 + doc_id % 4 AS BIGINT) AS w,
+         CAST(4 + doc_id % 3 AS BIGINT) AS h
+  FROM documents
+), fr AS (
+  SELECT m, w, h, f, w * h * 3 AS n,
+         ((m * 1000 + f) * 2654435761 + 12345) % 4294967296 AS x0
+  FROM vids, UNNEST(generate_series(0, nf - 1, 2)) AS t(f)
+), lcg AS (
+  SELECT m, f, n, CAST(0 AS BIGINT) AS i, x0 AS x, CAST(0 AS BIGINT) AS b
+  FROM fr
+  UNION ALL
+  SELECT m, f, n, i + 1, (x * 1103515245 + 12345) % 4294967296,
+         (((x * 1103515245 + 12345) % 4294967296) // 65536) % 256
+  FROM lcg WHERE i < n
+), grid AS (
+  SELECT m, f,
+         (((y * h) // 3) * w + ((x * w) // 4)) * 3 + ch + 1 AS idx
+  FROM fr,
+       UNNEST(generate_series(0, 2)) AS gy(y),
+       UNNEST(generate_series(0, 3)) AS gx(x),
+       UNNEST(generate_series(0, 2)) AS gc(ch)
+), sel AS (
+  SELECT g.m, g.f, l.b
+  FROM grid g JOIN lcg l ON l.m = g.m AND l.f = g.f AND l.i = g.idx
+)
+SELECT m AS media_id, 'application/x-dcsm' AS content_type,
+       CAST(4 AS INT) AS width, CAST(3 AS INT) AS height,
+       CAST(3 AS INT) AS channels,
+       CAST(sum(b) * 1000000 // 36 AS DOUBLE) / 1000000 AS mean_intensity,
+       TRUE AS ok
+FROM sel GROUP BY m, f
+"""
+
+
+@query(
+    "multimodal_video_pipeline",
+    _VIDEO_PIPELINE_ORACLE,
+    tags=("multimodal", "video", "resize", "frame_sample"),
+)
+def multimodal_video_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed video pipeline the charter names: frame-sample (every
+    2nd frame, one video row fanning out to k image rows) -> nearest-
+    neighbor resize to 4x3 -> decode/feature — three chained mapInPandas
+    stages, zero shuffles, frames never leave the partition that holds
+    the video bytes (operators/multimodal.py frame_sample/resize_media).
+    The oracle replays sampled frames byte-exactly including the integer
+    resize index map."""
+    from fdp_dynamically_controlled_streams_spark.operators import multimodal as mm
+
+    docs = _t(spark, sf_dir, "documents")
+    sampled = mm.frame_sample(mm.attach_fake_video(docs), every_nth=2)
+    return mm.decode_media(mm.resize_media(sampled, 4, 3))
+
+
 # Audio feature extraction: the oracle replays the WAV byte stream (the
 # same per-byte LCG the encoder used, two bytes -> one int16 LE sample)
 # inside a recursive CTE, then aggregates 32-sample frames — so equality
@@ -4257,6 +4320,71 @@ def privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").alias("sum_chars"),
     ).select("lang", "source", "n_docs", "sum_chars", "suppressed")
+
+
+@query(
+    "stream_ewma_replay",
+    ts_ops.ewma_sql("events", "user_id", "ts", "value", "event_id", alpha=0.2),
+    tags=("streaming", "stateful", "smoothing"),
+)
+def stream_ewma_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key EWMA on the STREAMING runtime (applyInPandasWithState, one
+    double of state per key): the recurrence is inherently sequential, so
+    carrying y across micro-batches executes the IDENTICAL op sequence as
+    the batch loop — the entry shares the batch entry's recursive-CTE
+    oracle bit-for-bit, proving batch boundaries introduce zero drift
+    (streaming/ewma.py)."""
+    import tempfile
+
+    from fdp_dynamically_controlled_streams_spark.sources.registry import (
+        cached_fixture,
+        replay_dir,
+        write_replay_chunks_df,
+    )
+    from fdp_dynamically_controlled_streams_spark.streaming.ewma import (
+        ewma_streaming,
+    )
+
+    events = _t(spark, sf_dir, "events")
+    fix = cached_fixture(
+        "events_user_value_2chunks",
+        sf_dir,
+        lambda p: write_replay_chunks_df(
+            events.select("user_id", "ts", "event_id", "value"),
+            f"{p}/data",
+            n_chunks=2,
+            order_cols=("ts", "event_id"),
+        ),
+    )
+    tmp = tempfile.mkdtemp(prefix="dcs-ewma-")
+    stream = replay_dir(
+        spark,
+        f"{fix}/data",
+        "user_id long, ts timestamp, event_id long, value double",
+        files_per_trigger=1,
+    )
+    smoothed = ewma_streaming(stream, alpha=0.2)
+    out = f"{tmp}/out"
+    # Python-heavy stateful op: same knee as the CUSUM replay (16 parts).
+    with _replay_conf(spark, partitions=16):
+        q = (
+            smoothed.writeStream.outputMode("append")
+            .foreachBatch(lambda bdf, bid: bdf.write.mode("append").parquet(out))
+            .option("checkpointLocation", f"{tmp}/chk")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    return _read_replay_out(
+        spark,
+        "user_id long, event_id long, value double, ewma double",
+        out,
+    ).select(
+        "user_id",
+        "event_id",
+        F.round("value", 6).alias("value"),
+        F.round("ewma", 6).alias("ewma"),
+    )
 
 
 @query(
