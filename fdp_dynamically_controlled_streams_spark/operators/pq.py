@@ -277,3 +277,196 @@ SELECT probe_id, cand_id, adc_dist, rank FROM (
   FROM pair
 ) WHERE rank <= {k_nn}
 """
+
+
+def ivf_pq_topk(
+    embeddings: DataFrame,
+    probe_ids: list[int],
+    k_nn: int = 5,
+    n_cells: int = 8,
+    n_probe: int = 2,
+    m: int = 4,
+    k_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ — the production ANN composition (FAISS's IndexIVFPQ shape):
+    the IVF coarse quantizer restricts each probe to its ``n_probe``
+    closest cells (pruning: only ~n_probe/n_cells of the corpus is
+    touched), and PQ-ADC scores the surviving candidates with m integer
+    lookups each (compression: the scored side reads 2-byte codes).
+
+    At 100 TB this is the only tier whose cost is sub-linear in BOTH
+    candidates touched AND bytes per candidate; the corpus at rest is
+    partitioned by cell with the code column bucketed alongside, so a
+    probe reads n_probe directories of 2-byte codes. The coarse stage
+    reuses :func:`similarity.ivf_partition` verbatim (cosine argmax to
+    fixed-id centroids, the oracle-checkable stand-in for a trained
+    coarse quantizer); the fine stage reuses this module's trained
+    codebooks. Returns (probe_id, cand_id, adc_dist, rank)."""
+    from fdp_dynamically_controlled_streams_spark.operators.similarity import (
+        ivf_partition,
+    )
+
+    assigned, probe_cells = ivf_partition(
+        embeddings, probe_ids, n_cells, n_probe, id_col, vec_col
+    )
+    cbs = pq_train(embeddings, m=m, k=k_codes, id_col=id_col, vec_col=vec_col)
+    sub = len(cbs[0][0])
+    base = embeddings.select(
+        F.col(id_col).alias("id"),
+        F.expr(_subs_expr(vec_col, m, sub)).alias("subs"),
+    ).withColumn("cb", F.lit(cbs))
+    enc = base.select(
+        F.col("id").alias("cand_id"),
+        F.expr(
+            f"transform(sequence(0, {m - 1}), s ->"
+            f" CAST(array_position("
+            f"   transform(element_at(cb, s + 1),"
+            f"             c -> {_sq_dist_expr('element_at(subs, s + 1)', 'c')}),"
+            f"   array_min(transform(element_at(cb, s + 1),"
+            f"             c -> {_sq_dist_expr('element_at(subs, s + 1)', 'c')}))"
+            f" ) - 1 AS INT))"
+        ).alias("codes"),
+    )
+    probes = base.where(F.col("id").isin(probe_ids)).select(
+        F.col("id").alias("probe_id"),
+        F.expr(
+            f"transform(sequence(0, {m - 1}), s ->"
+            f" transform(element_at(cb, s + 1), c ->"
+            f"   CAST(round(round({_sq_dist_expr('element_at(subs, s + 1)', 'c')}, 6)"
+            f"        * 1000000, 0) AS BIGINT)))"
+        ).alias("dtab"),
+    )
+    # candidate set: corpus rows in the probe's probed cells only
+    cand = (
+        F.broadcast(probe_cells.select("probe_id", "cell"))
+        .join(assigned.select("cand_id", "cell"), "cell")
+        .where(F.col("probe_id") != F.col("cand_id"))
+        .select("probe_id", "cand_id")
+    )
+    pairs = (
+        cand.join(F.broadcast(probes), "probe_id")
+        .join(enc, "cand_id")
+        .select(
+            "probe_id",
+            "cand_id",
+            F.expr(
+                f"aggregate(sequence(0, {m - 1}), CAST(0 AS BIGINT),"
+                f" (acc, s) -> acc + element_at(element_at(dtab, s + 1),"
+                f"                              element_at(codes, s + 1) + 1))"
+            ).alias("dist_micro"),
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("dist_micro").asc(), F.col("cand_id").asc()
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k_nn)
+        .select(
+            "probe_id",
+            "cand_id",
+            (F.col("dist_micro") / F.lit(1000000.0)).alias("adc_dist"),
+            "rank",
+        )
+    )
+
+
+def ivf_pq_topk_sql(
+    probe_list: str,
+    cosine_sql_fn,
+    k_nn: int = 5,
+    n_cells: int = 8,
+    n_probe: int = 2,
+    m: int = 4,
+    k_codes: int = 16,
+    dim: int = 64,
+    table: str = "embeddings",
+) -> str:
+    """DuckDB twin of :func:`ivf_pq_topk`: the IVF cell CTEs (identical to
+    the ann_ivf_topk oracle) feed the PQ CTEs (identical to the
+    ann_pq_adc_topk oracle); ``cosine_sql_fn(a, b)`` renders the repo's
+    shared cosine expression."""
+    sub = dim // m
+    d2 = (
+        "list_reduce(list_transform(list_zip({a}, {b}),"
+        " p -> (p[1] - p[2]) * (p[1] - p[2])), (acc, v) -> acc + v)"
+    )
+    return f"""
+WITH cent AS (
+  SELECT vec_id AS cid, embedding AS cvec FROM {table} WHERE vec_id < {n_cells}
+), assign0 AS (
+  SELECT cand_id, cid, s,
+         row_number() OVER (PARTITION BY cand_id ORDER BY s DESC, cid) AS rk
+  FROM (
+    SELECT e.vec_id AS cand_id, c.cid,
+           {cosine_sql_fn("e.embedding", "c.cvec")} AS s
+    FROM {table} e CROSS JOIN cent c
+  )
+), cells AS (
+  SELECT cand_id, cid AS cell FROM assign0 WHERE rk = 1
+), probe_cells AS (
+  SELECT cand_id AS probe_id, cid AS cell
+  FROM assign0 WHERE cand_id IN ({probe_list}) AND rk <= {n_probe}
+), subv AS (
+  SELECT vec_id, s,
+         list_transform(embedding[s * {sub} + 1 : s * {sub} + {sub}],
+                        x -> CAST(x AS DOUBLE)) AS sv
+  FROM {table}, UNNEST(generate_series(0, {m - 1})) AS t(s)
+), seed AS (
+  SELECT s, CAST(vec_id AS INT) AS j,
+         list_transform(sv, x -> round(x, 6)) AS c
+  FROM subv WHERE vec_id < {k_codes}
+), a0 AS (
+  SELECT vec_id, s, sv, j AS code FROM (
+    SELECT sb.vec_id, sb.s, sb.sv, sd.j,
+           row_number() OVER (PARTITION BY sb.vec_id, sb.s
+                              ORDER BY {d2.format(a="sb.sv", b="sd.c")}, sd.j)
+             AS rk
+    FROM subv sb JOIN seed sd ON sd.s = sb.s
+  ) WHERE rk = 1
+), m1 AS (
+  SELECT s, code, ord, round(avg(v), 6) AS mv FROM (
+    SELECT s, code, generate_subscripts(sv, 1) AS ord, unnest(sv) AS v
+    FROM a0
+  ) GROUP BY s, code, ord
+), cb1 AS (
+  SELECT sd.s, sd.j,
+         CASE WHEN count(m1.mv) = 0 THEN sd.c
+              ELSE list(m1.mv ORDER BY m1.ord) END AS c
+  FROM seed sd LEFT JOIN m1 ON m1.s = sd.s AND m1.code = sd.j
+  GROUP BY sd.s, sd.j, sd.c
+), enc AS (
+  SELECT vec_id, s, j AS code FROM (
+    SELECT sb.vec_id, sb.s, cb.j,
+           row_number() OVER (PARTITION BY sb.vec_id, sb.s
+                              ORDER BY {d2.format(a="sb.sv", b="cb.c")}, cb.j)
+             AS rk
+    FROM subv sb JOIN cb1 cb ON cb.s = sb.s
+  ) WHERE rk = 1
+), dt AS (
+  SELECT sb.vec_id AS probe_id, sb.s, cb.j,
+         CAST(round(round({d2.format(a="sb.sv", b="cb.c")}, 6) * 1000000, 0)
+              AS BIGINT) AS dm
+  FROM subv sb JOIN cb1 cb ON cb.s = sb.s
+  WHERE sb.vec_id IN ({probe_list})
+), cand AS (
+  SELECT p.probe_id, c.cand_id
+  FROM probe_cells p JOIN cells c ON c.cell = p.cell
+  WHERE c.cand_id <> p.probe_id
+), pair AS (
+  SELECT cd.probe_id, cd.cand_id, sum(dt.dm) AS dist_micro
+  FROM cand cd
+  JOIN enc ON enc.vec_id = cd.cand_id
+  JOIN dt ON dt.probe_id = cd.probe_id AND dt.s = enc.s AND dt.j = enc.code
+  GROUP BY cd.probe_id, cd.cand_id
+)
+SELECT probe_id, cand_id, adc_dist, rank FROM (
+  SELECT probe_id, cand_id,
+         row_number() OVER (PARTITION BY probe_id
+                            ORDER BY dist_micro ASC, cand_id ASC) AS rank,
+         dist_micro / 1000000.0 AS adc_dist
+  FROM pair
+) WHERE rank <= {k_nn}
+"""

@@ -416,3 +416,55 @@ SELECT w.{id_col}, w.{key_col},
             ELSE FALSE END AS is_outlier
 FROM wm w JOIN mad d USING ({key_col})
 """
+
+
+def l_diversity_report(
+    df: DataFrame,
+    quasi_cols: list[str],
+    sensitive_col: str,
+    l_min: int = 2,
+) -> DataFrame:
+    """Distinct l-diversity audit — the companion gate to
+    :func:`k_anonymize`: k-anonymity bounds group SIZE, but a group whose
+    sensitive attribute is constant still leaks it; this reports, per
+    quasi-identifier group, the row count and the number of DISTINCT
+    sensitive values, flagging groups below ``l_min``. NULL sensitive
+    values don't count toward diversity (count(DISTINCT) skips NULL in
+    both engines); NULL quasi values form their own group (GROUP BY
+    null-equality, identical in both engines).
+
+    Scale shape: ONE groupBy with map-side partial aggregation — the
+    output is group-cardinality-sized. Release gating then joins this
+    table back exactly like k_anonymize's suppression join.
+
+    [ABSENT in reference: SURVEY §2.7 — governance engine extension.]
+    """
+    return (
+        df.groupBy(*quasi_cols)
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct(sensitive_col).alias("n_distinct_sensitive"),
+        )
+        .select(
+            *quasi_cols,
+            "n_rows",
+            "n_distinct_sensitive",
+            (F.col("n_distinct_sensitive") >= l_min).alias("diverse"),
+        )
+    )
+
+
+def l_diversity_sql(
+    table: str,
+    quasi_cols: list[str],
+    sensitive_col: str,
+    l_min: int = 2,
+) -> str:
+    """DuckDB twin of :func:`l_diversity_report`."""
+    q = ", ".join(quasi_cols)
+    return f"""
+SELECT {q}, count(*) AS n_rows,
+       count(DISTINCT {sensitive_col}) AS n_distinct_sensitive,
+       count(DISTINCT {sensitive_col}) >= {l_min} AS diverse
+FROM {table} GROUP BY {q}
+"""

@@ -126,6 +126,40 @@ def ivf_topk(
     Ties (equal cosine to two centroids) break to the lowest centroid id in
     both engines (array_position = first occurrence; SQL orders by cid).
     """
+    assigned, probe_cells = ivf_partition(
+        embeddings, probe_ids, n_cells, n_probe, id_col, vec_col
+    )
+    scored = (
+        F.broadcast(probe_cells)
+        .join(assigned, "cell")
+        .where(F.col("probe_id") != F.col("cand_id"))
+        .select(
+            "probe_id",
+            "cand_id",
+            F.round(cosine(F.col("probe_vec"), F.col("cand_vec")), 6).alias("score"),
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.desc("score"), F.asc("cand_id"))
+    return (
+        scored.select("*", F.row_number().over(w).alias("rank"))
+        .where(F.col("rank") <= k)
+        .select("probe_id", "cand_id", "score", "rank")
+    )
+
+
+def ivf_partition(
+    embeddings: DataFrame,
+    probe_ids: list[int],
+    n_cells: int = 8,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """The coarse-quantizer stage of IVF, shared by :func:`ivf_topk` and
+    the IVF-PQ composition (operators/pq.py::ivf_pq_topk): returns
+    (assigned, probe_cells) where `assigned` is the corpus with its cell
+    id (map-side argmax against ONE centroid-matrix literal) and
+    `probe_cells` the n_probe closest cells per probe."""
     cents = sorted(
         embeddings.where(F.col(id_col) < n_cells)
         .select(id_col, vec_col)
@@ -177,22 +211,7 @@ def ivf_topk(
         .where(F.col("_prk") <= n_probe)
         .select("probe_id", "probe_vec", "cell")
     )
-    scored = (
-        F.broadcast(probe_cells)
-        .join(assigned, "cell")
-        .where(F.col("probe_id") != F.col("cand_id"))
-        .select(
-            "probe_id",
-            "cand_id",
-            F.round(cosine(F.col("probe_vec"), F.col("cand_vec")), 6).alias("score"),
-        )
-    )
-    w = Window.partitionBy("probe_id").orderBy(F.desc("score"), F.asc("cand_id"))
-    return (
-        scored.select("*", F.row_number().over(w).alias("rank"))
-        .where(F.col("rank") <= k)
-        .select("probe_id", "cand_id", "score", "rank")
-    )
+    return assigned, probe_cells
 
 
 def recall_report(

@@ -1420,6 +1420,34 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_ops.pq_adc_topk(e, _PROBE_IDS, k_nn=5, m=4, k_codes=16)
 
 
+@query(
+    "ann_ivf_pq_topk",
+    pq_ops.ivf_pq_topk_sql(
+        _PROBE_LIST,
+        cosine_sql,
+        k_nn=5,
+        n_cells=_IVF_CELLS,
+        n_probe=_IVF_PROBE,
+        m=4,
+        k_codes=16,
+        dim=64,
+    ),
+    tags=("similarity", "ann", "ivf", "pq"),
+)
+def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ — the production composition (FAISS IndexIVFPQ shape): the
+    coarse quantizer prunes each probe to its 2 closest of 8 cells, PQ-
+    ADC scores the survivors with 4 integer lookups each. Sub-linear in
+    BOTH candidates touched and bytes per candidate — at rest the corpus
+    is cell-partitioned 2-byte codes (operators/pq.py::ivf_pq_topk;
+    coarse stage shared verbatim with ann_ivf_topk via ivf_partition)."""
+    e = _t(spark, sf_dir, "embeddings")
+    return pq_ops.ivf_pq_topk(
+        e, _PROBE_IDS, k_nn=5, n_cells=_IVF_CELLS, n_probe=_IVF_PROBE,
+        m=4, k_codes=16,
+    )
+
+
 @query("ann_lsh_bucketed_topk", _ANN_LSH_SQL, tags=("similarity", "ann", "lsh"))
 def ann_lsh_bucketed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-5: candidates restricted to the probe's sign-LSH bucket
@@ -4496,6 +4524,21 @@ def quality_psi_drift_nchars(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_buckets=12,
         alert_at=0.1,
     )
+
+
+@query(
+    "privacy_l_diversity",
+    qual.l_diversity_sql("documents", ["lang", "source"], "n_chars", l_min=3),
+    tags=("quality", "privacy", "governance"),
+)
+def privacy_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct l-diversity audit (l=3) over (lang, source) quasi-groups
+    with n_chars as the sensitive attribute — the companion gate to
+    privacy_k_anonymity: size-k groups with a constant sensitive value
+    still leak. One map-side-combinable groupBy
+    (operators/quality.py::l_diversity_report)."""
+    d = _t(spark, sf_dir, "documents")
+    return qual.l_diversity_report(d, ["lang", "source"], "n_chars", l_min=3)
 
 
 @query(

@@ -404,3 +404,12 @@ def test_pq_adc_probe_side_broadcasts(audits):
     # 8-row probe side is the intended shape); encoding is map-side.
     assert a.n_python_evals == 0
     assert a.n_sortmerge_joins == 0
+
+
+def test_ivf_pq_prunes_and_broadcasts(audits):
+    a = audits("ann_ivf_pq_topk", execute=True)
+    # coarse stage + probe-cell candidate join broadcast the probe side;
+    # encoding/assignment are map-side; no sort-merge shuffle of the
+    # corpus anywhere.
+    assert a.n_python_evals == 0
+    assert a.n_sortmerge_joins == 0

@@ -179,3 +179,35 @@ def test_mad_partition_invariance(spark):
         )
     )
     assert a == b
+
+
+# ------------------------------------------------------------ l-diversity
+
+from fdp_dynamically_controlled_streams_spark.operators.quality import (
+    l_diversity_report,
+)
+
+
+def test_l_diversity_flags_constant_sensitive_group(spark):
+    rows = [
+        ("en", "web", 100),
+        ("en", "web", 100),
+        ("en", "web", 100),
+        ("de", "web", 10),
+        ("de", "web", 20),
+        ("de", "web", 30),
+    ]
+    df = spark.createDataFrame(rows, "lang string, source string, n_chars int")
+    out = {(r.lang, r.source): r for r in l_diversity_report(df, ["lang", "source"], "n_chars", l_min=2).collect()}
+    assert not out[("en", "web")].diverse  # constant sensitive value
+    assert out[("en", "web")].n_distinct_sensitive == 1
+    assert out[("de", "web")].diverse
+
+
+def test_l_diversity_null_sensitive_not_counted(spark):
+    rows = [("en", "web", None), ("en", "web", None), ("en", "web", 5)]
+    df = spark.createDataFrame(rows, "lang string, source string, n_chars int")
+    r = l_diversity_report(df, ["lang", "source"], "n_chars", l_min=2).collect()[0]
+    assert r.n_rows == 3
+    assert r.n_distinct_sensitive == 1
+    assert not r.diverse
