@@ -57,6 +57,12 @@ PROBE_ENTRIES = [
     "stream_sliding_agg_replay",
     "stream_cms_counters_replay",
     "streaming_dedup_replay",
+    # round-7 additions: the new heavyweights join the fixed set so the
+    # trend line stays complete as the catalog grows
+    "dedup_ngram_span_removal",
+    "retrieval_bm25_topk",
+    "graph_triangles_cosupplier",
+    "stream_ewma_replay",
 ]
 
 _ALPHA = "abcdefghijklmnopqrstuvwxyz"

@@ -39,6 +39,14 @@ PRICIEST = [
     "curation_pipeline_end_to_end",
     "streaming_dedup_replay",
     "ann_ivf_topk",
+    # round-7 additions heavy enough to matter at the bench SF
+    "dedup_ngram_span_removal",
+    "retrieval_bm25_topk",
+    "graph_triangles_cosupplier",
+    "stream_ewma_replay",
+    "stream_windowed_topk_replay",
+    "ts_ewma_user_value",
+    "quality_mad_outliers_value",
 ]
 
 pytestmark = pytest.mark.skipif(
