@@ -169,6 +169,11 @@ def triangles(
 
     [ABSENT in reference: SURVEY §2.7 — engine extension.]
     """
+    # Materialize the canonical edge set once: it is referenced by the
+    # degree agg, both orientation joins, and the closure check — without
+    # the cut Spark re-executes the (possibly expensive) upstream edge
+    # GENERATION once per reference (measured 4x on the co-supplier
+    # entry). Edge-set-sized, same class of cut as pagerank's.
     canon = (
         edges.select(
             F.least(F.col(u_col), F.col(v_col)).cast("long").alias("a"),
@@ -176,6 +181,7 @@ def triangles(
         )
         .where(F.col("a") != F.col("b"))
         .distinct()
+        .localCheckpoint()
     )
     deg = (
         canon.select(F.col("a").alias("node"))
@@ -189,6 +195,8 @@ def triangles(
     lower_first = (F.col("deg_a") < F.col("deg_b")) | (
         (F.col("deg_a") == F.col("deg_b")) & (F.col("a") < F.col("b"))
     )
+    # Same cut for the oriented set: it feeds both sides of the wedge
+    # self-join (o1/o2 would otherwise each re-run canon ⋈ deg ⋈ deg).
     oriented = (
         canon.join(da, "a")
         .join(db, "b")
@@ -196,6 +204,7 @@ def triangles(
             F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias("src"),
             F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("dst"),
         )
+        .localCheckpoint()
     )
     o1 = oriented.select(F.col("src").alias("apex"), F.col("dst").alias("x"))
     o2 = oriented.select(F.col("src").alias("apex"), F.col("dst").alias("y"))

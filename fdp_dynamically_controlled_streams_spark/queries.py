@@ -1588,10 +1588,24 @@ def graph_pagerank_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gph.pagerank(edges, n_iter=3)
 
 
+# Data-relative sparsification: keep only supplier pairs whose
+# co-occurrence count reaches the corpus average (a lift-style
+# significance filter). A raw co-purchase graph GROWS DENSE with data
+# volume — at the bench SF every supplier pair shares some order and the
+# wedge space goes n^3; thresholding at avg(c) keeps the edge set sized
+# by the distribution's shape, not the row count (measured: sf0.1 wedge
+# candidates 1.6e8 -> 2.9e7; sf1 edge set identical to sf0.1 under the
+# shape-preserving replication — flat scaling). The threshold is an
+# exact cross-engine scalar: integer co-occurrence sums / integer count.
 _COSUPPLIER_EDGES_SQL = """
-SELECT CAST(x.l_suppkey AS BIGINT) AS u, CAST(y.l_suppkey AS BIGINT) AS v
-FROM lineitem x JOIN lineitem y
-  ON x.l_orderkey = y.l_orderkey AND x.l_suppkey < y.l_suppkey
+WITH pair AS (
+  SELECT CAST(x.l_suppkey AS BIGINT) AS u, CAST(y.l_suppkey AS BIGINT) AS v,
+         count(*) AS c
+  FROM lineitem x JOIN lineitem y
+    ON x.l_orderkey = y.l_orderkey AND x.l_suppkey < y.l_suppkey
+  GROUP BY 1, 2
+), th AS (SELECT avg(c) AS th FROM pair)
+SELECT u, v FROM pair, th WHERE c >= th
 """
 
 
@@ -1602,22 +1616,31 @@ FROM lineitem x JOIN lineitem y
 )
 def graph_triangles_cosupplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-node triangle count + local clustering coefficient over the
-    co-supplier graph (suppliers sharing an order). Edge generation is
-    per-order blocked (self-join on l_orderkey — group size is order
-    width, never corpus size); counting uses DEGREE ORIENTATION so the
-    wedge join is bounded m^1.5 even on a power-law graph, and each
-    triangle is found exactly once at its (deg,id)-minimum apex
-    (operators/graph.py::triangles). Integer counts end-to-end."""
+    SIGNIFICANT co-supplier graph (pairs sharing >= avg co-occurrence —
+    see _COSUPPLIER_EDGES_SQL for why a raw co-purchase graph densifies
+    with volume and must be lift-thresholded at scale). Edge generation
+    is per-order blocked + one pair groupBy; counting uses DEGREE
+    ORIENTATION so the wedge join is bounded m^1.5, each triangle found
+    exactly once at its (deg,id)-minimum apex
+    (operators/graph.py::triangles). Integer counts end-to-end; the
+    avg threshold is a broadcast one-row scalar."""
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     x = li.alias("x")
     y = li.alias("y")
-    edges = (
+    pair = (
         x.join(y, "l_orderkey")
         .where(F.col("x.l_suppkey") < F.col("y.l_suppkey"))
-        .select(
+        .groupBy(
             F.col("x.l_suppkey").cast("long").alias("u"),
             F.col("y.l_suppkey").cast("long").alias("v"),
         )
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    th = pair.agg(F.avg("c").alias("th"))
+    edges = (
+        pair.crossJoin(F.broadcast(th))
+        .where(F.col("c") >= F.col("th"))
+        .select("u", "v")
     )
     return gph.triangles(edges)
 
@@ -3959,13 +3982,13 @@ from fdp_dynamically_controlled_streams_spark.operators import retrieval as retr
 @query(
     "retrieval_bm25_topk",
     retr_ops.bm25_topk_sql(
-        "documents", query_pred="doc_id % 50 = 0", k=10, max_df_frac=1.0
+        "documents", query_pred="doc_id % 100 = 0", k=10, max_df_frac=1.0
     ),
     tags=("text", "retrieval", "bm25"),
 )
 def retrieval_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 top-10 retrieval (k1=1.2, b=0.75) for a deterministic query
-    panel (every 50th doc) against the corpus via ONE postings ⋈
+    panel (every 100th doc) against the corpus via ONE postings ⋈
     query-terms join — candidates bounded by shared terms with a
     df <= N/2 stop-term cap, never query x corpus; per-term
     contributions integerized to micro-units before the order-
@@ -3976,7 +3999,7 @@ def retrieval_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     has a 31-word vocabulary where every term tops the natural-language
     0.5 default."""
     docs = _t(spark, sf_dir, "documents")
-    qdocs = docs.where(F.col("doc_id") % 50 == 0)
+    qdocs = docs.where(F.col("doc_id") % 100 == 0)
     return retr_ops.bm25_topk(docs, qdocs, k=10, max_df_frac=1.0)
 
 
