@@ -616,6 +616,333 @@ def subquery_acctbal_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "join_volume_shipping_q7",
+    """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS BIGINT) AS l_year,
+       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(18,4))) AS DOUBLE), 2) AS revenue
+  FROM lineitem
+       JOIN orders   ON o_orderkey = l_orderkey
+       JOIN customer ON c_custkey = o_custkey
+       JOIN supplier ON s_suppkey = l_suppkey
+       JOIN nation n1 ON s_nationkey = n1.n_nationkey
+       JOIN nation n2 ON c_nationkey = n2.n_nationkey
+ WHERE n1.n_name IN ('NATION_1', 'NATION_2', 'NATION_3')
+   AND n2.n_name IN ('NATION_1', 'NATION_2', 'NATION_3')
+   AND n1.n_name <> n2.n_name
+ GROUP BY supp_nation, cust_nation, l_year
+""",
+    tags=("join", "agg", "tpch"),
+)
+def join_volume_shipping_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: volume shipped between distinct nations of a small
+    clique, by ship year (every ordered pair kept, like Q7's two
+    directions). The cross-nation predicate lives on two broadcast nation
+    dims (aliased twice), so lineitem/orders shuffle only on l_orderkey —
+    the nation filter prunes rows before the fact join's output grows. At
+    100 TB the nation dim is tiny and every pair resolves map-side."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    clique = ["NATION_1", "NATION_2", "NATION_3"]
+    pair = (
+        F.col("supp_nation").isin(clique)
+        & F.col("cust_nation").isin(clique)
+        & (F.col("supp_nation") != F.col("cust_nation"))
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n1), s.s_nationkey == F.col("n1_key"))
+        .join(F.broadcast(n2), c.c_nationkey == F.col("n2_key"))
+        .where(pair)
+        .groupBy(
+            "supp_nation", "cust_nation",
+            F.year("l_shipdate").cast("bigint").alias("l_year"),
+        )
+        .agg(
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice").cast("decimal(18,4)")
+                    * (F.lit(1) - F.col("l_discount")).cast("decimal(18,4)")
+                ).cast("double"),
+                2,
+            ).alias("revenue")
+        )
+    )
+
+
+@query(
+    "join_product_profit_q9",
+    """
+SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_profit
+  FROM lineitem
+       JOIN part     ON p_partkey = l_partkey
+       JOIN supplier ON s_suppkey = l_suppkey
+       JOIN orders   ON o_orderkey = l_orderkey
+       JOIN nation   ON s_nationkey = n_nationkey
+ WHERE p_name LIKE '%red%'
+ GROUP BY n_name, year(o_orderdate)
+""",
+    tags=("join", "agg", "tpch"),
+)
+def join_product_profit_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (product-type profit by nation and year; no partsupp
+    table in the fixture, so profit is the discounted revenue term). The
+    selective p_name LIKE filter rides a broadcast of part, pruning
+    lineitem BEFORE the orders join — the only shuffle left is
+    l_orderkey. A substring LIKE can't push to parquet row-group stats,
+    but the broadcast-hash-join probe discards non-matching rows at scan
+    speed, which is the right 100 TB plan."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").where(F.col("p_name").like("%red%"))
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+        )
+        .agg(
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice").cast("decimal(18,4)")
+                    * (F.lit(1) - F.col("l_discount")).cast("decimal(18,4)")
+                ).cast("double"),
+                2,
+            ).alias("sum_profit")
+        )
+    )
+
+
+@query(
+    "agg_promo_revenue_q14",
+    """
+SELECT round(100.0 * promo / total, 6) AS promo_pct,
+       round(promo, 2) AS promo_revenue, round(total, 2) AS total_revenue
+FROM (
+  SELECT CAST(sum(CASE WHEN p_type = 'PROMO'
+                       THEN CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(18,4))
+                       ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) AS promo,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(18,4))) AS DOUBLE) AS total
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+   WHERE l_shipdate >= DATE '1997-09-01' AND l_shipdate < DATE '1997-10-01'
+)
+""",
+    tags=("agg", "tpch"),
+)
+def agg_promo_revenue_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: promo-revenue share for one ship month —
+    conditional aggregation over a date-bounded fact slice. The date range
+    pushes to the parquet scan (min/max row-group pruning at 100 TB with
+    date-partitioned layout); part broadcasts; both sums are exact
+    DECIMAL before ONE representable-double division (IEEE-identical in
+    both engines), so the ratio is hash-stable."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-09-01").cast("date"))
+        & (F.col("l_shipdate") < F.lit("1997-10-01").cast("date"))
+    )
+    p = _t(spark, sf_dir, "part")
+    rev = (
+        F.col("l_extendedprice").cast("decimal(18,4)")
+        * (F.lit(1) - F.col("l_discount")).cast("decimal(18,4)")
+    )
+    agg = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            F.sum(
+                F.when(F.col("p_type") == "PROMO", rev).otherwise(
+                    F.lit(0).cast("decimal(18,4)")
+                )
+            )
+            .cast("double")
+            .alias("promo"),
+            F.sum(rev).cast("double").alias("total"),
+        )
+    )
+    return agg.select(
+        F.round(F.lit(100.0) * F.col("promo") / F.col("total"), 6).alias("promo_pct"),
+        F.round("promo", 2).alias("promo_revenue"),
+        F.round("total", 2).alias("total_revenue"),
+    )
+
+
+@query(
+    "subquery_small_qty_revenue_q17",
+    """
+SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / 7.0, 2) AS avg_yearly
+  FROM lineitem
+       JOIN part ON p_partkey = l_partkey
+       JOIN (SELECT l_partkey AS a_partkey,
+                    0.2 * (CAST(sum(l_quantity) AS DOUBLE) / count(*)) AS qty_threshold
+               FROM lineitem GROUP BY l_partkey) pa
+         ON a_partkey = l_partkey
+ WHERE p_brand = 'Brand#23' AND p_size < 10
+   AND l_quantity < qty_threshold
+""",
+    tags=("join", "subquery", "scalar", "tpch"),
+)
+def subquery_small_qty_revenue_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17's correlated scalar subquery (revenue lost to
+    small-quantity orders: l_quantity < 0.2 * per-part average).
+    Spark-first REFORMULATION: the per-row correlated AVG becomes ONE
+    per-part aggregation joined back — a single lineitem shuffle on
+    l_partkey instead of a rescan per probe row. Quantities are integral
+    doubles, so sum/count is exact in any order and 0.2*avg is the same
+    IEEE double in both engines — the strict < can't straddle. The oracle
+    spells the identical operation order."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").where(
+        (F.col("p_brand") == "Brand#23") & (F.col("p_size") < 10)
+    )
+    per_part = li.groupBy(F.col("l_partkey").alias("a_partkey")).agg(
+        (
+            F.lit(0.2)
+            * (F.sum("l_quantity").cast("double") / F.count(F.lit(1)))
+        ).alias("qty_threshold")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(per_part, li.l_partkey == F.col("a_partkey"))
+        .where(F.col("l_quantity") < F.col("qty_threshold"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(18,4)")).cast("double")
+                / F.lit(7.0),
+                2,
+            ).alias("avg_yearly")
+        )
+    )
+
+
+@query(
+    "join_disjunctive_quantity_q19",
+    """
+SELECT p_brand,
+       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(18,4))) AS DOUBLE), 2) AS revenue,
+       count(*) AS n_lines
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+ WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1  AND 20)
+    OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 20 AND l_quantity BETWEEN 10 AND 30)
+    OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 20 AND 40)
+ GROUP BY p_brand
+""",
+    tags=("join", "filter", "tpch"),
+)
+def join_disjunctive_quantity_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: a three-arm disjunction mixing predicates from BOTH
+    join sides. Catalyst keeps the p_partkey equi-join and derives
+    single-table residuals from the OR (the brand/size union pushes to the
+    part scan, the quantity range union to lineitem) — the disjunction
+    never forces a nested-loop join. Grouped by brand so each arm's
+    contribution is separately hash-checked."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    arm = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 20)
+            & F.col("l_quantity").between(10, 30)
+        )
+        | (
+            (F.col("p_brand") == "Brand#34")
+            & F.col("p_size").between(1, 25)
+            & F.col("l_quantity").between(20, 40)
+        )
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .where(arm)
+        .groupBy("p_brand")
+        .agg(
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice").cast("decimal(18,4)")
+                    * (F.lit(1) - F.col("l_discount")).cast("decimal(18,4)")
+                ).cast("double"),
+                2,
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@query(
+    "join_excess_inventory_q20",
+    """
+SELECT s_suppkey, s_name, n_name
+  FROM supplier
+       JOIN nation ON s_nationkey = n_nationkey
+ WHERE EXISTS (
+     SELECT 1
+       FROM (SELECT l_partkey, l_suppkey, CAST(sum(l_quantity) AS BIGINT) AS supp_qty
+               FROM lineitem JOIN part ON p_partkey = l_partkey
+              WHERE p_name LIKE 'small%'
+              GROUP BY l_partkey, l_suppkey) ps
+            JOIN (SELECT l_partkey AS t_partkey, CAST(sum(l_quantity) AS BIGINT) AS part_qty
+                    FROM lineitem JOIN part ON p_partkey = l_partkey
+                   WHERE p_name LIKE 'small%'
+                   GROUP BY l_partkey) pt
+              ON l_partkey = t_partkey
+      WHERE ps.l_suppkey = s_suppkey AND supp_qty * 10 > part_qty)
+""",
+    tags=("join", "subquery", "semi", "tpch"),
+)
+def join_excess_inventory_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20's nested-aggregate semi-join shape (no partsupp table in
+    the fixture, so availqty becomes shipped quantity: suppliers who
+    shipped >10% of a 'small%' part's total volume). The per-(part,supp)
+    and per-part aggregates both come from ONE filtered lineitem⋈part
+    slice computed once, joined on l_partkey where the first agg already
+    partitioned — AQE coalesces the reused exchange. The 10% test is
+    exact-integer (qty*10 > total, quantities integral) so no float
+    straddle; the qualifying supplier set then LEFT-SEMI joins the
+    supplier dim (nation broadcast for the label)."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").where(F.col("p_name").like("small%"))
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    sliced = li.join(F.broadcast(p), li.l_partkey == p.p_partkey).select(
+        "l_partkey", "l_suppkey", "l_quantity"
+    )
+    per_ps = sliced.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum("l_quantity").cast("bigint").alias("supp_qty")
+    )
+    per_part = sliced.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
+        F.sum("l_quantity").cast("bigint").alias("part_qty")
+    )
+    excess = (
+        per_ps.join(per_part, F.col("l_partkey") == F.col("t_partkey"))
+        .where(F.col("supp_qty") * 10 > F.col("part_qty"))
+        .select("l_suppkey")
+    )
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(excess, s.s_suppkey == excess.l_suppkey, "left_semi")
+        .select("s_suppkey", "s_name", "n_name")
+    )
+
+
 # =========================================================================
 # 3. Window functions / sorts / top-k (SURVEY §2.7)
 # =========================================================================
