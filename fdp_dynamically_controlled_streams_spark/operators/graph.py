@@ -238,6 +238,118 @@ def triangles(
     )
 
 
+def bfs_hops(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_hops: int = 3,
+    u_col: str = "u",
+    v_col: str = "v",
+    seed_col: str = "node",
+) -> DataFrame:
+    """Multi-source BFS hop distance over an undirected edge list: every
+    node reachable from the seed set within ``max_hops`` gets the exact
+    hop count of its shortest path (seeds themselves at hop 0; unreachable
+    nodes are absent). Returns (node, hop).
+
+    Scale shape — frontier-parallel BFS, the textbook Pregel iteration as
+    three DataFrame ops per level: frontier ⋈ edges on the node key (both
+    sides shuffle on the same key each round — co-partitioned at 100 TB),
+    one DISTINCT on the candidate set, one LEFT-ANTI join against the
+    visited set. The driver never sees node data; the only per-round
+    scalar is the frontier-empty check (one bounded count, the same
+    control-only class as pagerank's dangling mass). Hop numbers are
+    exact integers, so the result value-hashes against the unrolled SQL
+    twin at any partitioning. Rounds are capped by ``max_hops`` — at
+    100 TB you bound the neighborhood you actually need (k-hop ego nets,
+    blast-radius queries) instead of running to the graph's diameter;
+    ``localCheckpoint`` cuts lineage so late rounds don't replay early
+    ones.
+
+    [ABSENT in reference: SURVEY §2.7 — engine extension.]
+    """
+    sym = (
+        edges.select(
+            F.col(u_col).cast("long").alias("src"),
+            F.col(v_col).cast("long").alias("dst"),
+        )
+        .union(
+            edges.select(
+                F.col(v_col).cast("long").alias("src"),
+                F.col(u_col).cast("long").alias("dst"),
+            )
+        )
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint()
+    )
+    visited = (
+        seeds.select(F.col(seed_col).cast("long").alias("node"))
+        .distinct()
+        .select("node", F.lit(0).cast("int").alias("hop"))
+        .localCheckpoint()
+    )
+    frontier = visited.select("node")
+    for i in range(1, max_hops + 1):
+        cand = (
+            frontier.join(sym, frontier.node == sym.src)
+            .select(F.col("dst").alias("node"))
+            .distinct()
+        )
+        new = (
+            cand.join(visited, "node", "left_anti")
+            .select("node", F.lit(i).cast("int").alias("hop"))
+            .localCheckpoint()
+        )
+        visited = visited.union(new).localCheckpoint()
+        frontier = new.select("node")
+        # bounded driver scalar: stop early once the frontier drains (the
+        # unrolled oracle is invariant to this — empty levels add nothing)
+        if new.isEmpty():
+            break
+    return visited
+
+
+def bfs_hops_oracle_sql(
+    edges_sql: str,
+    seeds_sql: str,
+    max_hops: int = 3,
+) -> str:
+    """DuckDB twin of :func:`bfs_hops`: levels unrolled as CTE chains.
+    ``edges_sql`` must yield (u, v) integer columns, ``seeds_sql`` a
+    ``node`` integer column."""
+    parts = [
+        f"edges AS ({edges_sql})",
+        "sym AS (SELECT DISTINCT src, dst FROM ("
+        "  SELECT CAST(u AS BIGINT) AS src, CAST(v AS BIGINT) AS dst FROM edges"
+        "  UNION ALL SELECT CAST(v AS BIGINT), CAST(u AS BIGINT) FROM edges)"
+        " WHERE src <> dst)",
+        f"v_0 AS (SELECT DISTINCT CAST(node AS BIGINT) AS node, 0 AS hop"
+        f" FROM ({seeds_sql}))",
+        "f_0 AS (SELECT node FROM v_0)",
+    ]
+    for i in range(1, max_hops + 1):
+        parts.append(
+            f"""n_{i} AS (
+  SELECT DISTINCT s.dst AS node
+  FROM f_{i - 1} f JOIN sym s ON s.src = f.node)"""
+        )
+        parts.append(
+            f"""new_{i} AS (
+  SELECT n.node, {i} AS hop
+  FROM n_{i} n LEFT JOIN v_{i - 1} v ON v.node = n.node
+  WHERE v.node IS NULL)"""
+        )
+        parts.append(
+            f"v_{i} AS (SELECT * FROM v_{i - 1} UNION ALL SELECT * FROM new_{i})"
+        )
+        parts.append(f"f_{i} AS (SELECT node FROM new_{i})")
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"\nSELECT node, hop FROM v_{max_hops}"
+    )
+
+
 def triangles_oracle_sql(edges_sql: str) -> str:
     """DuckDB twin of :func:`triangles`; ``edges_sql`` must yield (u, v)
     integer columns (undirected, any orientation)."""

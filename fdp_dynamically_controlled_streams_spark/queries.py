@@ -1972,6 +1972,51 @@ def graph_triangles_cosupplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gph.triangles(edges)
 
 
+_BFS_SEEDS_SQL = """
+SELECT CAST(s_suppkey AS BIGINT) AS node FROM supplier WHERE s_nationkey < 8
+"""
+
+
+@query(
+    "graph_bfs_supplier_reach",
+    gph.bfs_hops_oracle_sql(_COSUPPLIER_EDGES_SQL, _BFS_SEEDS_SQL, max_hops=3),
+    tags=("graph", "iterative", "bfs"),
+)
+def graph_bfs_supplier_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS hop distances (3-hop ego net / blast radius) over
+    the significant co-supplier graph, seeded by a nation-range supplier set.
+    Frontier-parallel Pregel shape: per level one co-partitioned
+    frontier⋈edges join, one DISTINCT, one LEFT-ANTI against visited
+    (operators/graph.py::bfs_hops); exact integer hops hash at any
+    partitioning and the unrolled CTE twin replays the levels. The edge
+    set reuses the lift-thresholded co-supplier graph (see
+    _COSUPPLIER_EDGES_SQL — raw co-purchase graphs densify with volume)."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    x = li.alias("x")
+    y = li.alias("y")
+    pair = (
+        x.join(y, "l_orderkey")
+        .where(F.col("x.l_suppkey") < F.col("y.l_suppkey"))
+        .groupBy(
+            F.col("x.l_suppkey").cast("long").alias("u"),
+            F.col("y.l_suppkey").cast("long").alias("v"),
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    th = pair.agg(F.avg("c").alias("th"))
+    edges = (
+        pair.crossJoin(F.broadcast(th))
+        .where(F.col("c") >= F.col("th"))
+        .select("u", "v")
+    )
+    seeds = (
+        _t(spark, sf_dir, "supplier")
+        .where(F.col("s_nationkey") < 8)
+        .select(F.col("s_suppkey").cast("long").alias("node"))
+    )
+    return gph.bfs_hops(edges, seeds, max_hops=3)
+
+
 @query(
     "kmeans_document_clusters",
     clu.kmeans_oracle_sql(k=4, n_iter=2),
@@ -5781,6 +5826,54 @@ def source_format_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = out.unionByName(p)
     return out.groupBy("fmt", "event_type").agg(
         F.count(F.lit(1)).alias("n"), _dsum(F.col("value")).alias("total_value")
+    )
+
+
+@query(
+    "source_xml_roundtrip",
+    """
+SELECT event_type, count(*) AS n,
+       round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 2) AS total_value,
+       count(DISTINCT user_id) AS n_users
+  FROM events
+ GROUP BY event_type
+""",
+    tags=("sources", "formats", "xml"),
+)
+def source_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native XML source/sink round-trip — Spark 4 ships the former
+    spark-xml package in-core (SPARK-44265), completing the file-format
+    surface beyond SURVEY §2.1's list. Events are written as one
+    <event> element per row, read back through sources.registry with an
+    explicit schema (schema inference over XML is a second full scan —
+    never at 100 TB), and aggregated; doubles survive the text format via
+    shortest-round-trip repr, so the parquet-sourced oracle must hash
+    exactly. XML files split per row-tag across tasks like any text
+    source, so the path scales with input files."""
+    import tempfile
+
+    from fdp_dynamically_controlled_streams_spark.sources import registry as reg
+
+    e = _t(spark, sf_dir, "events").select("event_type", "value", "user_id")
+    tmp = tempfile.mkdtemp(prefix="dcs-xml-")
+    (
+        e.write.mode("overwrite")
+        .format("xml")
+        .option("rootTag", "events")
+        .option("rowTag", "event")
+        .save(f"{tmp}/xml")
+    )
+    back = reg.read_batch(
+        spark,
+        "xml",
+        f"{tmp}/xml",
+        schema="event_type string, value double, user_id bigint",
+        rowTag="event",
+    )
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        _dsum(F.col("value")).alias("total_value"),
+        F.countDistinct("user_id").alias("n_users"),
     )
 
 

@@ -104,3 +104,65 @@ def test_triangles_partition_invariance(spark):
         for r in triangles(df).collect()
     }
     assert a == b
+
+
+# ---------------------------------------------------------------- bfs_hops
+
+from fdp_dynamically_controlled_streams_spark.operators.graph import bfs_hops
+
+
+def _bfs(spark, edges, seeds, max_hops=3):
+    e = spark.createDataFrame(edges, "u long, v long")
+    s = spark.createDataFrame([(x,) for x in seeds], "node long")
+    return {r.node: r.hop for r in bfs_hops(e, s, max_hops=max_hops).collect()}
+
+
+def test_bfs_path_graph_exact_hops(spark):
+    # path 0-1-2-3-4-5, seed 0, 3 hops: nodes 0..3 at hops 0..3; 4,5 absent
+    edges = [(i, i + 1) for i in range(5)]
+    got = _bfs(spark, edges, [0], max_hops=3)
+    assert got == {0: 0, 1: 1, 2: 2, 3: 3}
+
+
+def test_bfs_multi_source_takes_min_hop(spark):
+    # seeds at both ends of a 5-path: middle node is 2 from either end
+    edges = [(i, i + 1) for i in range(4)]
+    got = _bfs(spark, edges, [0, 4], max_hops=4)
+    assert got == {0: 0, 4: 0, 1: 1, 3: 1, 2: 2}
+
+
+def test_bfs_unreachable_component_absent(spark):
+    edges = [(0, 1), (10, 11)]
+    got = _bfs(spark, edges, [0], max_hops=3)
+    assert got == {0: 0, 1: 1}
+
+
+def test_bfs_undirected_both_orientations(spark):
+    # edge stored as (2, 1) still walks 1 -> 2
+    got = _bfs(spark, [(2, 1)], [1], max_hops=1)
+    assert got == {1: 0, 2: 1}
+
+
+def test_bfs_seed_not_in_graph_kept_at_hop_zero(spark):
+    got = _bfs(spark, [(0, 1)], [0, 42], max_hops=2)
+    assert got == {0: 0, 42: 0, 1: 1}
+
+
+def test_bfs_duplicate_edges_and_seeds_collapse(spark):
+    got = _bfs(spark, [(0, 1), (0, 1), (1, 0)], [0, 0], max_hops=2)
+    assert got == {0: 0, 1: 1}
+
+
+def test_bfs_partition_invariance(spark):
+    edges = [(i, (i * 5 + 2) % 17) for i in range(17)]
+    a = _bfs(spark, edges, [0], max_hops=3)
+    e = spark.createDataFrame(edges, "u long, v long").repartition(13)
+    s = spark.createDataFrame([(0,)], "node long")
+    b = {r.node: r.hop for r in bfs_hops(e, s, max_hops=3).collect()}
+    assert a == b
+
+
+def test_bfs_early_exit_matches_deep_cap(spark):
+    # graph exhausts at hop 2; a much larger cap must not change output
+    edges = [(0, 1), (1, 2)]
+    assert _bfs(spark, edges, [0], max_hops=2) == _bfs(spark, edges, [0], max_hops=9)
