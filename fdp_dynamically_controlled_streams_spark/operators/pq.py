@@ -470,3 +470,97 @@ SELECT probe_id, cand_id, adc_dist, rank FROM (
   FROM pair
 ) WHERE rank <= {k_nn}
 """
+
+
+def ivf_pq_rerank_topk(
+    embeddings: DataFrame,
+    probe_ids: list[int],
+    k_nn: int = 5,
+    shortlist: int = 20,
+    n_cells: int = 8,
+    n_probe: int = 2,
+    m: int = 4,
+    k_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Two-stage retrieval — the standard production ANN serving shape:
+    IVF-PQ ADC produces a cheap ``shortlist`` of candidates per probe
+    (2-byte codes, integer lookups), then ONLY those shortlist rows are
+    re-scored with the exact full-precision cosine and the final top-k
+    is taken on the exact score.
+
+    Why this is the 100 TB shape: the expensive exact kernel (dim-wide
+    dot product against full float vectors) runs on shortlist x probes
+    rows — thousands, not the corpus — while the corpus-sized stage
+    touches only cell-pruned compressed codes. Recall comes from the
+    shortlist being a few times k; precision of the final ranking is
+    exact by construction. The full-vector fetch is an equi-join on
+    cand_id against the at-rest corpus (id-bucketed => shuffle-free).
+
+    Returns (probe_id, cand_id, score, rank) — same schema as
+    ``brute_force_topk``, so recall vs the exact tier is directly
+    comparable."""
+    short = ivf_pq_topk(
+        embeddings, probe_ids, k_nn=shortlist, n_cells=n_cells,
+        n_probe=n_probe, m=m, k_codes=k_codes, id_col=id_col, vec_col=vec_col,
+    ).select("probe_id", "cand_id")
+    from fdp_dynamically_controlled_streams_spark.functions.vectors import cosine
+
+    probes = embeddings.where(F.col(id_col).isin(probe_ids)).select(
+        F.col(id_col).alias("probe_id"), F.col(vec_col).alias("probe_vec")
+    )
+    corpus = embeddings.select(
+        F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cand_vec")
+    )
+    scored = (
+        short.join(F.broadcast(probes), "probe_id")
+        .join(corpus, "cand_id")
+        .select(
+            "probe_id",
+            "cand_id",
+            F.round(cosine(F.col("probe_vec"), F.col("cand_vec")), 6).alias("score"),
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.desc("score"), F.asc("cand_id"))
+    return (
+        scored.select("*", F.row_number().over(w).alias("rank"))
+        .where(F.col("rank") <= k_nn)
+        .select("probe_id", "cand_id", "score", "rank")
+    )
+
+
+def ivf_pq_rerank_topk_sql(
+    probe_list: str,
+    cosine_sql_fn,
+    k_nn: int = 5,
+    shortlist: int = 20,
+    n_cells: int = 8,
+    n_probe: int = 2,
+    m: int = 4,
+    k_codes: int = 16,
+    dim: int = 64,
+    table: str = "embeddings",
+) -> str:
+    """DuckDB twin of :func:`ivf_pq_rerank_topk`: the full IVF-PQ oracle
+    (at shortlist depth) as a CTE, exact-cosine re-scoring on top."""
+    inner = ivf_pq_topk_sql(
+        probe_list, cosine_sql_fn, k_nn=shortlist, n_cells=n_cells,
+        n_probe=n_probe, m=m, k_codes=k_codes, dim=dim, table=table,
+    )
+    return f"""
+WITH short AS (SELECT probe_id, cand_id FROM ({inner}) x),
+rescored AS (
+  SELECT s.probe_id, s.cand_id,
+         round({cosine_sql_fn("p.embedding", "c.embedding")}, 6) AS score
+  FROM short s
+  JOIN {table} p ON p.vec_id = s.probe_id
+  JOIN {table} c ON c.vec_id = s.cand_id
+)
+SELECT probe_id, cand_id, score, rank FROM (
+  SELECT probe_id, cand_id, score,
+         row_number() OVER (PARTITION BY probe_id
+                            ORDER BY score DESC, cand_id ASC) AS rank
+  FROM rescored
+) WHERE rank <= {k_nn}
+"""

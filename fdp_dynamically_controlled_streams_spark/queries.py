@@ -1775,6 +1775,36 @@ def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "ann_ivf_pq_rerank_topk",
+    pq_ops.ivf_pq_rerank_topk_sql(
+        _PROBE_LIST,
+        cosine_sql,
+        k_nn=5,
+        shortlist=20,
+        n_cells=_IVF_CELLS,
+        n_probe=_IVF_PROBE,
+        m=4,
+        k_codes=16,
+        dim=64,
+    ),
+    tags=("similarity", "ann", "ivf", "pq", "rerank"),
+)
+def ann_ivf_pq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage retrieval (the production serving shape): IVF-PQ ADC
+    shortlists 20 candidates per probe from cell-pruned 2-byte codes,
+    then ONLY the shortlist is re-scored with the exact full-precision
+    cosine and the final top-5 ranks on the exact score
+    (operators/pq.py::ivf_pq_rerank_topk). The dim-wide kernel runs on
+    shortlist-sized data; the corpus-sized stage never touches a float
+    vector — sub-linear bytes AND exact final ordering."""
+    e = _t(spark, sf_dir, "embeddings")
+    return pq_ops.ivf_pq_rerank_topk(
+        e, _PROBE_IDS, k_nn=5, shortlist=20, n_cells=_IVF_CELLS,
+        n_probe=_IVF_PROBE, m=4, k_codes=16,
+    )
+
+
 @query("ann_lsh_bucketed_topk", _ANN_LSH_SQL, tags=("similarity", "ann", "lsh"))
 def ann_lsh_bucketed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-5: candidates restricted to the probe's sign-LSH bucket

@@ -83,3 +83,53 @@ def test_pq_dim_not_divisible_raises(spark):
         assert "divisible" in str(e)
     else:
         raise AssertionError("expected ValueError")
+
+
+# ------------------------------------------------------------- rerank tier
+
+from fdp_dynamically_controlled_streams_spark.operators.pq import (
+    ivf_pq_rerank_topk,
+    ivf_pq_topk,
+)
+from fdp_dynamically_controlled_streams_spark.operators.similarity import (
+    brute_force_topk,
+)
+
+
+def test_rerank_output_is_subset_of_shortlist(spark):
+    df = _emb(spark, _blobs(48, 16), 16)
+    kw = dict(n_cells=4, n_probe=2, m=4, k_codes=8)
+    short = {
+        (r.probe_id, r.cand_id)
+        for r in ivf_pq_topk(df, [0, 1], k_nn=12, **kw).collect()
+    }
+    got = ivf_pq_rerank_topk(df, [0, 1], k_nn=4, shortlist=12, **kw).collect()
+    assert got and all((r.probe_id, r.cand_id) in short for r in got)
+
+
+def test_rerank_without_pruning_equals_brute_force(spark):
+    # n_probe = n_cells (no cell pruning) + corpus-deep shortlist: the
+    # exact rerank must reproduce brute force bit-for-bit
+    df = _emb(spark, _blobs(40, 16), 16)
+    got = sorted(
+        map(
+            tuple,
+            ivf_pq_rerank_topk(
+                df, [0, 1], k_nn=5, shortlist=39, n_cells=4, n_probe=4,
+                m=4, k_codes=8,
+            ).collect(),
+        )
+    )
+    exact = sorted(map(tuple, brute_force_topk(df, [0, 1], k=5).collect()))
+    assert got == exact
+
+
+def test_rerank_scores_exact_and_monotone(spark):
+    df = _emb(spark, _blobs(48, 16), 16)
+    out = ivf_pq_rerank_topk(
+        df, [0], k_nn=6, shortlist=12, n_cells=4, n_probe=2, m=4, k_codes=8
+    ).collect()
+    by_rank = sorted(out, key=lambda r: r.rank)
+    scores = [r.score for r in by_rank]
+    assert scores == sorted(scores, reverse=True)
+    assert [r.rank for r in by_rank] == list(range(1, len(out) + 1))
