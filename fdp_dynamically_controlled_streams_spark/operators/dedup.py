@@ -525,3 +525,86 @@ SELECT b.id AS {id_col}, b.n_ngrams,
             ELSE 0.0 END AS dup_fraction
 FROM base b LEFT JOIN per_doc p ON p.id = b.id
 """
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    k: int = 4,
+    n_iter: int = 2,
+    threshold: float = 0.3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 0,
+) -> DataFrame:
+    """SemDeDup-shape semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): k-means clusters act as SEMANTIC BLOCKS, pairwise
+    cosine runs only within a cluster, and of any near-duplicate pair the
+    lower id is kept. Returns (id, cell, keep) for every input row.
+
+    Scale shape: clustering is the repo's deterministic k-means
+    (operators/clustering.py — map-side assignment from one broadcast
+    centroid literal), so the blocking pass adds NO shuffle beyond the
+    k×dim centroid agg; the pair join shuffles once on the cell key and
+    expands only within blocks — the paper's point is exactly that
+    cluster-blocking makes embedding dedup sub-quadratic (at 100 TB, k
+    grows with the corpus to keep E[cluster]² bounded, and the corpus is
+    written cell-partitioned so re-runs are shuffle-free). The keep rule
+    is pairwise lowest-id-wins (one boolean per row, no transitive
+    closure) — chain-transitive clustering is `connected_components`'s
+    job if needed downstream; determinism comes from the 1e-6-rounded
+    cosine and exact id compare, so the result value-hashes against the
+    unrolled SQL twin."""
+    from fdp_dynamically_controlled_streams_spark.functions.vectors import cosine
+    from fdp_dynamically_controlled_streams_spark.operators.clustering import (
+        kmeans_assign,
+    )
+
+    assigned = kmeans_assign(
+        embeddings, k=k, n_iter=n_iter, id_col=id_col, vec_col=vec_col, seed=seed
+    ).select(F.col(id_col).alias("id"), "cell")
+    vecs = embeddings.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
+    )
+    base = assigned.join(vecs, "id").localCheckpoint()  # reused 3x below
+    a = base.select("cell", F.col("id").alias("ia"), F.col("vec").alias("va"))
+    b = base.select("cell", F.col("id").alias("ib"), F.col("vec").alias("vb"))
+    dup_ids = (
+        a.join(b, "cell")
+        .where(F.col("ia") < F.col("ib"))
+        .where(F.round(cosine(F.col("va"), F.col("vb")), 6) >= threshold)
+        .select(F.col("ib").alias("id"))
+        .distinct()
+    )
+    return (
+        base.join(dup_ids.withColumn("_dup", F.lit(True)), "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            "cell",
+            F.col("_dup").isNull().alias("keep"),
+        )
+    )
+
+
+def semantic_dedup_sql(
+    kmeans_sql: str,
+    cosine_sql_fn,
+    threshold: float = 0.3,
+    table: str = "embeddings",
+) -> str:
+    """DuckDB twin of :func:`semantic_dedup`; ``kmeans_sql`` is the full
+    kmeans_oracle_sql text (nested as a CTE), ``cosine_sql_fn(a, b)``
+    renders the shared cosine expression."""
+    return f"""
+WITH assign AS ({kmeans_sql}),
+v AS (
+  SELECT a.vec_id AS id, a.cell, e.embedding AS vec
+  FROM assign a JOIN {table} e ON e.vec_id = a.vec_id
+),
+dup AS (
+  SELECT DISTINCT b.id
+  FROM v a JOIN v b ON a.cell = b.cell AND a.id < b.id
+  WHERE round({cosine_sql_fn("a.vec", "b.vec")}, 6) >= {threshold}
+)
+SELECT v.id AS vec_id, v.cell, (d.id IS NULL) AS keep
+FROM v LEFT JOIN dup d ON d.id = v.id
+"""

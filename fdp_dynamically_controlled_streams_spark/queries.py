@@ -2065,6 +2065,26 @@ def kmeans_document_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clu.kmeans_assign(_t(spark, sf_dir, "embeddings"), k=4, n_iter=2)
 
 
+@query(
+    "dedup_semantic_clusters",
+    dedup_ops.semantic_dedup_sql(
+        clu.kmeans_oracle_sql(k=4, n_iter=2), cosine_sql, threshold=0.3
+    ),
+    tags=("dedup", "similarity", "clustering", "semantic"),
+)
+def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-shape semantic dedup (arXiv:2303.09540): deterministic
+    k-means clusters as semantic blocks, within-cluster cosine >= 0.3
+    marks the higher id of each near-pair as a duplicate — cluster-
+    blocking is what makes embedding dedup sub-quadratic at corpus scale
+    (operators/dedup.py::semantic_dedup; clustering stage shared verbatim
+    with kmeans_document_clusters). Returns per-row (vec_id, cell, keep)
+    — the curation-pipeline decision column."""
+    return dedup_ops.semantic_dedup(
+        _t(spark, sf_dir, "embeddings"), k=4, n_iter=2, threshold=0.3
+    )
+
+
 # =========================================================================
 # 9. Text analysis (charter extension) — operators/text.py
 # =========================================================================

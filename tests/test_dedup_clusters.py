@@ -92,3 +92,57 @@ def test_simhash_hamming_band_blocking_is_complete(spark):
             .collect()
         )
         assert banded == brute, (bits, radius)
+
+
+# ------------------------------------------------------- semantic dedup
+
+from fdp_dynamically_controlled_streams_spark.operators.dedup import semantic_dedup
+
+
+def _sem(spark, rows, dim=8, **kw):
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id long, embedding array<float>",
+    )
+    return {r.vec_id: (r.cell, r.keep) for r in semantic_dedup(df, **kw).collect()}
+
+
+def _axis(n, dim=8):
+    # orthogonal-ish rows: one hot dim per id (mutual cosine 0)
+    return [(i, [1.0 if d == i % dim else 0.0 for d in range(dim)]) for i in range(n)]
+
+
+def test_semantic_exact_duplicate_drops_higher_id(spark):
+    rows = _axis(6)
+    rows.append((99, rows[0][1]))  # exact duplicate of id 0
+    got = _sem(spark, rows, k=2, threshold=0.9)
+    assert got[0][1] is True and got[99][1] is False
+    # same semantic block by construction
+    assert got[0][0] == got[99][0]
+
+
+def test_semantic_orthogonal_rows_all_kept(spark):
+    got = _sem(spark, _axis(8), k=2, threshold=0.5)
+    assert all(keep for _, keep in got.values())
+    assert len(got) == 8
+
+
+def test_semantic_every_row_reported_once(spark):
+    rows = _axis(10)
+    rows[7] = (7, rows[3][1])
+    got = _sem(spark, rows, k=3, threshold=0.9)
+    assert sorted(got) == sorted(r[0] for r in rows)
+
+
+def test_semantic_partition_invariance(spark):
+    rows = _axis(12)
+    rows[11] = (11, rows[1][1])
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id long, embedding array<float>",
+    )
+    a = sorted(map(tuple, semantic_dedup(df, k=3, threshold=0.9).collect()))
+    b = sorted(
+        map(tuple, semantic_dedup(df.repartition(7), k=3, threshold=0.9).collect())
+    )
+    assert a == b
