@@ -364,6 +364,80 @@ def agg_corr_covar_price_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "agg_spearman_spend_orders",
+    """
+WITH per_cust AS (
+  SELECT c_nationkey AS nation, c_custkey,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS spend,
+         count(*) AS n_orders
+    FROM customer JOIN orders ON o_custkey = c_custkey
+   GROUP BY c_nationkey, c_custkey
+),
+ranked AS (
+  SELECT nation,
+         row_number() OVER (PARTITION BY nation ORDER BY spend, c_custkey) AS rx,
+         row_number() OVER (PARTITION BY nation ORDER BY n_orders, c_custkey) AS ry
+    FROM per_cust
+)
+SELECT nation, count(*) AS n,
+       round(1.0 - (6.0 * CAST(sum((rx - ry) * (rx - ry)) AS DOUBLE))
+                   / (CAST(count(*) AS DOUBLE)
+                      * (CAST(count(*) AS DOUBLE) * count(*) - 1)), 6)
+         AS spearman_rho
+  FROM ranked
+ GROUP BY nation
+HAVING count(*) > 1
+""",
+    tags=("agg", "stats", "window"),
+)
+def agg_spearman_spend_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation (spend vs order count per customer, by
+    nation) via the EXACT closed form 1 - 6Σd²/(n(n²-1)): ranks are
+    integer row_numbers with a deterministic (metric, custkey) tie-break,
+    Σd² is an order-independent bigint sum, and the ONE double division
+    is IEEE-identical in both engines — no float accumulation anywhere,
+    unlike the naive corr-of-ranks. Scale shape: one per-customer
+    aggregation shuffle, two windows over the SAME nation partitioning
+    (one exchange, no global sort — ranking inside groups is the
+    distributed-rank-correlation pattern; a single global Spearman would
+    need a range-partitioned global sort instead), one final groupBy."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .groupBy(F.col("c_nationkey").alias("nation"), "c_custkey")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("spend"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+    wx = Window.partitionBy("nation").orderBy("spend", "c_custkey")
+    wy = Window.partitionBy("nation").orderBy("n_orders", "c_custkey")
+    ranked = per_cust.select(
+        "nation",
+        F.row_number().over(wx).alias("rx"),
+        F.row_number().over(wy).alias("ry"),
+    )
+    d2 = (F.col("rx") - F.col("ry")) * (F.col("rx") - F.col("ry"))
+    n = F.count(F.lit(1))
+    return (
+        ranked.groupBy("nation")
+        .agg(
+            n.alias("n"),
+            F.round(
+                F.lit(1.0)
+                - (F.lit(6.0) * F.sum(d2).cast("double"))
+                / (n.cast("double") * (n.cast("double") * n - F.lit(1))),
+                6,
+            ).alias("spearman_rho"),
+        )
+        .where(F.col("n") > 1)
+    )
+
+
 # =========================================================================
 # 2. Join family (SURVEY §2.3 extension rows: equi/broadcast/semi/anti/outer)
 # =========================================================================
@@ -2556,6 +2630,55 @@ def udtf_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "udx_arrow_doc_stats",
+    """
+SELECT source, count(*) AS n_docs,
+       CAST(sum(length(text)) AS BIGINT) AS total_chars,
+       CAST(sum(length(text) - length(replace(text, ' ', ''))) AS BIGINT)
+         AS total_spaces
+  FROM documents GROUP BY source
+""",
+    tags=("udx", "arrow"),
+)
+def udx_arrow_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-NATIVE batch UDF surface (``mapInArrow``): the per-document
+    kernel runs on raw ``pyarrow.RecordBatch``es with pyarrow.compute —
+    no Arrow→pandas→Arrow conversion at the boundary, the lowest-overhead
+    Python tier Spark offers (below it only JVM expressions). The kernel
+    is zero-copy columnar (utf8_length / count_substring) and the per-doc
+    rows aggregate JVM-side afterward, so the declared Python boundary is
+    ONE map stage — the same shape the pandas-UDF codec tiers use, minus
+    the pandas materialization. Exact integer outputs hash against the
+    string-function oracle."""
+    import pyarrow as pa
+
+    d = _t(spark, sf_dir, "documents").select("source", "text")
+
+    def stats(batches):
+        import pyarrow.compute as pc
+
+        for b in batches:
+            text = b.column("text")
+            yield pa.RecordBatch.from_arrays(
+                [
+                    b.column("source"),
+                    pc.cast(pc.utf8_length(text), pa.int64()),
+                    pc.cast(pc.count_substring(text, " "), pa.int64()),
+                ],
+                names=["source", "n_chars", "n_spaces"],
+            )
+
+    per_doc = d.mapInArrow(
+        stats, "source string, n_chars long, n_spaces long"
+    )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.sum("n_spaces").cast("bigint").alias("total_spaces"),
+    )
+
+
+@query(
     "streaming_dedup_replay",
     "SELECT DISTINCT user_id, event_type FROM events",
     tags=("streaming", "dedup", "watermark"),
@@ -4449,6 +4572,59 @@ def quality_histogram_extendedprice(spark: SparkSession, sf_dir: str) -> DataFra
 from fdp_dynamically_controlled_streams_spark.operators import (
     timeseries as ts_ops,
 )
+
+
+@query(
+    "ts_ohlc_bars_event_type",
+    """
+WITH r AS (
+  SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, value,
+         row_number() OVER (PARTITION BY event_type, date_trunc('day', ts)
+                            ORDER BY ts, event_id) AS rn_a,
+         row_number() OVER (PARTITION BY event_type, date_trunc('day', ts)
+                            ORDER BY ts DESC, event_id DESC) AS rn_d
+    FROM events
+)
+SELECT event_type, day,
+       max(CASE WHEN rn_a = 1 THEN value END) AS open,
+       max(value) AS high,
+       min(value) AS low,
+       max(CASE WHEN rn_d = 1 THEN value END) AS close,
+       count(*) AS n_events,
+       round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 2) AS volume
+  FROM r GROUP BY event_type, day
+""",
+    tags=("timeseries", "agg", "ohlc"),
+)
+def ts_ohlc_bars_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC bar aggregation (the market-data / metrics-rollup resample
+    shape): per (event_type, day) the first/last/extreme values of the
+    series. Open/close use ``min_by``/``max_by`` on a (ts, event_id)
+    struct — ONE hash-aggregation pass with map-side partials, no window
+    sort (the oracle's row_number formulation is the semantic spec; the
+    Spark plan never materializes per-row ranks). Deterministic under
+    same-timestamp ties via the event_id tiebreaker; the volume sum is
+    exact DECIMAL. At 100 TB this is a single shuffle keyed by
+    (event_type, day) — the natural partitioning of a metrics store."""
+    e = _t(spark, sf_dir, "events")
+    tb = F.struct(F.col("ts"), F.col("event_id"))
+    return (
+        e.select(
+            "event_type",
+            F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+            "value",
+            tb.alias("_tb"),
+        )
+        .groupBy("event_type", "day")
+        .agg(
+            F.min_by("value", F.col("_tb")).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", F.col("_tb")).alias("close"),
+            F.count(F.lit(1)).alias("n_events"),
+            _dsum(F.col("value")).alias("volume"),
+        )
+    )
 
 
 @query(
