@@ -89,7 +89,11 @@ def audit_plan(df: DataFrame, execute: bool = False) -> PlanAudit:
         )
         a.n_codegen_spans = int(cg.group(1)) if cg else 0
     a.n_python_evals = (
-        count("ArrowEvalPython") + count("BatchEvalPython") + count("MapInPandas")
+        count("ArrowEvalPython")
+        + count("BatchEvalPython")
+        + count("MapInPandas")
+        + count("MapInArrow")
+        + count("PythonMapInArrow")
     )
     a.reused_exchanges = count("ReusedExchange")
     a.pushed_filters = [

@@ -414,3 +414,105 @@ def test_ivf_pq_prunes_and_broadcasts(audits):
     # corpus anywhere.
     assert a.n_python_evals == 0
     assert a.n_sortmerge_joins == 0
+
+
+def test_q7_volume_shipping_all_dims_broadcast(audits):
+    a = audits("join_volume_shipping_q7", execute=True)
+    # customer/supplier/nation×2 dims broadcast; the only shuffle pair is
+    # the lineitem⋈orders orderkey join + the final group-by.
+    assert a.n_sortmerge_joins == 0
+    assert a.n_nestedloop_joins == 0
+    assert a.n_broadcast_joins >= 5
+    assert a.n_python_evals == 0
+    assert_pushed(a, "o_orderkey")
+
+
+def test_q9_product_profit_part_filter_broadcasts(audits):
+    a = audits("join_product_profit_q9", execute=True)
+    # the LIKE-filtered part dim broadcasts and prunes lineitem before the
+    # orders join; no sort-merge of a dim side.
+    assert a.n_sortmerge_joins == 0
+    assert a.n_nestedloop_joins == 0
+    assert a.n_python_evals == 0
+
+
+def test_q14_promo_revenue_date_pushdown(audits):
+    a = audits("agg_promo_revenue_q14", execute=True)
+    # the ship-month range reaches the parquet scan (row-group pruning at
+    # scale) and part broadcasts.
+    assert_pushed(a, "l_shipdate")
+    assert a.n_sortmerge_joins == 0
+    assert a.n_python_evals == 0
+
+
+def test_q17_per_part_agg_joined_back_once(audits):
+    a = audits("subquery_small_qty_revenue_q17", execute=True)
+    # the correlated-avg reformulation: ONE per-part aggregation exchange
+    # joined back; no nested-loop rescan of lineitem per row.
+    assert a.n_nestedloop_joins == 0
+    assert a.n_sortmerge_joins == 0
+    assert a.n_python_evals == 0
+
+
+def test_q19_disjunction_keeps_equi_join(audits):
+    a = audits("join_disjunctive_quantity_q19", execute=True)
+    # the three-arm OR mixing both sides must NOT force a nested-loop
+    # join: Catalyst keeps the p_partkey equi-join with residual filters.
+    assert a.n_nestedloop_joins == 0
+    assert a.n_sortmerge_joins == 0
+    assert a.n_broadcast_joins >= 1
+    assert a.n_python_evals == 0
+
+
+def test_q20_nested_agg_semi_reuses_slice(audits):
+    a = audits("join_excess_inventory_q20", execute=True)
+    # the per-(part,supp) and per-part aggs come from one lineitem⋈part
+    # slice — the second consumer must ride a ReusedExchange, not rescan.
+    assert a.reused_exchanges >= 1
+    assert a.n_nestedloop_joins == 0
+    assert a.n_python_evals == 0
+
+
+def test_spearman_two_fundamental_exchanges(audits):
+    a = audits("agg_spearman_spend_orders", execute=True)
+    # per-customer agg exchange + ONE nation exchange shared by both rank
+    # windows and the final group-by (windows re-sort in place; the final
+    # agg reuses the nation partitioning) — 2 actual exchanges total.
+    assert a.n_exchanges <= 4
+    assert a.n_sortmerge_joins == 0
+    assert a.n_python_evals == 0
+
+
+def test_ohlc_single_agg_pass_no_window(audits):
+    a = audits("ts_ohlc_bars_event_type", execute=True)
+    # min_by/max_by make open/close ONE hash-agg pass: no per-row rank
+    # window, no sort, one group-by exchange.
+    assert "Window" not in a.raw
+    assert a.n_exchanges <= 2
+    assert a.joins == 0
+    assert a.n_python_evals == 0
+
+
+def test_rerank_no_corpus_sortmerge(audits):
+    a = audits("ann_ivf_pq_rerank_topk", execute=True)
+    # shortlist + rescore: probes broadcast everywhere; the corpus is
+    # never sort-merge-shuffled against itself.
+    assert a.n_sortmerge_joins == 0
+    assert a.n_python_evals == 0
+
+
+def test_semantic_dedup_equi_blocked_pairs(audits):
+    a = audits("dedup_semantic_clusters", execute=True)
+    # cluster-blocked pair join is an EQUI join on cell (never cartesian);
+    # assignment stage is map-side from the centroid literal.
+    assert a.n_nestedloop_joins == 0
+    assert a.n_python_evals == 0
+
+
+def test_arrow_stats_single_declared_python_boundary(audits):
+    a = audits("udx_arrow_doc_stats", execute=True)
+    # exactly one MapInArrow stage (the declared kernel); aggregation is
+    # JVM-side after it, one group-by exchange.
+    assert a.n_python_evals >= 1
+    assert a.joins == 0
+    assert a.n_exchanges <= 2
