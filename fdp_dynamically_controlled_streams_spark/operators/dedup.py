@@ -608,3 +608,66 @@ dup AS (
 SELECT v.id AS vec_id, v.cell, (d.id IS NULL) AS keep
 FROM v LEFT JOIN dup d ON d.id = v.id
 """
+
+
+def minhash_incremental_decisions(
+    corpus: DataFrame,
+    batch: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    est_threshold: float = 0.3,
+) -> DataFrame:
+    """Incremental ingest dedup — the production crawl shape: a NEW batch
+    of documents is screened against the EXISTING corpus (A×B blocked
+    join, not a self-join; the corpus never pairs with itself). Returns
+    one decision row per batch doc: (id, n_matches, best_est, is_new).
+
+    Scale shape: both sides run the identical signature pipeline
+    (minhash_signatures — in production the corpus side is the persisted
+    signature table from previous runs, so only the batch pays the
+    shingle pass), bands explode map-side, and the ONLY cross-set work is
+    an equi-join on (band_id, band_hash) whose probe side is batch-sized.
+    The corpus-sized band table is what you bucket at rest; a daily batch
+    then joins against it shuffle-free. Decision aggregation is one
+    groupBy(batch id) with map-side partials; batch docs with no
+    collision survive via the left join (is_new = true)."""
+    sig_c = minhash_signatures(corpus, id_col, text_col).localCheckpoint()
+    sig_b = minhash_signatures(batch, id_col, text_col).localCheckpoint()
+
+    def bands_of(sigs: DataFrame, side: str) -> DataFrame:
+        return sigs.select(
+            F.col("id").alias(f"{side}_id"),
+            F.col("sig").alias(f"{side}_sig"),
+            F.explode(minhash_bands(F.col("sig"))).alias("band"),
+        ).select(
+            f"{side}_id", f"{side}_sig", "band.band_id", "band.band_hash"
+        )
+
+    cand = (
+        bands_of(sig_b, "b")
+        .join(bands_of(sig_c, "c"), ["band_id", "band_hash"])
+        .dropDuplicates(["b_id", "c_id"])
+    )
+    agree = F.size(
+        F.filter(F.zip_with("b_sig", "c_sig", lambda x, y: x == y), lambda v: v)
+    )
+    est = F.round(agree / F.lit(float(N_HASHES)), 6)
+    matches = (
+        cand.select("b_id", est.alias("est"))
+        .where(F.col("est") >= est_threshold)
+        .groupBy("b_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_matches"),
+            F.max("est").alias("best_est"),
+        )
+    )
+    return (
+        sig_b.select(F.col("id").alias(id_col))
+        .join(matches, F.col(id_col) == matches.b_id, "left")
+        .select(
+            id_col,
+            F.coalesce("n_matches", F.lit(0)).cast("bigint").alias("n_matches"),
+            F.coalesce("best_est", F.lit(0.0)).alias("best_est"),
+            F.col("n_matches").isNull().alias("is_new"),
+        )
+    )

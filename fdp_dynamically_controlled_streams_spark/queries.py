@@ -1530,6 +1530,61 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_ops.minhash_candidate_pairs(d, est_threshold=0.3)
 
 
+_MINHASH_INCR_ORACLE = f"""
+WITH {_TOKS_CTE},
+sh AS (SELECT doc_id, {_SHINGLES_SQL} AS shingles FROM toks),
+{_minhash_sig_ctes()},
+bands AS (
+  SELECT doc_id, sig, r.b AS band_id,
+         {portable_hash64_sql("CAST(sig[2*r.b+1] AS VARCHAR) || ',' || CAST(sig[2*r.b+2] AS VARCHAR)")} AS band_hash
+    FROM sig CROSS JOIN range(0, {dedup_ops.N_BANDS}) r(b)
+),
+cand AS (
+  SELECT DISTINCT b.doc_id AS b_id, c.doc_id AS c_id
+    FROM bands b JOIN bands c
+      ON b.band_id = c.band_id AND b.band_hash = c.band_hash
+   WHERE b.doc_id % 5 = 0 AND c.doc_id % 5 <> 0
+),
+est AS (
+  SELECT p.b_id,
+         round(len(list_filter(list_zip(sb.sig, sc.sig), z -> z[1] = z[2])) / 16.0, 6) AS e
+    FROM cand p
+         JOIN sig sb ON sb.doc_id = p.b_id
+         JOIN sig sc ON sc.doc_id = p.c_id
+),
+m AS (
+  SELECT b_id, count(*) AS n_matches, max(e) AS best_est
+    FROM est WHERE e >= 0.3 GROUP BY b_id
+)
+SELECT s.doc_id, CAST(COALESCE(m.n_matches, 0) AS BIGINT) AS n_matches,
+       COALESCE(m.best_est, 0.0) AS best_est,
+       m.n_matches IS NULL AS is_new
+  FROM (SELECT doc_id FROM sig WHERE doc_id % 5 = 0) s
+       LEFT JOIN m ON m.b_id = s.doc_id
+"""
+
+
+@query(
+    "dedup_incremental_batch",
+    _MINHASH_INCR_ORACLE,
+    tags=("dedup", "minhash", "lsh", "incremental"),
+)
+def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest dedup — the daily-crawl production shape: a new
+    batch (doc_id % 5 == 0, ~20%) screened against the existing corpus
+    (the rest) with MinHash-LSH band blocking as an A×B join, NOT a
+    self-join (operators/dedup.py::minhash_incremental_decisions). The
+    corpus band table is the persisted/bucketed index in production, so a
+    batch joins against it shuffle-free; output is one (doc_id,
+    n_matches, best_est, is_new) decision row per batch doc."""
+    d = _t(spark, sf_dir, "documents")
+    corpus = d.where(F.col("doc_id") % 5 != 0)
+    batch = d.where(F.col("doc_id") % 5 == 0)
+    return dedup_ops.minhash_incremental_decisions(
+        corpus, batch, est_threshold=0.3
+    )
+
+
 _MINHASH_CLUSTERS_ORACLE = f"""
 WITH RECURSIVE {_TOKS_CTE},
 sh AS (SELECT doc_id, {_SHINGLES_SQL} AS shingles FROM toks),
@@ -3959,6 +4014,107 @@ def stream_tumbling_agg_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         "window_start string, event_type string, n_events long, total_value double",
         out,
     ).select("window_start", "event_type", "n_events", "total_value")
+
+
+@query(
+    "stream_ohlc_replay",
+    """
+WITH mx AS (SELECT max(ts) AS m FROM events),
+r AS (
+  SELECT time_bucket(INTERVAL 6 HOUR, ts) AS w_start, event_type, value,
+         row_number() OVER (PARTITION BY time_bucket(INTERVAL 6 HOUR, ts), event_type
+                            ORDER BY ts, event_id) AS rn_a,
+         row_number() OVER (PARTITION BY time_bucket(INTERVAL 6 HOUR, ts), event_type
+                            ORDER BY ts DESC, event_id DESC) AS rn_d
+    FROM events, mx
+   WHERE time_bucket(INTERVAL 6 HOUR, ts) + INTERVAL 6 HOUR <= mx.m - INTERVAL 30 MINUTE
+)
+SELECT strftime(w_start, '%Y-%m-%d %H:%M:%S') AS window_start, event_type,
+       max(CASE WHEN rn_a = 1 THEN value END) AS open,
+       max(value) AS high,
+       min(value) AS low,
+       max(CASE WHEN rn_d = 1 THEN value END) AS close,
+       count(*) AS n_events
+  FROM r GROUP BY w_start, event_type
+""",
+    tags=("streaming", "event_time", "window_agg", "ohlc", "watermark"),
+)
+def stream_ohlc_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING OHLC bars: watermarked 6-hour tumbling windows emit
+    open/high/low/close per event_type exactly once on window close
+    (append mode). Open/close carry (ts, event_id, value) structs through
+    the streaming state via min/max — the struct-ordering trick keeps the
+    'first/last value' recurrence inside native streaming aggregation
+    state (two structs + two doubles + a count per open window), no
+    custom stateful processor. Shares the batch OHLC semantics; the
+    oracle adds the watermark finalization rule (window end <= max(ts) -
+    30 min), so equality proves the bars AND the emit-once rule,
+    chunking-invariant."""
+    import tempfile
+
+    from fdp_dynamically_controlled_streams_spark.sources.registry import (
+        cached_fixture,
+        replay_dir,
+        write_replay_chunks_df,
+    )
+
+    events = _t(spark, sf_dir, "events")
+    fix = cached_fixture(
+        "events_ts_value_2chunks",
+        sf_dir,
+        lambda p: write_replay_chunks_df(
+            events.select("event_id", "ts", "event_type", "value"),
+            f"{p}/data",
+            n_chunks=2,
+            order_cols=("ts", "event_id"),
+        ),
+    )
+    tmp = tempfile.mkdtemp(prefix="dcs-ohlc-")
+    stream = replay_dir(
+        spark,
+        f"{fix}/data",
+        "event_id long, ts timestamp, event_type string, value double",
+        files_per_trigger=1,
+    )
+    tb = F.struct(F.col("ts"), F.col("event_id"), F.col("value"))
+    agg = (
+        stream.withWatermark("ts", "30 minutes")
+        .groupBy(F.window("ts", "6 hours").alias("w"), "event_type")
+        .agg(
+            F.min(tb).alias("_first"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max(tb).alias("_last"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            F.col("_first.value").alias("open"),
+            "high",
+            "low",
+            F.col("_last.value").alias("close"),
+            "n_events",
+        )
+    )
+    out = f"{tmp}/out"
+    with _replay_conf(spark, partitions=4):
+        q = (
+            agg.writeStream.outputMode("append")
+            .foreachBatch(lambda bdf, bid: bdf.write.mode("append").parquet(out))
+            .option("checkpointLocation", f"{tmp}/chk")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    return _read_replay_out(
+        spark,
+        "window_start string, event_type string, open double, high double,"
+        " low double, close double, n_events long",
+        out,
+    ).select(
+        "window_start", "event_type", "open", "high", "low", "close", "n_events"
+    )
 
 
 @query(
