@@ -3707,6 +3707,78 @@ _ORDERS_PROFILE_COLS = [
 
 
 @query(
+    "quality_impute_group_median",
+    """
+WITH cents AS (
+  SELECT event_id, user_id, event_type,
+         CAST(round(value * 100) AS BIGINT) AS vc
+    FROM events
+),
+per_user AS (
+  SELECT user_id, quantile_cont(vc, 0.5) AS med
+    FROM cents WHERE event_type <> 'error' GROUP BY user_id
+),
+gm AS (
+  SELECT quantile_cont(vc, 0.5) AS gmed FROM cents WHERE event_type <> 'error'
+)
+SELECT c.event_id, c.user_id,
+       (c.event_type = 'error') AS was_imputed,
+       CAST(CASE WHEN c.event_type = 'error'
+                 THEN 2 * COALESCE(p.med, g.gmed)
+                 ELSE 2 * c.vc END AS BIGINT) AS imputed_half_cents
+  FROM cents c
+       LEFT JOIN per_user p ON p.user_id = c.user_id
+       CROSS JOIN gm g
+""",
+    tags=("quality", "imputation"),
+)
+def quality_impute_group_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Missing-value imputation with a per-group median (error events'
+    readings treated as missing, imputed with the user's median of valid
+    readings; users with no valid readings fall back to the global
+    median). EXACT-INTEGER discipline: values become integer cents, and a
+    cont-interpolated median of integers is always a multiple of 0.5 —
+    so doubling it yields an exact BIGINT (imputed_half_cents) and the
+    result hashes with zero float-interpolation risk in either engine.
+    Scale shape: one groupBy(user) percentile agg joined back (the
+    per-group stats broadcast when user count is dim-sized; at 100 TB
+    both sides hash-partition on user_id, the scan's natural key), one
+    single-row global scalar cross join."""
+    e = _t(spark, sf_dir, "events")
+    cents = e.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("bigint").alias("vc"),
+    )
+    valid = cents.where(F.col("event_type") != "error")
+    per_user = valid.groupBy("user_id").agg(
+        F.percentile("vc", 0.5).alias("med")
+    )
+    glob = valid.agg(F.percentile("vc", 0.5).alias("gmed"))
+    return (
+        cents.join(
+            per_user.withColumnRenamed("user_id", "_uid"),
+            cents.user_id == F.col("_uid"),
+            "left",
+        )
+        .crossJoin(F.broadcast(glob))
+        .select(
+            "event_id",
+            "user_id",
+            (F.col("event_type") == "error").alias("was_imputed"),
+            F.when(
+                F.col("event_type") == "error",
+                F.lit(2) * F.coalesce("med", "gmed"),
+            )
+            .otherwise(F.lit(2) * F.col("vc"))
+            .cast("bigint")
+            .alias("imputed_half_cents"),
+        )
+    )
+
+
+@query(
     "quality_profile_orders",
     qual.profile_table_sql("orders", _ORDERS_PROFILE_COLS),
     tags=("quality", "profile"),
@@ -4612,6 +4684,40 @@ def reshape_unpivot_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
 # =========================================================================
 
 from fdp_dynamically_controlled_streams_spark.operators import tfidf as tfidf_ops
+
+
+@query(
+    "text_feature_hashing",
+    f"""
+WITH {_TOKS_CTE},
+ex AS (SELECT doc_id, unnest(t) AS tok FROM toks)
+SELECT doc_id, CAST({portable_hash64_sql("tok")} % 16 AS BIGINT) AS bucket,
+       count(*) AS n
+  FROM ex WHERE tok <> '' GROUP BY doc_id, bucket
+""",
+    tags=("text", "features", "hashing"),
+)
+def text_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature hashing (the 'hashing trick', Weinberger et al. 2009): each
+    token hashes into one of 16 fixed buckets, per-doc bucket counts form
+    the feature vector — the vocabulary-free vectorizer (no dictionary
+    shuffle, no OOV problem; the standard scale move when a TF-IDF vocab
+    table would itself be huge). One explode + one (doc, bucket) groupBy
+    with map-side partials; the portable 60-bit hash keeps bucket ids
+    engine-exact. Output is the sparse COO form (doc_id, bucket, n) —
+    array assembly is a downstream collect_list away."""
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(text_ops.tokens("text")).alias("tok")
+    ).where(F.col("tok") != "")
+    return (
+        tok.select(
+            "doc_id",
+            (portable_hash64(F.col("tok")) % 16).cast("bigint").alias("bucket"),
+        )
+        .groupBy("doc_id", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
 
 
 @query(
