@@ -3691,6 +3691,94 @@ def layout_zorder_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "source_schema_evolution_merge",
+    """
+SELECT event_type, count(*) AS n,
+       CAST(count(v2) AS BIGINT) AS n_with_v2,
+       round(CAST(sum(CAST(COALESCE(v2, 0.0) AS DECIMAL(18,4))) AS DOUBLE), 2)
+         AS total_v2
+  FROM (
+    SELECT event_type, CAST(NULL AS DOUBLE) AS v2
+      FROM events WHERE event_id % 2 = 0
+    UNION ALL
+    SELECT event_type, value AS v2
+      FROM events WHERE event_id % 2 = 1
+  )
+ GROUP BY event_type
+""",
+    tags=("sources", "schema_evolution"),
+)
+def source_schema_evolution_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution at the source (the append-only data-lake reality:
+    old files lack columns new files have): an old-schema batch
+    (event_type only) and a new-schema batch (+v2) land in one dataset;
+    ``mergeSchema`` reads them as ONE table with NULL back-fill, then a
+    single aggregation proves the merged view. At 100 TB mergeSchema's
+    footer-union runs once per read on file metadata, not data — the
+    alternative (rewriting old files) is the anti-pattern. Oracle: the
+    equivalent typed UNION ALL."""
+    import tempfile
+
+    e = _t(spark, sf_dir, "events")
+    tmp = tempfile.mkdtemp(prefix="dcs-evolve-")
+    old = e.where(F.col("event_id") % 2 == 0).select("event_type")
+    new = e.where(F.col("event_id") % 2 == 1).select(
+        "event_type", F.col("value").alias("v2")
+    )
+    old.write.mode("overwrite").parquet(f"{tmp}/data/old")
+    new.write.mode("overwrite").parquet(f"{tmp}/data/new")
+    merged = (
+        spark.read.option("mergeSchema", "true")
+        .option("recursiveFileLookup", "true")
+        .parquet(f"{tmp}/data")
+    )
+    return merged.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count("v2").cast("bigint").alias("n_with_v2"),
+        _dsum(F.coalesce("v2", F.lit(0.0))).alias("total_v2"),
+    )
+
+
+@query(
+    "layout_partitioned_pruned_read",
+    """
+SELECT event_type, count(*) AS n,
+       round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 2) AS total_value
+  FROM events
+ WHERE event_type IN ('click', 'purchase')
+ GROUP BY event_type
+""",
+    tags=("layout", "partitioning", "pruning"),
+)
+def layout_partitioned_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-style partitioned WRITE + partition-PRUNED read: events land
+    partitioned by event_type (one directory per value — the coarse
+    layout axis every 100 TB event store has), and the IN-filter read
+    lists only the two matching directories: pruning happens at file
+    listing, before any I/O (tests/test_partition_pruning.py asserts the
+    mechanism; this entry exercises the full write→prune→aggregate path
+    as data). The aggregation then reuses the partition column for free
+    grouping."""
+    import tempfile
+
+    e = _t(spark, sf_dir, "events")
+    tmp = tempfile.mkdtemp(prefix="dcs-part-")
+    (
+        e.select("event_type", "value")
+        .write.mode("overwrite")
+        .partitionBy("event_type")
+        .parquet(f"{tmp}/data")
+    )
+    part = spark.read.parquet(f"{tmp}/data").where(
+        F.col("event_type").isin("click", "purchase")
+    )
+    return part.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        _dsum(F.col("value")).alias("total_value"),
+    )
+
+
 # =========================================================================
 # 15. Data quality: profiling + constraint validation (operators/quality.py)
 # =========================================================================
@@ -3774,6 +3862,53 @@ def quality_impute_group_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise(F.lit(2) * F.col("vc"))
             .cast("bigint")
             .alias("imputed_half_cents"),
+        )
+    )
+
+
+@query(
+    "quality_trimmed_mean_value",
+    """
+WITH cents AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS vc FROM events
+),
+th AS (
+  SELECT event_type, quantile_cont(vc, 0.1) AS lo, quantile_cont(vc, 0.9) AS hi
+    FROM cents GROUP BY event_type
+)
+SELECT c.event_type, count(*) AS n_kept,
+       round((CAST(sum(c.vc) AS DOUBLE) / count(*)) / 100.0, 6) AS trimmed_mean
+  FROM cents c JOIN th t ON c.event_type = t.event_type
+ WHERE c.vc >= t.lo AND c.vc <= t.hi
+ GROUP BY c.event_type
+""",
+    tags=("quality", "stats", "robust"),
+)
+def quality_trimmed_mean_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10% trimmed mean per group — the outlier-robust location estimate
+    (companion to the MAD flags). EXACT-INTEGER discipline: values become
+    integer cents; cont-interpolated p10/p90 of integers are exact
+    multiples of 0.5, so the trim comparison cannot float-straddle, and
+    the kept-sum is an order-independent bigint before ONE identical
+    division chain. Scale shape: one percentile agg per group broadcast
+    back onto the scan, one final groupBy — the corpus shuffles once."""
+    e = _t(spark, sf_dir, "events")
+    cents = e.select(
+        "event_type", F.round(F.col("value") * 100).cast("bigint").alias("vc")
+    )
+    th = cents.groupBy(F.col("event_type").alias("_et")).agg(
+        F.percentile("vc", 0.1).alias("lo"),
+        F.percentile("vc", 0.9).alias("hi"),
+    )
+    return (
+        cents.join(F.broadcast(th), cents.event_type == F.col("_et"))
+        .where((F.col("vc") >= F.col("lo")) & (F.col("vc") <= F.col("hi")))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.round(
+                (F.sum("vc").cast("double") / F.count(F.lit(1))) / F.lit(100.0), 6
+            ).alias("trimmed_mean"),
         )
     )
 
