@@ -63,6 +63,9 @@ PROBE_ENTRIES = [
     "retrieval_bm25_topk",
     "graph_triangles_cosupplier",
     "stream_ewma_replay",
+    # this session's replay/heavy additions
+    "stream_ohlc_replay",
+    "dedup_incremental_batch",
 ]
 
 _ALPHA = "abcdefghijklmnopqrstuvwxyz"
