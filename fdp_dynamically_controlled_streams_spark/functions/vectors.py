@@ -48,6 +48,19 @@ def _fold_sum_sql(products: str) -> str:
     return f"list_reduce({products}, (acc, v) -> acc + v)"
 
 
+def dot_sql(a: str, b: str) -> str:
+    """DuckDB twin of :func:`dot` (same element-order left-fold)."""
+    return _fold_sum_sql(
+        f"list_transform(list_zip({a}, {b}), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))"
+    )
+
+
+def norm_sql(a: str) -> str:
+    """DuckDB twin of :func:`norm`."""
+    sq = f"list_transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"
+    return f"sqrt({_fold_sum_sql(sq)})"
+
+
 def cosine_sql(a: str, b: str) -> str:
     """DuckDB twin of :func:`cosine` (same element-order left-fold accumulation)."""
     dot_ab = _fold_sum_sql(

@@ -2197,7 +2197,7 @@ def kmeans_document_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "dedup_semantic_clusters",
     dedup_ops.semantic_dedup_sql(
-        clu.kmeans_oracle_sql(k=4, n_iter=2), cosine_sql, threshold=0.3
+        clu.kmeans_oracle_sql(k=4, n_iter=2), threshold=0.3
     ),
     tags=("dedup", "similarity", "clustering", "semantic"),
 )

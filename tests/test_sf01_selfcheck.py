@@ -47,6 +47,13 @@ PRICIEST = [
     "stream_windowed_topk_replay",
     "ts_ewma_user_value",
     "quality_mad_outliers_value",
+    # session-2 additions heavy enough to matter at the bench SF
+    "stream_ohlc_replay",
+    "dedup_incremental_batch",
+    "dedup_semantic_clusters",
+    "ann_ivf_pq_rerank_topk",
+    "graph_bfs_supplier_reach",
+    "text_feature_hashing",
 ]
 
 pytestmark = pytest.mark.skipif(
