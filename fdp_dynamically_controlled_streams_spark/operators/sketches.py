@@ -313,3 +313,107 @@ SELECT pc.v AS value, pc.n_exact,
   FROM probe_cells pc JOIN counters ct ON ct.r = pc.r AND ct.c = pc.c
  GROUP BY pc.v, pc.n_exact
 """
+
+
+def hll_rollup(
+    df: DataFrame, group_col: str, value_col: str, all_label: str = "ALL"
+) -> DataFrame:
+    """Hierarchical sketch rollup: per-group HLL registers PLUS a total-level
+    estimate computed by MERGING the group registers (max per bucket) — never
+    by rescanning the raw rows.
+
+    This is the sketch-cube primitive for 100 TB: materialize registers per
+    partition grain (day, source, shard), answer any coarser distinct-count
+    rollup from the fixed-size register table alone. Merging is exact (max
+    is associative/commutative/idempotent), so merge-then-estimate ≡
+    estimate-over-union — the entry's oracle replays both levels bit-for-bit.
+
+    Output: one row per group plus one ``all_label`` row, each with
+    n_exact / hll_estimate / rel_err (same estimator and exact-integer
+    harmonic sum as :func:`hll_distinct`). The raw input is touched exactly
+    once (one shuffle to (group, bucket) registers); the rollup level
+    reduces the m-registers-per-group table, and the exact counts ride the
+    same single deduped shuffle."""
+    h = portable_hash64(F.col(value_col).cast("string"))
+    hashed = df.select(F.col(group_col).cast("string").alias("g"), h.alias("h"))
+    rest = F.shiftright("h", HLL_B)
+    rank = F.when(rest == 0, F.lit(_HLL_MAX_RANK)).otherwise(
+        F.lit(_HLL_MAX_RANK) - F.length(F.bin(rest))
+    )
+    ranked = hashed.select(
+        "g", (F.col("h") % HLL_M).alias("bucket"), rank.alias("rank"), "h"
+    )
+    regs = ranked.groupBy("g", "bucket").agg(F.max("rank").alias("m_j"))
+    merged = (
+        regs.groupBy("bucket")
+        .agg(F.max("m_j").alias("m_j"))
+        .select(F.lit(all_label).alias("g"), "bucket", "m_j")
+    )
+    all_regs = regs.unionByName(merged)
+    sums = all_regs.groupBy("g").agg(
+        F.sum(F.expr(f"shiftleft(1L, {_HLL_MAX_RANK} - m_j)")).alias("_s"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+    sum_int = F.col("_s") + (F.lit(HLL_M) - F.col("_n")) * F.lit(
+        1 << _HLL_MAX_RANK
+    ).cast("long")
+    dedup = hashed.distinct()
+    exact_g = dedup.groupBy("g").agg(F.count(F.lit(1)).alias("n_exact"))
+    exact_all = (
+        dedup.select("h")
+        .distinct()
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+        .select(F.lit(all_label).alias("g"), "n_exact")
+    )
+    exact = exact_g.unionByName(exact_all)
+    est = F.round(F.lit(float(_HLL_NUM)) / sum_int)
+    return sums.join(exact, "g").select(
+        F.col("g").alias(group_col),
+        "n_exact",
+        est.alias("hll_estimate"),
+        F.round(F.abs(est - F.col("n_exact")) / F.col("n_exact"), 6).alias(
+            "rel_err"
+        ),
+    )
+
+
+def hll_rollup_sql(
+    table: str, group_expr: str, group_alias: str, value_expr: str,
+    all_label: str = "ALL",
+) -> str:
+    """DuckDB twin of :func:`hll_rollup` (same registers, same merge level,
+    same exact harmonic sum)."""
+    h = portable_hash64_sql(f"CAST({value_expr} AS VARCHAR)")
+    max_rank = _HLL_MAX_RANK
+    big = 1 << max_rank
+    return f"""
+WITH hashed AS (
+  SELECT CAST({group_expr} AS VARCHAR) AS g, {h} AS h FROM {table}
+), ranked AS (
+  SELECT g, h % {HLL_M} AS bucket,
+         CASE WHEN (h >> {HLL_B}) = 0 THEN {max_rank}
+              ELSE {max_rank} - length(bin(h >> {HLL_B})) END AS rank, h
+  FROM hashed
+), regs AS (
+  SELECT g, bucket, MAX(rank) AS m_j FROM ranked GROUP BY g, bucket
+), merged AS (
+  SELECT '{all_label}' AS g, bucket, MAX(m_j) AS m_j FROM regs GROUP BY bucket
+), all_regs AS (
+  SELECT * FROM regs UNION ALL SELECT * FROM merged
+), sums AS (
+  SELECT g, SUM(1::BIGINT << ({max_rank} - m_j)) AS s_present,
+         COUNT(*) AS n_regs
+  FROM all_regs GROUP BY g
+), dedup AS (SELECT DISTINCT g, h FROM hashed),
+exact AS (
+  SELECT g, COUNT(*) AS n_exact FROM dedup GROUP BY g
+  UNION ALL
+  SELECT '{all_label}', COUNT(DISTINCT h) FROM dedup
+)
+SELECT s.g AS {group_alias}, e.n_exact,
+       round({_HLL_NUM} / CAST(s.s_present + ({HLL_M} - s.n_regs) * {big}::BIGINT
+                               AS DOUBLE)) AS hll_estimate,
+       round(abs(round({_HLL_NUM} / CAST(s.s_present + ({HLL_M} - s.n_regs) * {big}::BIGINT
+                                         AS DOUBLE)) - e.n_exact) / e.n_exact, 6) AS rel_err
+FROM sums s JOIN exact e USING (g)
+"""

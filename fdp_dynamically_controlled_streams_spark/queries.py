@@ -25,6 +25,7 @@ from fdp_dynamically_controlled_streams_spark.operators import controller as ctl
 from fdp_dynamically_controlled_streams_spark.operators import asof as asof_ops
 from fdp_dynamically_controlled_streams_spark.operators import dedup as dedup_ops
 from fdp_dynamically_controlled_streams_spark.operators import similarity as sim_ops
+from fdp_dynamically_controlled_streams_spark.operators import mining as mining_ops
 from fdp_dynamically_controlled_streams_spark.operators import text as text_ops
 from fdp_dynamically_controlled_streams_spark.functions.hashing import (
     MINHASH_COEFFS,
@@ -3599,6 +3600,30 @@ def sketch_hll_distinct_customers(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+@query(
+    "sketch_hll_daily_rollup_users",
+    skt.hll_rollup_sql(
+        "events", "strftime(ts, '%Y-%m-%d')", "day", "user_id"
+    ),
+    tags=("sketch", "hll", "rollup"),
+)
+def sketch_hll_daily_rollup_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical HLL rollup: daily distinct-user sketches over events,
+    PLUS the whole-range estimate produced by MERGING the daily register
+    tables (max per bucket) — the raw rows are scanned exactly once. This
+    is the sketch-cube pattern that makes distinct counts tractable at
+    100 TB: persist fixed-size registers at the partition grain, answer any
+    coarser rollup (week, month, all-time) from registers alone, no
+    re-scan, no distinct over raw data. Merge-then-estimate ≡
+    estimate-over-union is exact because register merge is max(); the
+    oracle replays both levels bit-for-bit
+    (operators/sketches.py::hll_rollup)."""
+    ev = _t(spark, sf_dir, "events").select(
+        F.date_format("ts", "yyyy-MM-dd").alias("day"), "user_id"
+    )
+    return skt.hll_rollup(ev, "day", "user_id")
+
+
 # =========================================================================
 # 13. IVF ANN tier + PII scrubbing (training-data pipeline, continued)
 # =========================================================================
@@ -4077,6 +4102,238 @@ def cdc_scd2_event_type_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("valid_from", "yyyy-MM-dd HH:mm:ss").alias("valid_from"),
         F.date_format("valid_to", "yyyy-MM-dd HH:mm:ss").alias("valid_to"),
         "is_current",
+    )
+
+
+@query(
+    "cdc_point_in_time_snapshots",
+    """
+WITH ordered AS (
+  SELECT user_id, event_type, ts, event_id,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+    FROM events
+),
+hist AS (
+  SELECT user_id, event_type, ts AS valid_from
+    FROM ordered WHERE prev IS NULL OR event_type <> prev
+),
+span AS (SELECT user_id, min(ts) AS mn, max(ts) AS mx FROM events GROUP BY user_id),
+probes AS (
+  SELECT user_id,
+         unnest(generate_series(date_trunc('hour', mn), mx, INTERVAL 1 HOUR))
+           AS snap
+    FROM span
+),
+unified AS (
+  SELECT user_id AS k, valid_from AS t, 0 AS side,
+         CAST(NULL AS TIMESTAMP) AS snap, event_type FROM hist
+  UNION ALL
+  SELECT user_id, snap, 1, snap, NULL FROM probes
+),
+prop AS (
+  SELECT k, side, snap,
+         last_value(event_type IGNORE NULLS) OVER
+           (PARTITION BY k ORDER BY t, side
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cur_type
+    FROM unified
+)
+SELECT k AS user_id, strftime(snap, '%Y-%m-%d %H:%M:%S') AS snapshot_ts,
+       cur_type AS state_event_type
+  FROM prop WHERE side = 1
+""",
+    tags=("cdc", "asof", "feature_store"),
+)
+def cdc_point_in_time_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-store POINT-IN-TIME join: reconstruct each user's dimension
+    state (current event_type) on an hourly snapshot grid — the as-of-
+    correctness primitive that keeps training features leakage-free (a
+    feature value must come from BEFORE the label's timestamp, never
+    after). Composition of two existing operators: the SCD2 change log
+    (merge_ops.scd2_history's change-extraction half) + the as-of join
+    (union + last ignorenulls — asof.py), so a PIT lookup costs ONE
+    shuffle on the entity key, not a range join per probe. Probes before
+    a user's first change carry NULL state (nothing was known — the
+    honest feature-store answer). Snapshot grids come from per-user
+    min/max spans via sequence() — no driver-side date loop."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    hist = merge_ops.scd2_history(
+        ev, ["user_id"], "ts", ["event_type"], tie_break=["event_id"]
+    ).select("user_id", F.col("valid_from").alias("vf"), "event_type")
+    span = ev.groupBy("user_id").agg(
+        F.min("ts").alias("mn"), F.max("ts").alias("mx")
+    )
+    probes = span.select(
+        "user_id",
+        F.explode(
+            F.sequence(
+                F.date_trunc("hour", "mn"), F.col("mx"), F.expr("interval 1 hour")
+            )
+        ).alias("snap"),
+    )
+    pit = asof_ops.asof_join(
+        probes,
+        hist.select("user_id", "vf", "event_type"),
+        on="user_id",
+        left_time="snap",
+        right_time="vf",
+        payload=["event_type"],
+    )
+    return pit.select(
+        "user_id",
+        F.date_format("snap", "yyyy-MM-dd HH:mm:ss").alias("snapshot_ts"),
+        F.col("event_type").alias("state_event_type"),
+    )
+
+
+@query(
+    "cdc_snapshot_diff",
+    """
+WITH v1 AS (
+  SELECT event_id, value FROM events WHERE event_id % 10 <> 3
+),
+v2 AS (
+  SELECT event_id,
+         CASE WHEN event_id % 5 = 0 THEN value + 1.0 ELSE value END AS value
+    FROM events WHERE event_id % 10 <> 7
+)
+SELECT coalesce(v1.event_id, v2.event_id) AS event_id,
+       CASE WHEN v1.event_id IS NULL THEN 'added'
+            WHEN v2.event_id IS NULL THEN 'removed'
+            ELSE 'updated' END AS change_type
+  FROM v1 FULL OUTER JOIN v2 ON v1.event_id = v2.event_id
+ WHERE v1.event_id IS NULL OR v2.event_id IS NULL OR v1.value <> v2.value
+""",
+    tags=("cdc", "diff"),
+)
+def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff between two table versions: classify every key as
+    added / removed / updated (unchanged rows are NOT emitted — at 100 TB
+    the diff output must be proportional to the CHANGE volume, never the
+    table volume). One full-outer shuffle join on the key; the value
+    comparison runs inside the join's generated code, so unchanged rows die
+    before the sink. The two versions are derived deterministically from
+    `events` (v2 drops ~10% of v1's keys, adds ~10% new ones, and bumps
+    value on the 5-divisible keys) so the oracle twin sees identical
+    inputs. Real deployments feed storage-level snapshots here; partition
+    pruning on unchanged partitions (layout.py z-order + min/max stats)
+    then skips the untouched bulk before this join ever runs."""
+    ev = _t(spark, sf_dir, "events").select("event_id", "value")
+    v1 = ev.where(F.col("event_id") % 10 != 3)
+    v2 = ev.where(F.col("event_id") % 10 != 7).select(
+        "event_id",
+        F.when(F.col("event_id") % 5 == 0, F.col("value") + 1.0)
+        .otherwise(F.col("value"))
+        .alias("value"),
+    )
+    j = v1.alias("a").join(
+        v2.alias("b"), F.col("a.event_id") == F.col("b.event_id"), "full_outer"
+    )
+    return j.where(
+        F.col("a.event_id").isNull()
+        | F.col("b.event_id").isNull()
+        | (F.col("a.value") != F.col("b.value"))
+    ).select(
+        F.coalesce(F.col("a.event_id"), F.col("b.event_id")).alias("event_id"),
+        F.when(F.col("a.event_id").isNull(), F.lit("added"))
+        .when(F.col("b.event_id").isNull(), F.lit("removed"))
+        .otherwise(F.lit("updated"))
+        .alias("change_type"),
+    )
+
+
+# =========================================================================
+# 16b. Frequent-itemset mining (operators/mining.py) + incremental MV merge
+# =========================================================================
+
+@query(
+    "mining_frequent_part_pairs",
+    """
+WITH items AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it FROM lineitem),
+freq AS (SELECT it FROM items GROUP BY it HAVING count(*) >= 2),
+pruned AS (SELECT bk, it FROM items WHERE it IN (SELECT it FROM freq)),
+sized AS (SELECT bk FROM pruned GROUP BY bk HAVING count(*) BETWEEN 2 AND 64),
+base AS (SELECT p.bk, p.it FROM pruned p JOIN sized s USING (bk))
+SELECT a.it AS item_a, b.it AS item_b, count(*) AS n_baskets
+  FROM base a JOIN base b ON a.bk = b.bk AND a.it < b.it
+ GROUP BY a.it, b.it
+HAVING count(*) >= 2
+""",
+    tags=("mining", "basket"),
+)
+def mining_frequent_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: part pairs ordered together in >= 2
+    orders. A-priori item pruning (broadcast semi-join against the
+    support-filtered item set), basket-size cap before the quadratic step,
+    and per-basket pair generation from ONE sorted collected array via a
+    JVM higher-order transform — one shuffle on the basket key, one on the
+    pair key, no self-join double-scan (operators/mining.py has the full
+    scale analysis). The oracle states the same semantics as the textbook
+    self-join."""
+    li = _t(spark, sf_dir, "lineitem")
+    return mining_ops.frequent_pairs(
+        li,
+        basket="l_orderkey",
+        item="l_partkey",
+        min_support=2,
+        max_basket_size=64,
+    ).select(
+        F.col("item_a"), F.col("item_b"), F.col("n_baskets")
+    )
+
+
+@query(
+    "mv_incremental_agg_merge",
+    """
+SELECT strftime(o_orderdate, '%Y-%m') AS month, o_orderpriority,
+       count(*) AS n_orders,
+       round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 2) AS revenue,
+       round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) / count(*), 6) AS avg_price
+  FROM orders
+ GROUP BY strftime(o_orderdate, '%Y-%m'), o_orderpriority
+""",
+    tags=("agg", "incremental", "materialized_view"),
+)
+def mv_incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance: the monthly revenue
+    rollup is computed as PARTIAL aggregates over a base segment
+    (orderdate < 1997) and a delta segment (>= 1997), then MERGED by
+    re-aggregating the mergeable components (decimal sum, count) — avg is
+    reconstructed from merged sum/count, never averaged-of-averages. The
+    oracle recomputes from scratch over the full table, proving
+    merge-equals-recompute: at 100 TB this is the difference between
+    touching yesterday's delta partition and rescanning years of history.
+    All sums ride exact DECIMAL(18,4), so merge order cannot perturb the
+    hash."""
+    od = _t(spark, sf_dir, "orders").select(
+        F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+        "o_orderpriority",
+        F.col("o_totalprice").cast("decimal(18,4)").alias("p"),
+        "o_orderdate",
+    )
+    cut = F.lit("1997-01-01").cast("timestamp")
+
+    def partial(seg: DataFrame) -> DataFrame:
+        return seg.groupBy("month", "o_orderpriority").agg(
+            F.sum("p").alias("s"), F.count(F.lit(1)).alias("c")
+        )
+
+    base = partial(od.where(F.col("o_orderdate") < cut))
+    delta = partial(od.where(F.col("o_orderdate") >= cut))
+    merged = (
+        base.unionByName(delta)
+        .groupBy("month", "o_orderpriority")
+        .agg(F.sum("s").alias("s"), F.sum("c").alias("n_orders"))
+    )
+    return merged.select(
+        "month",
+        "o_orderpriority",
+        "n_orders",
+        F.round(F.col("s").cast("double"), 2).alias("revenue"),
+        F.round(F.col("s").cast("double") / F.col("n_orders"), 6).alias(
+            "avg_price"
+        ),
     )
 
 
@@ -5141,6 +5398,77 @@ def ts_ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical float expression shape)."""
     ev = _t(spark, sf_dir, "events")
     return ts_ops.ewma(ev, "user_id", "ts", "value", "event_id", alpha=0.2)
+
+
+@query(
+    "ts_seasonal_naive_anomaly",
+    """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS h, count(*) AS n
+    FROM events GROUP BY event_type, date_trunc('hour', ts)
+),
+j AS (
+  SELECT c.event_type, c.h, c.n, p.n AS n_prev, c.n - p.n AS residual
+    FROM hourly c
+    JOIN hourly p ON c.event_type = p.event_type
+                 AND p.h = c.h - INTERVAL 24 HOUR
+),
+s AS (
+  SELECT event_type, sum(abs(residual)) AS sum_abs, count(*) AS cnt
+    FROM j GROUP BY event_type
+)
+SELECT j.event_type, strftime(j.h, '%Y-%m-%d %H:%M:%S') AS hour_ts,
+       j.n, j.n_prev, j.residual
+  FROM j JOIN s USING (event_type)
+ WHERE abs(j.residual) * s.cnt > 3 * s.sum_abs
+""",
+    tags=("timeseries", "anomaly", "forecast"),
+)
+def ts_seasonal_naive_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast anomaly detection: forecast each hour's
+    event count by the SAME HOUR YESTERDAY (period = 24 h), flag hours
+    whose |residual| exceeds 3× the per-type mean absolute residual. The
+    flag rule is exact-integer (|res|·cnt > 3·Σ|res| — no float mean), so
+    it hashes identically across engines. Shape: the hourly rollup is ONE
+    count shuffle whose output is ∝ timespan×types — tiny relative to the
+    raw events even at 100 TB (years of hours ≈ 10⁴ rows/type) — so the
+    seasonal self-join and the threshold join both broadcast; the raw
+    table is touched once (the hourly rollup is localCheckpointed — the
+    same materialization-barrier discipline as dedup.py — because the
+    residual and threshold branches would otherwise each re-derive it and
+    re-scan events 4x). Gaps in the series are handled by joining on
+    h-24h (never lag-by-rows, which silently mis-aligns across missing
+    hours)."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    )
+    hourly = (
+        ev.groupBy("event_type", "h")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint()
+    )
+    prev = hourly.select(
+        "event_type",
+        (F.col("h") + F.expr("INTERVAL 24 HOURS")).alias("h"),
+        F.col("n").alias("n_prev"),
+    )
+    j = hourly.join(F.broadcast(prev), ["event_type", "h"]).select(
+        "event_type", "h", "n", "n_prev", (F.col("n") - F.col("n_prev")).alias("residual")
+    )
+    s = j.groupBy("event_type").agg(
+        F.sum(F.abs("residual")).alias("sum_abs"), F.count(F.lit(1)).alias("cnt")
+    )
+    return (
+        j.join(F.broadcast(s), "event_type")
+        .where(F.abs(F.col("residual")) * F.col("cnt") > 3 * F.col("sum_abs"))
+        .select(
+            "event_type",
+            F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("hour_ts"),
+            "n",
+            "n_prev",
+            "residual",
+        )
+    )
 
 
 from fdp_dynamically_controlled_streams_spark.operators import changepoint as cpt

@@ -516,3 +516,65 @@ def test_arrow_stats_single_declared_python_boundary(audits):
     assert a.n_python_evals >= 1
     assert a.joins == 0
     assert a.n_exchanges <= 2
+
+
+def test_frequent_pairs_broadcast_prune_no_selfjoin(audits):
+    a = audits("mining_frequent_part_pairs", execute=True)
+    # a-priori item prune is a broadcast semi join; pair generation is a
+    # per-basket HOF over ONE collected array — never a sort-merge
+    # self-join of the item table, never a nested loop.
+    assert a.n_broadcast_joins >= 1
+    assert a.n_sortmerge_joins == 0
+    assert a.n_nestedloop_joins == 0
+    assert a.n_python_evals == 0
+
+
+def test_mv_merge_pushdown_jvm_only(audits):
+    a = audits("mv_incremental_agg_merge", execute=True)
+    # base/delta segments are scan-level date filters; partial aggs merge
+    # via re-aggregation — no join anywhere, all JVM.
+    assert a.joins == 0
+    assert a.n_python_evals == 0
+    assert_pushed(a, "o_orderdate")
+
+
+def test_snapshot_diff_single_key_join(audits):
+    # static plan: the executed AQE text repeats Initial+Final subtrees,
+    # which would double-count the single join.
+    a = audits("cdc_snapshot_diff")
+    # one full-outer join on the key is the whole operator: change
+    # classification runs inside it, so exactly one join, no python.
+    assert a.joins == 1
+    assert a.n_nestedloop_joins == 0
+    assert a.n_python_evals == 0
+
+
+def test_point_in_time_snapshots_one_union_window(audits):
+    a = audits("cdc_point_in_time_snapshots", execute=True)
+    # PIT = change-log union probe-grid + last ignorenulls window: the
+    # as-of lookup costs window sorts on the entity key, never a range
+    # join per probe and never a python boundary.
+    assert a.n_nestedloop_joins == 0
+    assert a.n_python_evals == 0
+
+
+def test_seasonal_naive_broadcast_only_joins(audits):
+    # static plan (the executed AQE text repeats Initial+Final subtrees)
+    a = audits("ts_seasonal_naive_anomaly")
+    # hourly rollup output is ~timespan x types: the seasonal self-join
+    # and the threshold join must both broadcast — the raw events table
+    # is scanned once (checkpoint barrier) and shuffled once (the count
+    # groupBy); downstream branches read the materialized rollup, so no
+    # parquet scan appears in this plan at all.
+    assert a.n_broadcast_joins == 3
+    assert a.n_sortmerge_joins == 0
+    assert a.n_python_evals == 0
+    assert "Scan parquet" not in a.raw
+
+
+def test_hll_rollup_single_raw_scan_no_python(audits):
+    a = audits("sketch_hll_daily_rollup_users")
+    # registers + exact counts + merge level: everything is hash aggs and
+    # one small join; no python eval, no nested loop anywhere.
+    assert a.n_nestedloop_joins == 0
+    assert a.n_python_evals == 0

@@ -146,3 +146,31 @@ def test_cms_counters_merge_by_sum(spark):
     ca, cb, cu = counters(a), counters(b), counters(a.union(b))
     merged = {k: ca.get(k, 0) + cb.get(k, 0) for k in set(ca) | set(cb)}
     assert merged == cu
+
+
+def test_hll_rollup_all_row_equals_flat_sketch(spark):
+    """merge(day registers) == sketch(whole range): the ALL row of the
+    rollup must carry the IDENTICAL estimate as a single flat HLL over the
+    ungrouped values (max-merge is lossless)."""
+    from pyspark.sql import functions as F
+
+    from fdp_dynamically_controlled_streams_spark.operators.sketches import (
+        hll_distinct,
+        hll_rollup,
+    )
+
+    df = spark.range(0, 5000).select(
+        (F.col("id") % 7).cast("string").alias("g"),
+        (F.col("id") % 1311).alias("v"),
+    )
+    rolled = {
+        r.g: (r.n_exact, r.hll_estimate)
+        for r in hll_rollup(df, "g", "v").collect()
+    }
+    flat = hll_distinct(
+        df.select(F.lit("ALL").alias("g"), "v"), ["g"], "v"
+    ).collect()[0]
+    assert rolled["ALL"] == (flat.n_exact, flat.hll_estimate)
+    # every per-group row is present and exact counts are right
+    assert set(rolled) == {str(i) for i in range(7)} | {"ALL"}
+    assert rolled["ALL"][0] == 1311
