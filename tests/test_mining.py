@@ -1,0 +1,94 @@
+"""Laws for frequent-pair mining (operators/mining.py) and the snapshot-diff
+entry's classification semantics."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from fdp_dynamically_controlled_streams_spark.operators.mining import frequent_pairs
+
+
+def _rows(df):
+    return {tuple(r) for r in df.collect()}
+
+
+def test_pairs_ordered_and_counts_exact(spark):
+    # baskets: {1:ab, 2:ab, 3:abc, 4:c} -> ab:3, ac:1, bc:1
+    data = [(1, "a"), (1, "b"), (2, "a"), (2, "b"),
+            (3, "a"), (3, "b"), (3, "c"), (4, "c")]
+    df = spark.createDataFrame(data, ["bk", "it"])
+    out = _rows(frequent_pairs(df, "bk", "it", min_support=1))
+    assert out == {("a", "b", 3), ("a", "c", 1), ("b", "c", 1)}
+    # every pair is emitted once, in sorted (item_a < item_b) order
+    sup2 = _rows(frequent_pairs(df, "bk", "it", min_support=2))
+    assert sup2 == {("a", "b", 3)}
+
+
+def test_duplicate_basket_rows_count_once(spark):
+    # set semantics: repeated (basket, item) lines must not inflate support
+    data = [(1, "a"), (1, "a"), (1, "b"), (1, "b"), (2, "a"), (2, "b")]
+    df = spark.createDataFrame(data, ["bk", "it"])
+    assert _rows(frequent_pairs(df, "bk", "it", min_support=1)) == {
+        ("a", "b", 2)
+    }
+
+
+def test_basket_cap_drops_pathological_baskets(spark):
+    # one 5-item basket over a cap of 4 contributes nothing; the small
+    # basket still counts
+    big = [(1, f"x{i}") for i in range(5)]
+    small = [(2, "x0"), (2, "x1")]
+    df = spark.createDataFrame(big + small, ["bk", "it"])
+    out = _rows(
+        frequent_pairs(df, "bk", "it", min_support=1, max_basket_size=4)
+    )
+    assert out == {("x0", "x1", 1)}
+
+
+def test_prune_items_never_changes_the_answer(spark):
+    # a-priori pruning is an optimization, not a semantics change
+    data = [(b, f"i{(b * 7 + j) % 13}") for b in range(30) for j in range(4)]
+    df = spark.createDataFrame(data, ["bk", "it"])
+    on = _rows(frequent_pairs(df, "bk", "it", min_support=2, prune_items=True))
+    off = _rows(
+        frequent_pairs(df, "bk", "it", min_support=2, prune_items=False)
+    )
+    assert on == off and on
+
+
+def test_partitioning_invariance(spark):
+    data = [(b % 11, f"i{(b * 3) % 7}") for b in range(200)]
+    df = spark.createDataFrame(data, ["bk", "it"])
+    a = _rows(frequent_pairs(df, "bk", "it", min_support=2))
+    b = _rows(frequent_pairs(df.repartition(13, "it"), "bk", "it", min_support=2))
+    assert a == b
+
+
+def test_snapshot_diff_applying_changes_reproduces_v2(spark):
+    """Law: v1 patched by the diff classification == v2 exactly (the diff
+    carries everything needed to roll a snapshot forward)."""
+    from fdp_dynamically_controlled_streams_spark.queries import spark_queries
+
+    sf = "/root/testdata/sf0.001"
+    diff = spark_queries()["cdc_snapshot_diff"](spark, sf)
+    ev = (
+        spark.read.parquet(f"{sf}/events.parquet")
+        .selectExpr("event_id", "CAST(value AS DOUBLE) AS value")
+    )
+    v1 = ev.where("event_id % 10 <> 3")
+    v2 = ev.where("event_id % 10 <> 7").selectExpr(
+        "event_id",
+        "CASE WHEN event_id % 5 = 0 THEN value + 1.0 ELSE value END AS value",
+    )
+    removed = diff.where("change_type = 'removed'").select("event_id")
+    touched = diff.where("change_type IN ('added','updated')").select("event_id")
+    patched = (
+        v1.join(removed.union(touched), "event_id", "left_anti")
+        .unionByName(v2.join(touched, "event_id", "left_semi"))
+    )
+    assert _rows(patched) == _rows(v2)
+    # and the diff never emits an unchanged key
+    unchanged = v1.join(v2, ["event_id", "value"], "left_semi").select("event_id")
+    assert (
+        diff.join(unchanged, "event_id", "left_semi").count() == 0
+    )
