@@ -80,3 +80,65 @@ def frequent_pairs(
         .agg(F.count("*").alias("n_baskets"))
         .where(F.col("n_baskets") >= min_support)
     )
+
+
+def association_rules(
+    df: DataFrame,
+    basket: str,
+    item: str,
+    min_support: int = 2,
+    max_basket_size: int = 64,
+) -> DataFrame:
+    """Directed association rules A -> B from the frequent pairs: confidence
+    = sup(AB)/sup(A), lift = sup(AB)·N / (sup(A)·sup(B)).
+
+    Both metrics are a SINGLE IEEE division of exact integers (pair
+    support, item supports, basket count), so they are bit-identical
+    across engines. The basket total N is a one-row aggregate broadcast
+    as a scalar cross join (the established single-row-scalar idiom); item
+    supports join the (already support-filtered, hence bounded) rule set —
+    at corpus scale these are two key-shuffles over the RULE table, whose
+    size is bounded by the frequent-pair count, not the corpus.
+    """
+    items = df.select(F.col(basket).alias("bk"), F.col(item).alias("it")).distinct()
+    n_baskets = items.select("bk").distinct().agg(
+        F.count(F.lit(1)).alias("n_total")
+    )
+    sup = items.groupBy("it").agg(F.count(F.lit(1)).alias("sup"))
+    pairs = frequent_pairs(
+        df, basket, item, min_support=min_support,
+        max_basket_size=max_basket_size,
+    )
+    directed = pairs.select(
+        F.col("item_a").alias("antecedent"),
+        F.col("item_b").alias("consequent"),
+        "n_baskets",
+    ).unionByName(
+        pairs.select(
+            F.col("item_b").alias("antecedent"),
+            F.col("item_a").alias("consequent"),
+            "n_baskets",
+        )
+    )
+    return (
+        directed.join(sup.withColumnRenamed("it", "antecedent"), "antecedent")
+        .withColumnRenamed("sup", "sup_a")
+        .join(sup.withColumnRenamed("it", "consequent"), "consequent")
+        .withColumnRenamed("sup", "sup_b")
+        .crossJoin(F.broadcast(n_baskets))
+        .select(
+            "antecedent",
+            "consequent",
+            F.col("n_baskets").alias("n_both"),
+            "sup_a",
+            "sup_b",
+            F.round(F.col("n_baskets").cast("double") / F.col("sup_a"), 6).alias(
+                "confidence"
+            ),
+            F.round(
+                (F.col("n_baskets") * F.col("n_total")).cast("double")
+                / (F.col("sup_a") * F.col("sup_b")),
+                6,
+            ).alias("lift"),
+        )
+    )

@@ -4284,6 +4284,105 @@ def mining_frequent_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "mining_association_rules",
+    """
+WITH items AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it FROM lineitem),
+n AS (SELECT count(DISTINCT bk) AS n_total FROM items),
+sup AS (SELECT it, count(*) AS sup FROM items GROUP BY it),
+freq AS (SELECT it FROM sup WHERE sup >= 2),
+pruned AS (SELECT bk, it FROM items WHERE it IN (SELECT it FROM freq)),
+sized AS (SELECT bk FROM pruned GROUP BY bk HAVING count(*) BETWEEN 2 AND 64),
+base AS (SELECT p.bk, p.it FROM pruned p JOIN sized s USING (bk)),
+pairs AS (
+  SELECT a.it AS item_a, b.it AS item_b, count(*) AS n_both
+    FROM base a JOIN base b ON a.bk = b.bk AND a.it < b.it
+   GROUP BY a.it, b.it HAVING count(*) >= 2
+),
+directed AS (
+  SELECT item_a AS antecedent, item_b AS consequent, n_both FROM pairs
+  UNION ALL
+  SELECT item_b, item_a, n_both FROM pairs
+)
+SELECT d.antecedent, d.consequent, d.n_both, sa.sup AS sup_a, sb.sup AS sup_b,
+       round(CAST(d.n_both AS DOUBLE) / sa.sup, 6) AS confidence,
+       round(CAST(d.n_both * n.n_total AS DOUBLE) / (sa.sup * sb.sup), 6) AS lift
+  FROM directed d
+  JOIN sup sa ON sa.it = d.antecedent
+  JOIN sup sb ON sb.it = d.consequent
+  CROSS JOIN n
+""",
+    tags=("mining", "basket", "rules"),
+)
+def mining_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed association rules over the frequent pairs: confidence =
+    sup(A,B)/sup(A) and lift = sup(A,B)·N/(sup(A)·sup(B)), each ONE IEEE
+    division of exact integers so the metrics hash across engines. The
+    rule table is bounded by the frequent-pair count (not the corpus);
+    the basket total is the single-row scalar cross-join idiom
+    (operators/mining.py::association_rules)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return mining_ops.association_rules(
+        li, basket="l_orderkey", item="l_partkey", min_support=2,
+        max_basket_size=64,
+    )
+
+
+@query(
+    "er_golden_part_records",
+    """
+WITH RECURSIVE p AS (
+  SELECT a.p_partkey AS id_a, b.p_partkey AS id_b
+    FROM part a JOIN part b
+      ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+     AND a.p_partkey < b.p_partkey
+   WHERE levenshtein(a.p_name, b.p_name) <= 6
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM p
+  UNION
+  SELECT id_b, id_a FROM p
+),
+reach AS (
+  SELECT src AS id, src AS lbl FROM edges
+  UNION
+  SELECT e.dst AS id, r.lbl FROM reach r JOIN edges e ON e.src = r.id
+),
+comp AS (SELECT id, min(lbl) AS cluster_id FROM reach GROUP BY id)
+SELECT c.cluster_id, count(*) AS n_members,
+       min(CASE WHEN c.id = c.cluster_id THEN pt.p_name END) AS canonical_name,
+       round(CAST(sum(CAST(pt.p_retailprice AS DECIMAL(18,4))) AS DOUBLE), 2)
+         AS total_retail
+  FROM comp c JOIN part pt ON pt.p_partkey = c.id
+ GROUP BY c.cluster_id
+""",
+    tags=("entity_resolution", "dedup", "iterative"),
+)
+def er_golden_part_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution end-to-end: blocked fuzzy match (the
+    fuzzy_part_name_pairs join) -> connected components (log-round
+    large-star/small-star, dedup.py) -> GOLDEN RECORD per entity cluster
+    (canonical = min-id member, whose name rides a min_by — no second
+    join back to the pair graph). The duplicate-entity table is the
+    component output, sized by matched records only; the survivorship agg
+    is one groupBy on the cluster key. Composition of two existing
+    oracle-proven operators into the standard MDM shape."""
+    pairs = fuzzy_part_name_pairs(spark, sf_dir).select("id_a", "id_b")
+    comp = dedup_ops.connected_components(pairs, "id_a", "id_b")
+    pt = _t(spark, sf_dir, "part").select(
+        "p_partkey", "p_name", "p_retailprice"
+    )
+    return (
+        comp.join(pt, comp.id == pt.p_partkey)
+        .groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.min_by("p_name", "p_partkey").alias("canonical_name"),
+            _dsum(F.col("p_retailprice")).alias("total_retail"),
+        )
+    )
+
+
+@query(
     "mv_incremental_agg_merge",
     """
 SELECT strftime(o_orderdate, '%Y-%m') AS month, o_orderpriority,

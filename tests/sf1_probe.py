@@ -66,6 +66,12 @@ PROBE_ENTRIES = [
     # this session's replay/heavy additions
     "stream_ohlc_replay",
     "dedup_incremental_batch",
+    # session-3 additions with quadratic-risk or large-intermediate shapes:
+    # basket pair explosion, the per-user hourly probe grid (~10.5 M rows
+    # at sf1), and the full-table version diff
+    "mining_frequent_part_pairs",
+    "cdc_point_in_time_snapshots",
+    "cdc_snapshot_diff",
 ]
 
 _ALPHA = "abcdefghijklmnopqrstuvwxyz"

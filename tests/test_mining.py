@@ -92,3 +92,24 @@ def test_snapshot_diff_applying_changes_reproduces_v2(spark):
     assert (
         diff.join(unchanged, "event_id", "left_semi").count() == 0
     )
+
+
+def test_association_rules_metrics_exact(spark):
+    # baskets: 1:ab 2:ab 3:ab 4:ac 5:a -> N=5, sup a=5 b=3 c=1; pair ab:3
+    data = [(1, "a"), (1, "b"), (2, "a"), (2, "b"), (3, "a"), (3, "b"),
+            (4, "a"), (4, "c"), (5, "a")]
+    from fdp_dynamically_controlled_streams_spark.operators.mining import (
+        association_rules,
+    )
+
+    df = spark.createDataFrame(data, ["bk", "it"])
+    out = {
+        (r.antecedent, r.consequent): (r.n_both, r.sup_a, r.sup_b,
+                                       r.confidence, r.lift)
+        for r in association_rules(df, "bk", "it", min_support=2).collect()
+    }
+    # a->b: conf 3/5, lift 3*5/(5*3)=1.0 ; b->a: conf 3/3=1, lift 1.0
+    assert out == {
+        ("a", "b"): (3, 5, 3, 0.6, 1.0),
+        ("b", "a"): (3, 3, 5, 1.0, 1.0),
+    }

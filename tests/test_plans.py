@@ -578,3 +578,19 @@ def test_hll_rollup_single_raw_scan_no_python(audits):
     # one small join; no python eval, no nested loop anywhere.
     assert a.n_nestedloop_joins == 0
     assert a.n_python_evals == 0
+
+
+def test_association_rules_single_scalar_nlj(audits):
+    a = audits("mining_association_rules")
+    # the only nested loop is the 1-row basket-total scalar cross join
+    # (the established scalar idiom); support joins are key joins.
+    assert a.n_nestedloop_joins == 1
+    assert a.n_python_evals == 0
+
+
+def test_golden_records_no_python_no_cartesian(audits):
+    a = audits("er_golden_part_records")
+    # blocked pair join + component labels + one survivorship groupBy:
+    # everything JVM-side, no cartesian anywhere.
+    assert a.n_nestedloop_joins == 0
+    assert a.n_python_evals == 0

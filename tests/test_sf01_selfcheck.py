@@ -54,6 +54,9 @@ PRICIEST = [
     "ann_ivf_pq_rerank_topk",
     "graph_bfs_supplier_reach",
     "text_feature_hashing",
+    # session-3 additions heavy enough to matter at the bench SF
+    "mining_frequent_part_pairs",
+    "cdc_point_in_time_snapshots",
 ]
 
 pytestmark = pytest.mark.skipif(
