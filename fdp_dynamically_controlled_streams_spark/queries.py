@@ -4436,6 +4436,82 @@ def mv_incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "stream_mv_agg_replay",
+    """
+SELECT event_type, count(*) AS n_events,
+       round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 2) AS total_value
+  FROM events GROUP BY event_type
+""",
+    tags=("streaming", "incremental", "materialized_view"),
+)
+def stream_mv_agg_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING materialized-view maintenance — the live twin of
+    mv_incremental_agg_merge: a non-windowed global rollup maintained
+    across micro-batches (streaming groupBy state in update mode) and
+    merged into a versioned latest-wins snapshot by the idempotent
+    foreachBatch upsert sink (merge.py::upsert_sink — replayed batches
+    rebuild the exact snapshot, so the MV survives failure mid-stream).
+    The final snapshot must equal the from-scratch batch aggregation —
+    the oracle recomputes exactly that. Update mode re-emits only
+    CHANGED keys per batch; order_by = the cumulative count, which is
+    strictly increasing for any emitted key, so latest-wins picks every
+    batch's newest totals. Sums ride exact DECIMAL(18,4): merge order
+    cannot perturb the hash."""
+    import tempfile
+
+    from fdp_dynamically_controlled_streams_spark.operators.merge import (
+        read_snapshot,
+        upsert_sink,
+    )
+    from fdp_dynamically_controlled_streams_spark.sources.registry import (
+        cached_fixture,
+        replay_dir,
+        write_replay_chunks_df,
+    )
+
+    events = _t(spark, sf_dir, "events")
+    fix = cached_fixture(
+        "events_ts_value_2chunks",
+        sf_dir,
+        lambda p: write_replay_chunks_df(
+            events.select("ts", "event_id", "event_type", "value"),
+            f"{p}/data",
+            n_chunks=2,
+            order_cols=("ts", "event_id"),
+        ),
+    )
+    tmp = tempfile.mkdtemp(prefix="dcs-mv-")
+    stream = replay_dir(
+        spark,
+        f"{fix}/data",
+        "ts timestamp, event_id long, event_type string, value double",
+        files_per_trigger=1,
+    )
+    agg = stream.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,4)")).alias("_sum"),
+    )
+    table = f"{tmp}/mv"
+    with _replay_conf(spark, partitions=8):
+        q = (
+            agg.writeStream.outputMode("update")
+            .foreachBatch(
+                upsert_sink(spark, table, ["event_type"], ["n_events"])
+            )
+            .option("checkpointLocation", f"{tmp}/chk")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    snap = read_snapshot(spark, table)
+    return snap.select(
+        "event_type",
+        "n_events",
+        F.round(F.col("_sum").cast("double"), 2).alias("total_value"),
+    )
+
+
 # =========================================================================
 # 17. Multi-resolution time rollup (operators/rollup_time.py)
 # =========================================================================

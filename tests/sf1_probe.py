@@ -72,6 +72,7 @@ PROBE_ENTRIES = [
     "mining_frequent_part_pairs",
     "cdc_point_in_time_snapshots",
     "cdc_snapshot_diff",
+    "stream_mv_agg_replay",
 ]
 
 _ALPHA = "abcdefghijklmnopqrstuvwxyz"

@@ -57,6 +57,7 @@ PRICIEST = [
     # session-3 additions heavy enough to matter at the bench SF
     "mining_frequent_part_pairs",
     "cdc_point_in_time_snapshots",
+    "stream_mv_agg_replay",
 ]
 
 pytestmark = pytest.mark.skipif(
