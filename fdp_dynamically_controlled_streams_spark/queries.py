@@ -2002,6 +2002,104 @@ from fdp_dynamically_controlled_streams_spark.operators import clustering as clu
 from fdp_dynamically_controlled_streams_spark.operators import graph as gph
 
 
+_NEG_HASH = portable_hash64_sql(
+    "CAST(p.probe_id AS VARCHAR) || '-' || CAST(p.cand_id AS VARCHAR)"
+)
+
+@query(
+    "retrieval_negative_sampling",
+    f"""
+WITH probes AS (
+  SELECT vec_id AS probe_id, embedding AS probe_vec FROM embeddings
+   WHERE vec_id IN ({_PROBE_LIST})
+),
+scored AS (
+  SELECT p.probe_id, c.vec_id AS cand_id,
+         round({cosine_sql("p.probe_vec", "c.embedding")}, 6) AS score
+    FROM probes p JOIN embeddings c ON c.vec_id != p.probe_id
+),
+pos AS (
+  SELECT probe_id, cand_id, rank FROM (
+    SELECT probe_id, cand_id,
+           row_number() OVER (PARTITION BY probe_id ORDER BY score DESC, cand_id) AS rank
+      FROM scored
+  ) WHERE rank <= 5
+),
+pool AS (
+  SELECT p.probe_id, p.cand_id, {_NEG_HASH} AS h
+    FROM (SELECT pr.probe_id, c.vec_id AS cand_id
+            FROM probes pr JOIN embeddings c ON c.vec_id != pr.probe_id) p
+    LEFT JOIN pos ON pos.probe_id = p.probe_id AND pos.cand_id = p.cand_id
+   WHERE pos.cand_id IS NULL
+),
+negs AS (
+  SELECT probe_id, cand_id,
+         row_number() OVER (PARTITION BY probe_id ORDER BY h, cand_id) AS rnk
+    FROM pool
+)
+SELECT probe_id, cand_id AS vec_id, 1 AS label, rank AS sample_rank FROM pos
+UNION ALL
+SELECT probe_id, cand_id, 0, rnk FROM negs WHERE rnk <= 10
+""",
+    tags=("retrieval", "training_set", "sampling"),
+)
+def retrieval_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive training-set construction for retrieval models: per
+    probe, the exact top-5 neighbors become POSITIVES and 10 deterministic
+    hash-drawn non-neighbors become NEGATIVES (uniform over the corpus,
+    seeded by the (probe, candidate) pair hash — reproducible on any
+    cluster/partitioning, the same property as every sampling gate in
+    operators/sampling.py). Positives are excluded from the negative pool
+    by an anti-join, so a label can never be both. The tiny positive set
+    is localCheckpointed (40 rows) — the union and anti-join branches must
+    not re-run the corpus-scoring subplan. At 100 TB the negative pool
+    rides the broadcast-probes × corpus join (probes are the tiny side,
+    corpus never shuffles) and the per-probe bottom-k is one window."""
+    e = _t(spark, sf_dir, "embeddings")
+    pos = (
+        sim_ops.brute_force_topk(e, _PROBE_IDS, k=5)
+        .select("probe_id", "cand_id", F.col("rank").alias("sample_rank"))
+        .localCheckpoint()
+    )
+    probes = e.where(F.col("vec_id").isin(_PROBE_IDS)).select(
+        F.col("vec_id").alias("probe_id")
+    )
+    cand = F.broadcast(probes).join(
+        e.select(F.col("vec_id").alias("cand_id")),
+        F.col("probe_id") != F.col("cand_id"),
+    )
+    # checkpointed frames lose size stats -> broadcast the 40-row side
+    # explicitly or the anti-join plans a corpus sort-merge
+    pool = cand.join(F.broadcast(pos), ["probe_id", "cand_id"], "left_anti").select(
+        "probe_id",
+        "cand_id",
+        portable_hash64(
+            F.concat(
+                F.col("probe_id").cast("string"),
+                F.lit("-"),
+                F.col("cand_id").cast("string"),
+            )
+        ).alias("h"),
+    )
+    w = Window.partitionBy("probe_id").orderBy("h", "cand_id")
+    negs = (
+        pool.select("*", F.row_number().over(w).alias("rnk"))
+        .where(F.col("rnk") <= 10)
+        .select(
+            "probe_id",
+            F.col("cand_id").alias("vec_id"),
+            F.lit(0).alias("label"),
+            F.col("rnk").alias("sample_rank"),
+        )
+    )
+    return pos.select(
+        "probe_id",
+        F.col("cand_id").alias("vec_id"),
+        F.lit(1).alias("label"),
+        "sample_rank",
+    ).unionByName(negs)
+
+
 @query(
     "fuzzy_part_name_pairs",
     """
@@ -3935,6 +4033,131 @@ def quality_trimmed_mean_value(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (F.sum("vc").cast("double") / F.count(F.lit(1))) / F.lit(100.0), 6
             ).alias("trimmed_mean"),
         )
+    )
+
+
+@query(
+    "feature_target_encoding_loo",
+    """
+WITH pc AS (
+  SELECT o_orderkey, o_orderpriority,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+    FROM orders
+),
+g AS (
+  SELECT o_orderpriority, sum(cents) AS s, count(*) AS n
+    FROM pc GROUP BY o_orderpriority
+)
+SELECT pc.o_orderkey, pc.o_orderpriority,
+       CASE WHEN g.n > 1
+            THEN round(CAST(g.s - pc.cents AS DOUBLE) / (g.n - 1) / 100.0, 6)
+       END AS loo_mean_price
+  FROM pc JOIN g USING (o_orderpriority)
+""",
+    tags=("feature", "encoding", "leakage"),
+)
+def feature_target_encoding_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEAVE-ONE-OUT target encoding — the leakage-aware categorical
+    encoder (a row must never see its own target): per-category mean of
+    the target EXCLUDING the row itself, computed as (Σ_g − y_i)/(n_g − 1)
+    from ONE group aggregate broadcast back onto the scan — never a
+    per-row window over the category (which would sort the fact table) and
+    never n_g separate jobs. Exact-integer discipline: target → cents
+    bigint, so Σ_g − y_i is exact and the single division chain is
+    identical across engines. Single-member categories encode NULL (no
+    leakage-free estimate exists — the honest answer). Companion to
+    cdc_point_in_time_snapshots on the leakage axis: PIT guards the time
+    dimension, LOO guards the row dimension."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    g = o.groupBy(F.col("o_orderpriority").alias("_pr")).agg(
+        F.sum("cents").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    return o.join(F.broadcast(g), o.o_orderpriority == F.col("_pr")).select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.when(
+            F.col("n") > 1,
+            F.round(
+                (F.col("s") - F.col("cents")).cast("double")
+                / (F.col("n") - 1)
+                / F.lit(100.0),
+                6,
+            ),
+        ).alias("loo_mean_price"),
+    )
+
+
+@query(
+    "ts_ols_trend_user_value",
+    """
+WITH base AS (
+  SELECT user_id,
+         (epoch_us(ts) - min(epoch_us(ts)) OVER (PARTITION BY user_id))
+           // 1000000 AS x,
+         CAST(round(value * 100) AS BIGINT) AS y
+    FROM events
+),
+s AS (
+  SELECT user_id, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+         sum(x * y) AS sxy, sum(x * x) AS sxx
+    FROM base GROUP BY user_id
+)
+SELECT user_id, n,
+       round(CAST(n * sxy - sx * sy AS DOUBLE)
+             / nullif(n * sxx - sx * sx, 0), 6) AS slope_cents_per_sec,
+       round((CAST(sy AS DOUBLE)
+              - round(CAST(n * sxy - sx * sy AS DOUBLE)
+                      / nullif(n * sxx - sx * sx, 0), 6) * sx) / n, 6)
+         AS intercept_cents
+  FROM s
+""",
+    tags=("timeseries", "regression", "trend"),
+)
+def ts_ols_trend_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key closed-form OLS trend (slope/intercept of value over time):
+    the grouped-regression primitive for drift detection and per-entity
+    forecasting, computed from FIVE mergeable integer sums (n, Σx, Σy,
+    Σxy, Σx²) in one aggregation — never an iterative solver, never a
+    per-key collect. Exact-integer discipline end-to-end: x = seconds
+    since the key's first event (micros subtracted as int64 BEFORE the
+    ÷10⁶ floor-division, so a 2262-capped epoch never overflows and both
+    engines truncate identically), y = cents; the normal-equation
+    numerator/denominator are exact bigint, leaving ONE rounded IEEE
+    division (+ one for the intercept, reusing the rounded slope so both
+    engines compute from identical doubles). Degenerate keys (all events
+    in one second) yield NULL slope via nullif. One window + one groupBy
+    on the same key = one shuffle."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    base = ev.select(
+        "user_id",
+        F.expr(
+            "(unix_micros(ts) - min(unix_micros(ts)) OVER "
+            "(PARTITION BY user_id)) div 1000000"
+        ).alias("x"),
+        F.round(F.col("value") * 100).cast("bigint").alias("y"),
+    )
+    s = base.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.nullif(F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"), F.lit(0))
+    slope = F.round(num.cast("double") / den, 6)
+    return s.select(
+        "user_id",
+        "n",
+        slope.alias("slope_cents_per_sec"),
+        F.round(
+            (F.col("sy").cast("double") - slope * F.col("sx")) / F.col("n"), 6
+        ).alias("intercept_cents"),
     )
 
 

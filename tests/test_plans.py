@@ -594,3 +594,31 @@ def test_golden_records_no_python_no_cartesian(audits):
     # everything JVM-side, no cartesian anywhere.
     assert a.n_nestedloop_joins == 0
     assert a.n_python_evals == 0
+
+
+def test_target_encoding_broadcast_not_window(audits):
+    a = audits("feature_target_encoding_loo", execute=True)
+    # LOO = one group agg broadcast back; a per-row window over the
+    # category (full fact sort) must NOT appear.
+    assert "Window" not in a.raw
+    assert a.n_sortmerge_joins == 0
+    assert a.n_python_evals == 0
+
+
+def test_ols_trend_single_key_shuffle(audits):
+    # static plan (executed AQE text repeats Initial+Final subtrees)
+    a = audits("ts_ols_trend_user_value")
+    # window min + five-sum groupBy share the user_id partitioning:
+    # exactly one exchange, no joins, all JVM.
+    assert a.n_exchanges == 1
+    assert a.joins == 0
+    assert a.n_python_evals == 0
+
+
+def test_negative_sampling_no_corpus_shuffle_rescan(audits):
+    a = audits("retrieval_negative_sampling")
+    # probes broadcast against the corpus on both branches; positives are
+    # a 40-row checkpoint, so the scoring subplan appears nowhere twice
+    # and the corpus never sort-merges.
+    assert a.n_sortmerge_joins == 0
+    assert a.n_python_evals == 0
