@@ -4125,12 +4125,17 @@ def ts_ols_trend_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-key collect. Exact-integer discipline end-to-end: x = seconds
     since the key's first event (micros subtracted as int64 BEFORE the
     ÷10⁶ floor-division, so a 2262-capped epoch never overflows and both
-    engines truncate identically), y = cents; the normal-equation
-    numerator/denominator are exact bigint, leaving ONE rounded IEEE
-    division (+ one for the intercept, reusing the rounded slope so both
-    engines compute from identical doubles). Degenerate keys (all events
-    in one second) yield NULL slope via nullif. One window + one groupBy
-    on the same key = one shuffle."""
+    engines truncate identically), y = cents. PER-ROW products fit int64
+    with huge margin (x ≤ ~10⁹ s, y ≤ ~10⁹ cents ⇒ xy ≤ 10¹⁸), but the
+    per-key SUMS accumulate in DECIMAL(38,0): a key with 10⁵ events
+    spanning years drives Σx² past int64, and DuckDB widens BIGINT sums
+    to HUGEINT natively — decimal is both the overflow-safe and the
+    parity-exact choice. The normal-equation numerator/denominator stay
+    exact, leaving ONE rounded IEEE division (+ one for the intercept,
+    reusing the rounded slope so both engines compute from identical
+    doubles). Degenerate keys (all events in one second) yield NULL
+    slope via nullif. One window + one groupBy on the same key = one
+    shuffle."""
     ev = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id")
     base = ev.select(
@@ -4141,12 +4146,16 @@ def ts_ols_trend_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("x"),
         F.round(F.col("value") * 100).cast("bigint").alias("y"),
     )
+
+    def d38(c):
+        return c.cast("decimal(38,0)")
+
     s = base.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum("x").alias("sx"),
-        F.sum("y").alias("sy"),
-        F.sum(F.col("x") * F.col("y")).alias("sxy"),
-        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(d38(F.col("x"))).alias("sx"),
+        F.sum(d38(F.col("y"))).alias("sy"),
+        F.sum(d38(F.col("x") * F.col("y"))).alias("sxy"),
+        F.sum(d38(F.col("x") * F.col("x"))).alias("sxx"),
     )
     num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
     den = F.nullif(F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"), F.lit(0))
