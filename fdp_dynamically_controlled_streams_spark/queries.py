@@ -4435,7 +4435,8 @@ SELECT coalesce(v1.event_id, v2.event_id) AS event_id,
             WHEN v2.event_id IS NULL THEN 'removed'
             ELSE 'updated' END AS change_type
   FROM v1 FULL OUTER JOIN v2 ON v1.event_id = v2.event_id
- WHERE v1.event_id IS NULL OR v2.event_id IS NULL OR v1.value <> v2.value
+ WHERE v1.event_id IS NULL OR v2.event_id IS NULL
+    OR v1.value IS DISTINCT FROM v2.value
 """,
     tags=("cdc", "diff"),
 )
@@ -4448,7 +4449,12 @@ def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     before the sink. The two versions are derived deterministically from
     `events` (v2 drops ~10% of v1's keys, adds ~10% new ones, and bumps
     value on the 5-divisible keys) so the oracle twin sees identical
-    inputs. Real deployments feed storage-level snapshots here; partition
+    inputs. The value compare is NULL-SAFE (IS DISTINCT FROM /
+    eqNullSafe) — a plain != returns NULL for a NULL->value transition
+    and would silently drop that update; current fixtures carry no NULLs,
+    which is precisely the parity-hides-it trap the k-anonymity advice
+    caught, so the general operator uses the null-safe form in both
+    engines. Real deployments feed storage-level snapshots here; partition
     pruning on unchanged partitions (layout.py z-order + min/max stats)
     then skips the untouched bulk before this join ever runs."""
     ev = _t(spark, sf_dir, "events").select("event_id", "value")
@@ -4465,7 +4471,7 @@ def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.where(
         F.col("a.event_id").isNull()
         | F.col("b.event_id").isNull()
-        | (F.col("a.value") != F.col("b.value"))
+        | ~F.col("a.value").eqNullSafe(F.col("b.value"))
     ).select(
         F.coalesce(F.col("a.event_id"), F.col("b.event_id")).alias("event_id"),
         F.when(F.col("a.event_id").isNull(), F.lit("added"))

@@ -113,3 +113,35 @@ def test_association_rules_metrics_exact(spark):
         ("a", "b"): (3, 5, 3, 0.6, 1.0),
         ("b", "a"): (3, 3, 5, 1.0, 1.0),
     }
+
+
+def test_snapshot_diff_null_transitions_are_updates(spark):
+    """NULL->value and value->NULL transitions between versions must
+    classify as 'updated' (null-safe compare), and NULL==NULL as
+    unchanged — the diff logic replicated on a hand-built frame."""
+    from pyspark.sql import functions as F
+
+    v1 = spark.createDataFrame(
+        [(1, None), (2, 5.0), (3, None), (4, 7.0)],
+        "event_id bigint, value double",
+    )
+    v2 = spark.createDataFrame(
+        [(1, 9.0), (2, None), (3, None), (4, 7.0)],
+        "event_id bigint, value double",
+    )
+    j = v1.alias("a").join(
+        v2.alias("b"), F.col("a.event_id") == F.col("b.event_id"), "full_outer"
+    )
+    out = j.where(
+        F.col("a.event_id").isNull()
+        | F.col("b.event_id").isNull()
+        | ~F.col("a.value").eqNullSafe(F.col("b.value"))
+    ).select(
+        F.coalesce(F.col("a.event_id"), F.col("b.event_id")).alias("event_id"),
+        F.when(F.col("a.event_id").isNull(), F.lit("added"))
+        .when(F.col("b.event_id").isNull(), F.lit("removed"))
+        .otherwise(F.lit("updated"))
+        .alias("change_type"),
+    )
+    got = {(r.event_id, r.change_type) for r in out.collect()}
+    assert got == {(1, "updated"), (2, "updated")}
