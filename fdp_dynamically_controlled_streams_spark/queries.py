@@ -4052,7 +4052,7 @@ SELECT pc.o_orderkey, pc.o_orderpriority,
        CASE WHEN g.n > 1
             THEN round(CAST(g.s - pc.cents AS DOUBLE) / (g.n - 1) / 100.0, 6)
        END AS loo_mean_price
-  FROM pc JOIN g USING (o_orderpriority)
+  FROM pc JOIN g ON g.o_orderpriority IS NOT DISTINCT FROM pc.o_orderpriority
 """,
     tags=("feature", "encoding", "leakage"),
 )
@@ -4065,7 +4065,11 @@ def feature_target_encoding_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
     never n_g separate jobs. Exact-integer discipline: target → cents
     bigint, so Σ_g − y_i is exact and the single division chain is
     identical across engines. Single-member categories encode NULL (no
-    leakage-free estimate exists — the honest answer). Companion to
+    leakage-free estimate exists — the honest answer). The category join
+    is NULL-SAFE (eqNullSafe / IS NOT DISTINCT FROM): a plain equi-join
+    would silently DROP rows whose category is NULL instead of encoding
+    the NULL category as its own group — the parity-hides-it NULL trap,
+    fixed preemptively in both engines. Companion to
     cdc_point_in_time_snapshots on the leakage axis: PIT guards the time
     dimension, LOO guards the row dimension."""
     o = _t(spark, sf_dir, "orders").select(
@@ -4076,7 +4080,9 @@ def feature_target_encoding_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = o.groupBy(F.col("o_orderpriority").alias("_pr")).agg(
         F.sum("cents").alias("s"), F.count(F.lit(1)).alias("n")
     )
-    return o.join(F.broadcast(g), o.o_orderpriority == F.col("_pr")).select(
+    return o.join(
+        F.broadcast(g), o.o_orderpriority.eqNullSafe(F.col("_pr"))
+    ).select(
         "o_orderkey",
         "o_orderpriority",
         F.when(

@@ -145,3 +145,26 @@ def test_snapshot_diff_null_transitions_are_updates(spark):
     )
     got = {(r.event_id, r.change_type) for r in out.collect()}
     assert got == {(1, "updated"), (2, "updated")}
+
+
+def test_loo_encoding_null_category_is_its_own_group(spark):
+    """NULL categories must form their own LOO group (null-safe join), not
+    vanish from the output."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, None, 100), (2, None, 300), (3, "a", 500), (4, "a", 700)],
+        "k bigint, cat string, cents bigint",
+    )
+    g = df.groupBy(F.col("cat").alias("_c")).agg(
+        F.sum("cents").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    out = df.join(F.broadcast(g), df.cat.eqNullSafe(F.col("_c"))).select(
+        "k",
+        F.when(
+            F.col("n") > 1,
+            (F.col("s") - F.col("cents")).cast("double") / (F.col("n") - 1),
+        ).alias("loo"),
+    )
+    got = {r.k: r.loo for r in out.collect()}
+    assert got == {1: 300.0, 2: 100.0, 3: 700.0, 4: 500.0}
