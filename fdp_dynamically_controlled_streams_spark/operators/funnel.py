@@ -157,3 +157,30 @@ def retention_cohorts(
             6,
         ),
     )
+
+
+def time_to_convert(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    steps: list[str],
+    max_span: str | None = None,
+) -> DataFrame:
+    """Per-user conversion latency: for users who completed the WHOLE
+    funnel, the integer seconds from step 1 to the final step.
+
+    Pure projection over :func:`funnel_steps` — the latency metric costs
+    the same single shuffle as the funnel itself. The delta is computed
+    micros-first ((unix_micros(last) - unix_micros(first)) div 10^6), so
+    both engines truncate identically regardless of sub-second stamps."""
+    per = funnel_steps(df, user_col, ts_col, type_col, steps, max_span)
+    first, last = "step1_ts", f"step{len(steps)}_ts"
+    return per.where(F.col(last).isNotNull()).select(
+        user_col,
+        F.col(first).alias("first_ts"),
+        F.col(last).alias("converted_ts"),
+        F.expr(
+            f"(unix_micros({last}) - unix_micros({first})) div 1000000"
+        ).alias("delta_sec"),
+    )

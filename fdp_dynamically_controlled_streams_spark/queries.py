@@ -6765,6 +6765,52 @@ def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "funnel_time_to_convert",
+    """
+WITH s1 AS (
+  SELECT user_id, ts, event_type,
+         min(CASE WHEN event_type = 'view' THEN ts END)
+           OVER (PARTITION BY user_id) AS t1
+    FROM events
+), s2 AS (
+  SELECT *,
+         min(CASE WHEN event_type = 'purchase' AND ts >= t1
+                       AND ts <= t1 + INTERVAL 7 DAY THEN ts END)
+           OVER (PARTITION BY user_id) AS t2
+    FROM s1
+), per AS (
+  SELECT DISTINCT user_id, t1, t2 FROM s2 WHERE t1 IS NOT NULL
+)
+SELECT user_id, strftime(t1, '%Y-%m-%d %H:%M:%S') AS first_ts,
+       strftime(t2, '%Y-%m-%d %H:%M:%S') AS converted_ts,
+       (epoch_us(t2) - epoch_us(t1)) // 1000000 AS delta_sec
+  FROM per WHERE t2 IS NOT NULL
+""",
+    tags=("analytics", "funnel", "latency"),
+)
+def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion latency: integer seconds from first view to the first
+    purchase within 7 days, for converted users — a pure projection over
+    the funnel's conditional-min windows, so the latency metric costs the
+    SAME single events shuffle as the funnel report (no extra join pass).
+    Micros-first subtraction before the ÷10⁶ floor division keeps the
+    delta engine-exact (operators/funnel.py::time_to_convert)."""
+    ev = _t(spark, sf_dir, "events")
+    out = funnel_ops.time_to_convert(
+        ev, "user_id", "ts", "event_type", ["view", "purchase"],
+        max_span="7 days",
+    )
+    return out.select(
+        "user_id",
+        F.date_format("first_ts", "yyyy-MM-dd HH:mm:ss").alias("first_ts"),
+        F.date_format("converted_ts", "yyyy-MM-dd HH:mm:ss").alias(
+            "converted_ts"
+        ),
+        "delta_sec",
+    )
+
+
+@query(
     "retention_daily_cohorts",
     """
 WITH act AS (

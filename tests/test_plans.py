@@ -622,3 +622,12 @@ def test_negative_sampling_no_corpus_shuffle_rescan(audits):
     # and the corpus never sort-merges.
     assert a.n_sortmerge_joins == 0
     assert a.n_python_evals == 0
+
+
+def test_time_to_convert_single_shuffle(audits):
+    a = audits("funnel_time_to_convert")
+    # latency = projection over the funnel windows: one events shuffle,
+    # no join pass, all JVM.
+    assert a.n_exchanges == 1
+    assert a.joins == 0
+    assert a.n_python_evals == 0
