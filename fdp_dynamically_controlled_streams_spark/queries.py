@@ -4176,6 +4176,67 @@ def ts_ols_trend_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Benford expected first-digit shares log10(1+1/d), materialized ONCE in
+#: Python and inlined as the same literal into both engines — the
+#: transcendental never evaluates inside either engine (the bigram-LM
+#: discipline: no cross-libm log in the query path).
+# NOTE: wrapped in CAST(... AS DOUBLE): Spark parses bare decimal literals
+# as DECIMAL where DuckDB parses DOUBLE; the cast round-trips exactly
+# (repr() emits the shortest digits that reproduce the double).
+_BENFORD_CASE = "CAST(CASE digit " + " ".join(
+    f"WHEN '{d}' THEN {__import__('math').log10(1 + 1 / d)!r}" for d in range(1, 10)
+) + " END AS DOUBLE)"
+
+@query(
+    "quality_benford_first_digit",
+    f"""
+WITH digits AS (
+  SELECT substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR), 1, 1)
+           AS digit
+    FROM orders WHERE o_totalprice > 0
+),
+c AS (SELECT digit, count(*) AS n FROM digits GROUP BY digit),
+t AS (SELECT sum(n) AS total FROM c)
+SELECT digit, n,
+       round(CAST(n AS DOUBLE) / total, 6) AS observed,
+       round({_BENFORD_CASE}, 6) AS expected,
+       round(abs(CAST(n AS DOUBLE) / total - {_BENFORD_CASE}), 6) AS deviation
+  FROM c CROSS JOIN t
+""",
+    tags=("quality", "audit", "benford"),
+)
+def quality_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit of order amounts — the classic
+    fabricated-data / unit-mixing detector for financial columns. First
+    digits come from the integer-cents STRING (never from formatting a
+    double, whose text differs across engines); the nine expected shares
+    log10(1+1/d) are computed once in Python and inlined as identical
+    literals in both engines, so no transcendental evaluates in either
+    query path (the bigram-LM discipline). One count shuffle over a
+    9-value key + the single-row total via the scalar cross-join idiom —
+    output is 9 rows regardless of input volume."""
+    o = _t(spark, sf_dir, "orders").where(F.col("o_totalprice") > 0)
+    digits = o.select(
+        F.substring(
+            F.round(F.col("o_totalprice") * 100).cast("bigint").cast("string"),
+            1,
+            1,
+        ).alias("digit")
+    )
+    c = digits.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    t = c.agg(F.sum("n").alias("total"))
+    expected = F.expr(_BENFORD_CASE)
+    return c.crossJoin(F.broadcast(t)).select(
+        "digit",
+        "n",
+        F.round(F.col("n").cast("double") / F.col("total"), 6).alias("observed"),
+        F.round(expected, 6).alias("expected"),
+        F.round(
+            F.abs(F.col("n").cast("double") / F.col("total") - expected), 6
+        ).alias("deviation"),
+    )
+
+
 @query(
     "quality_profile_orders",
     qual.profile_table_sql("orders", _ORDERS_PROFILE_COLS),
@@ -4421,6 +4482,73 @@ def cdc_point_in_time_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pit.select(
         "user_id",
         F.date_format("snap", "yyyy-MM-dd HH:mm:ss").alias("snapshot_ts"),
+        F.col("event_type").alias("state_event_type"),
+    )
+
+
+@query(
+    "join_orders_scd2_state",
+    """
+WITH ordered AS (
+  SELECT user_id, event_type, ts,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+    FROM events
+),
+hist AS (
+  SELECT user_id, event_type, ts AS vf
+    FROM ordered WHERE prev IS NULL OR event_type <> prev
+),
+unified AS (
+  SELECT user_id AS k, vf AS t, 0 AS side,
+         CAST(NULL AS BIGINT) AS o_orderkey, CAST(NULL AS TIMESTAMP) AS od,
+         event_type
+    FROM hist
+  UNION ALL
+  SELECT o_custkey, o_orderdate, 1, o_orderkey, o_orderdate, NULL FROM orders
+),
+prop AS (
+  SELECT k, side, o_orderkey, od,
+         last_value(event_type IGNORE NULLS) OVER
+           (PARTITION BY k ORDER BY t, side
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS st
+    FROM unified
+)
+SELECT o_orderkey, k AS user_id, strftime(od, '%Y-%m-%d') AS order_date,
+       st AS state_event_type
+  FROM prop WHERE side = 1
+""",
+    tags=("join", "temporal", "scd2", "asof"),
+)
+def join_orders_scd2_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE warehouse temporal join: facts against an SCD2 dimension AS OF
+    each fact's own timestamp (orders × the per-user state history) —
+    the PIT kernel fed by a real fact table instead of a snapshot grid.
+    One union + one last-ignorenulls window on the entity key = ONE
+    shuffle for any fact volume; never a range join per fact row, never
+    a BETWEEN valid_from AND valid_to band join (which Spark would plan
+    as a broadcast nested loop over the whole history). Facts whose key
+    has no dimension history (o_custkey beyond the user domain) and
+    facts before the key's first change carry NULL state — left-join
+    semantics, no rows lost."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    hist = merge_ops.scd2_history(
+        ev, ["user_id"], "ts", ["event_type"], tie_break=["event_id"]
+    ).select("user_id", F.col("valid_from").alias("vf"), "event_type")
+    facts = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_custkey").alias("user_id"),
+        F.col("o_orderdate").alias("od"),
+    )
+    j = asof_ops.asof_join(
+        facts, hist, on="user_id", left_time="od", right_time="vf",
+        payload=["event_type"],
+    )
+    return j.select(
+        "o_orderkey",
+        "user_id",
+        F.date_format("od", "yyyy-MM-dd").alias("order_date"),
         F.col("event_type").alias("state_event_type"),
     )
 

@@ -73,6 +73,7 @@ PROBE_ENTRIES = [
     "cdc_point_in_time_snapshots",
     "cdc_snapshot_diff",
     "stream_mv_agg_replay",
+    "mining_association_rules",
 ]
 
 _ALPHA = "abcdefghijklmnopqrstuvwxyz"

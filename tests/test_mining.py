@@ -168,3 +168,45 @@ def test_loo_encoding_null_category_is_its_own_group(spark):
     )
     got = {r.k: r.loo for r in out.collect()}
     assert got == {1: 300.0, 2: 100.0, 3: 700.0, 4: 500.0}
+
+
+def test_frequent_pairs_matches_bruteforce_hypothesis(spark):
+    """Property: on random basket tables, frequent_pairs equals a Python
+    brute-force pair count under set semantics, for any support."""
+    from collections import Counter
+    from itertools import combinations
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=15, deadline=None)
+    @given(
+        rows=st.lists(
+            st.tuples(st.integers(0, 6), st.integers(0, 8)),
+            min_size=1, max_size=60,
+        ),
+        support=st.integers(1, 3),
+    )
+    def run(rows, support):
+        baskets = {}
+        for bk, it in rows:
+            baskets.setdefault(bk, set()).add(f"i{it}")
+        expected = Counter()
+        for its in baskets.values():
+            for a, b in combinations(sorted(its), 2):
+                expected[(a, b)] += 1
+        expected = {
+            (a, b, n) for (a, b), n in expected.items() if n >= support
+        }
+        df = spark.createDataFrame(
+            [(bk, f"i{it}") for bk, it in rows], ["bk", "it"]
+        )
+        got = {
+            tuple(r)
+            for r in frequent_pairs(
+                df, "bk", "it", min_support=support
+            ).collect()
+        }
+        assert got == expected
+
+    run()

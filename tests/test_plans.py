@@ -631,3 +631,20 @@ def test_time_to_convert_single_shuffle(audits):
     assert a.n_exchanges == 1
     assert a.joins == 0
     assert a.n_python_evals == 0
+
+
+def test_benford_single_count_shuffle(audits):
+    a = audits("quality_benford_first_digit")
+    # digit histogram: one groupBy exchange over a 9-value key; the total
+    # is the 1-row scalar nested loop; no python, pushdown on the amount.
+    assert a.n_nestedloop_joins == 1
+    assert a.n_python_evals == 0
+    assert_pushed(a, "o_totalprice")
+
+
+def test_temporal_dim_join_is_union_window(audits):
+    a = audits("join_orders_scd2_state")
+    # facts x SCD2 as-of join: union + last-ignorenulls window — never a
+    # valid_from/valid_to band join (broadcast nested loop), no python.
+    assert a.n_nestedloop_joins == 0
+    assert a.n_python_evals == 0

@@ -58,6 +58,8 @@ PRICIEST = [
     "mining_frequent_part_pairs",
     "cdc_point_in_time_snapshots",
     "stream_mv_agg_replay",
+    "mining_association_rules",
+    "er_golden_part_records",
 ]
 
 pytestmark = pytest.mark.skipif(
