@@ -74,6 +74,7 @@ PROBE_ENTRIES = [
     "cdc_snapshot_diff",
     "stream_mv_agg_replay",
     "mining_association_rules",
+    "join_orders_scd2_state",
 ]
 
 _ALPHA = "abcdefghijklmnopqrstuvwxyz"

@@ -60,6 +60,7 @@ PRICIEST = [
     "stream_mv_agg_replay",
     "mining_association_rules",
     "er_golden_part_records",
+    "join_orders_scd2_state",
 ]
 
 pytestmark = pytest.mark.skipif(
