@@ -417,3 +417,115 @@ SELECT s.g AS {group_alias}, e.n_exact,
                                          AS DOUBLE)) - e.n_exact) / e.n_exact, 6) AS rel_err
 FROM sums s JOIN exact e USING (g)
 """
+
+
+def kmv_overlap(
+    a: DataFrame, b: DataFrame, value_col: str, k: int = 256
+) -> DataFrame:
+    """Theta-sketch set operations: estimate |A ∩ B| and |A ∪ B| from two
+    bottom-k hash sketches WITHOUT ever joining the raw sets — the
+    audience-overlap primitive (Dasgupta et al., "Theta-Sketch Framework").
+
+    θ = min(k-th smallest hash of A, of B); every hash below θ from either
+    side is a uniform sample of A ∪ B at rate θ/2^60, so
+
+        |A ∪ B| ≈ |{h < θ}| · 2^60/θ      |A ∩ B| ≈ |{h < θ on BOTH sides}| · 2^60/θ
+
+    Fully deterministic given the portable hash ⇒ the estimates hash-match
+    the SQL twin. Sides with < k distinct values give θ = 2^60 and the
+    estimates collapse to exact counts. Exact values are computed alongside
+    (affordable at test SF — the point of the sketch is that at 100 TB you
+    would NOT: two 256-row sketches answer the overlap question that would
+    otherwise cost a full distinct-join of both sets).
+
+    Scale shape: one distinct + one bottom-k window per side (the same
+    deduped-shuffle shape as kmv_distinct); everything after operates on
+    ≤ 2k rows, broadcast throughout. Returns ONE row:
+    (n_exact_inter, inter_estimate, rel_err_inter,
+     n_exact_union, union_estimate, rel_err_union)."""
+    if k < 2:
+        raise ValueError("k must be >= 2")
+    h = portable_hash64(F.col(value_col).cast("string"))
+    ha = a.select(F.lit("a").alias("s"), h.alias("h")).distinct()
+    hb = b.select(F.lit("b").alias("s"), h.alias("h")).distinct()
+    u = ha.unionByName(hb)
+    w = Window.partitionBy("s").orderBy("h")
+    ranked = u.withColumn("rk", F.row_number().over(w))
+    theta = (
+        ranked.groupBy("s")
+        .agg(F.max(F.when(F.col("rk") == k, F.col("h"))).alias("kth"))
+        .agg(F.min(F.coalesce("kth", F.lit(SPACE))).alias("theta"))
+    )
+    below = ranked.crossJoin(F.broadcast(theta)).where(
+        F.col("h") < F.col("theta")
+    )
+    nb = below.select("h").distinct().agg(F.count(F.lit(1)).alias("nb"))
+    nc = (
+        below.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("ns"))
+        .where(F.col("ns") == 2)
+        .agg(F.count(F.lit(1)).alias("nc"))
+    )
+    xu = u.select("h").distinct().agg(F.count(F.lit(1)).alias("xu"))
+    xi = (
+        u.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("ns"))
+        .where(F.col("ns") == 2)
+        .agg(F.count(F.lit(1)).alias("xi"))
+    )
+    row = (
+        xi.crossJoin(F.broadcast(xu))
+        .crossJoin(F.broadcast(nc))
+        .crossJoin(F.broadcast(nb))
+        .crossJoin(F.broadcast(theta))
+    )
+    space_d = F.lit(float(SPACE))
+
+    def est(n):
+        return F.round(F.col(n).cast("double") * space_d / F.col("theta"))
+
+    def rel(e, x):
+        return F.when(
+            F.col(x) > 0, F.round(F.abs(e - F.col(x)) / F.col(x), 6)
+        )
+
+    return row.select(
+        F.col("xi").alias("n_exact_inter"),
+        est("nc").alias("inter_estimate"),
+        rel(est("nc"), "xi").alias("rel_err_inter"),
+        F.col("xu").alias("n_exact_union"),
+        est("nb").alias("union_estimate"),
+        rel(est("nb"), "xu").alias("rel_err_union"),
+    )
+
+
+def kmv_overlap_sql(a_sql: str, b_sql: str, value_expr: str, k: int = 256) -> str:
+    """DuckDB twin of :func:`kmv_overlap`. ``a_sql``/``b_sql`` are SELECTs
+    producing the raw value rows; ``value_expr`` names the value column."""
+    h = portable_hash64_sql(f"CAST({value_expr} AS VARCHAR)")
+    return f"""
+WITH ha AS (SELECT DISTINCT 'a' AS s, {h} AS h FROM ({a_sql})),
+hb AS (SELECT DISTINCT 'b' AS s, {h} AS h FROM ({b_sql})),
+u AS (SELECT * FROM ha UNION ALL SELECT * FROM hb),
+ranked AS (SELECT s, h, row_number() OVER (PARTITION BY s ORDER BY h) AS rk FROM u),
+kth AS (SELECT s, max(CASE WHEN rk = {k} THEN h END) AS kth FROM ranked GROUP BY s),
+theta AS (SELECT min(coalesce(kth, {SPACE})) AS theta FROM kth),
+below AS (SELECT s, h FROM ranked CROSS JOIN theta WHERE h < theta),
+nb AS (SELECT count(DISTINCT h) AS nb FROM below),
+nc AS (SELECT count(*) AS nc FROM (SELECT h FROM below GROUP BY h HAVING count(*) = 2)),
+xu AS (SELECT count(DISTINCT h) AS xu FROM u),
+xi AS (SELECT count(*) AS xi FROM (SELECT h FROM u GROUP BY h HAVING count(*) = 2))
+SELECT xi.xi AS n_exact_inter,
+       round(CAST(nc.nc AS DOUBLE) * CAST({SPACE} AS DOUBLE) / theta.theta)
+         AS inter_estimate,
+       CASE WHEN xi.xi > 0 THEN
+         round(abs(round(CAST(nc.nc AS DOUBLE) * CAST({SPACE} AS DOUBLE) / theta.theta)
+                   - xi.xi) / xi.xi, 6) END AS rel_err_inter,
+       xu.xu AS n_exact_union,
+       round(CAST(nb.nb AS DOUBLE) * CAST({SPACE} AS DOUBLE) / theta.theta)
+         AS union_estimate,
+       CASE WHEN xu.xu > 0 THEN
+         round(abs(round(CAST(nb.nb AS DOUBLE) * CAST({SPACE} AS DOUBLE) / theta.theta)
+                   - xu.xu) / xu.xu, 6) END AS rel_err_union
+  FROM xi CROSS JOIN xu CROSS JOIN nc CROSS JOIN nb CROSS JOIN theta
+"""

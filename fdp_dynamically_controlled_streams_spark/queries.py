@@ -3699,6 +3699,35 @@ def sketch_hll_distinct_customers(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @query(
+    "sketch_theta_overlap_customers",
+    skt.kmv_overlap_sql(
+        "SELECT o_custkey FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01'",
+        "SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01'",
+        "o_custkey",
+        k=256,
+    ),
+    tags=("sketch", "theta", "set_ops"),
+)
+def sketch_theta_overlap_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-sketch SET OPERATIONS: estimate the customer-base overlap and
+    union between the 1995-97 and 1998-2001 order eras from two 256-hash
+    bottom-k sketches — never joining the raw sets (the audience-overlap
+    question that at 100 TB would otherwise cost a distinct-join of both
+    sides). θ = min of the two k-th smallest hashes; everything below θ is
+    a uniform sample of A∪B, so intersection/union scale by 2⁶⁰/θ — fully
+    deterministic from the portable hash, exact values computed alongside
+    (operators/sketches.py::kmv_overlap)."""
+    o = _t(spark, sf_dir, "orders")
+    cut = F.lit("1998-01-01").cast("timestamp")
+    return skt.kmv_overlap(
+        o.where(F.col("o_orderdate") < cut).select("o_custkey"),
+        o.where(F.col("o_orderdate") >= cut).select("o_custkey"),
+        "o_custkey",
+        k=256,
+    )
+
+
+@query(
     "sketch_hll_daily_rollup_users",
     skt.hll_rollup_sql(
         "events", "strftime(ts, '%Y-%m-%d')", "day", "user_id"

@@ -648,3 +648,11 @@ def test_temporal_dim_join_is_union_window(audits):
     # valid_from/valid_to band join (broadcast nested loop), no python.
     assert a.n_nestedloop_joins == 0
     assert a.n_python_evals == 0
+
+
+def test_theta_overlap_all_scalar_broadcasts(audits):
+    a = audits("sketch_theta_overlap_customers")
+    # two bottom-k sketch pipelines + five 1-row scalar combines: no
+    # sort-merge join of anything, no python; the raw sets never join.
+    assert a.n_sortmerge_joins == 0
+    assert a.n_python_evals == 0

@@ -174,3 +174,54 @@ def test_hll_rollup_all_row_equals_flat_sketch(spark):
     # every per-group row is present and exact counts are right
     assert set(rolled) == {str(i) for i in range(7)} | {"ALL"}
     assert rolled["ALL"][0] == 1311
+
+
+def test_theta_overlap_exact_when_small(spark):
+    # both sides under k distinct -> theta = 2^60 -> estimates ARE exact
+    from pyspark.sql import functions as F
+
+    from fdp_dynamically_controlled_streams_spark.operators.sketches import (
+        kmv_overlap,
+    )
+
+    a = spark.range(0, 100).select(F.col("id").alias("v"))
+    b = spark.range(60, 180).select(F.col("id").alias("v"))
+    r = kmv_overlap(a, b, "v", k=256).collect()[0]
+    assert r.n_exact_inter == 40 and r.inter_estimate == 40.0
+    assert r.n_exact_union == 180 and r.union_estimate == 180.0
+    assert r.rel_err_inter == 0.0 and r.rel_err_union == 0.0
+
+
+def test_theta_overlap_estimates_within_bound(spark):
+    # 10k vs 10k with 5k overlap at k=256: theta-sketch std error is
+    # ~1/sqrt(k) ~ 6%; assert a generous 4-sigma 25% bound
+    from pyspark.sql import functions as F
+
+    from fdp_dynamically_controlled_streams_spark.operators.sketches import (
+        kmv_overlap,
+    )
+
+    a = spark.range(0, 10_000).select(F.col("id").alias("v"))
+    b = spark.range(5_000, 15_000).select(F.col("id").alias("v"))
+    r = kmv_overlap(a, b, "v", k=256).collect()[0]
+    assert r.n_exact_inter == 5_000 and r.n_exact_union == 15_000
+    assert r.rel_err_inter < 0.25
+    assert r.rel_err_union < 0.25
+
+
+def test_theta_overlap_disjoint_sets(spark):
+    from pyspark.sql import functions as F
+
+    from fdp_dynamically_controlled_streams_spark.operators.sketches import (
+        kmv_overlap,
+    )
+
+    a = spark.range(0, 5_000).select(F.col("id").alias("v"))
+    b = spark.range(50_000, 55_000).select(F.col("id").alias("v"))
+    r = kmv_overlap(a, b, "v", k=128).collect()[0]
+    assert r.n_exact_inter == 0
+    # one-sided: a disjoint pair may still sample a few collisions-below-
+    # theta? no — hashes are distinct values, so the sampled intersection
+    # is empty and the estimate must be exactly 0
+    assert r.inter_estimate == 0.0
+    assert r.rel_err_inter is None  # exact is 0 -> rel err undefined
