@@ -4140,15 +4140,29 @@ s AS (
   SELECT user_id, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
          sum(x * y) AS sxy, sum(x * x) AS sxx
     FROM base GROUP BY user_id
+),
+c AS (
+  SELECT user_id, n, sx, sy,
+         n * sxy - sx * sy AS num,
+         nullif(n * sxx - sx * sx, 0) AS den
+    FROM s
+),
+sl AS (
+  SELECT *, CASE WHEN num < 0
+                 THEN -((2 * abs(1000000 * num) + den) // (2 * den))
+                 ELSE (2 * abs(1000000 * num) + den) // (2 * den) END AS s6
+    FROM c
+),
+ic AS (
+  SELECT *, 1000000 * sy - s6 * sx AS inum FROM sl
 )
 SELECT user_id, n,
-       round(CAST(n * sxy - sx * sy AS DOUBLE)
-             / nullif(n * sxx - sx * sx, 0), 6) AS slope_cents_per_sec,
-       round((CAST(sy AS DOUBLE)
-              - round(CAST(n * sxy - sx * sy AS DOUBLE)
-                      / nullif(n * sxx - sx * sx, 0), 6) * sx) / n, 6)
-         AS intercept_cents
-  FROM s
+       CAST(s6 AS DOUBLE) / 1e6 AS slope_cents_per_sec,
+       CAST(CASE WHEN inum < 0
+                 THEN -((2 * abs(inum) + n) // (2 * n))
+                 ELSE (2 * abs(inum) + n) // (2 * n) END
+            AS DOUBLE) / 1e6 AS intercept_cents
+  FROM ic
 """,
     tags=("timeseries", "regression", "trend"),
 )
@@ -4165,12 +4179,17 @@ def ts_ols_trend_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-key SUMS accumulate in DECIMAL(38,0): a key with 10⁵ events
     spanning years drives Σx² past int64, and DuckDB widens BIGINT sums
     to HUGEINT natively — decimal is both the overflow-safe and the
-    parity-exact choice. The normal-equation numerator/denominator stay
-    exact, leaving ONE rounded IEEE division (+ one for the intercept,
-    reusing the rounded slope so both engines compute from identical
-    doubles). Degenerate keys (all events in one second) yield NULL
-    slope via nullif. One window + one groupBy on the same key = one
-    shuffle."""
+    parity-exact choice. Slope and intercept are produced in exact
+    MICRO-UNIT integers via pure-integer half-away-from-zero rounding
+    ((2|a|+b) div 2b, sign split out) — NO round(double) call exists in
+    either engine's plan, because an intercept whose exact rational
+    value lands ON a half-boundary (reachable: its denominator is
+    10⁶·n) flips between Spark's BigDecimal HALF_UP and DuckDB's
+    scaled-double rounding — caught by the sf0.1 spot-check, row 353.
+    The only float op left is the final exact-int → double ÷10⁶
+    display conversion, identical IEEE in both engines. Degenerate
+    keys (all events in one second) yield NULL slope via nullif. One
+    window + one groupBy on the same key = one shuffle."""
     ev = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id")
     base = ev.select(
@@ -4192,16 +4211,32 @@ def ts_ols_trend_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(d38(F.col("x") * F.col("y"))).alias("sxy"),
         F.sum(d38(F.col("x") * F.col("x"))).alias("sxx"),
     )
+    # All-integer rounding (half away from zero) via (2|a|+b) div (2b):
+    # no cross-engine round(double) anywhere — Spark rounds HALF_UP via
+    # BigDecimal while DuckDB rounds the scaled double, and an intercept
+    # whose exact rational value lands ON a half-boundary (denominator
+    # 10^6·n makes that reachable, hit at sf0.1) flips between them.
+    def idiv_round(a, b):
+        # floor division of positives via exact remainder subtraction:
+        # (A - A%B)/B is an exact integer multiple, so the decimal divide
+        # cannot round (plain decimal division rounds at its result scale
+        # and could carry floor() across an integer).
+        A = F.lit(2) * F.abs(a) + b
+        B = F.lit(2) * b
+        q = ((A - A % B) / B).cast("decimal(38,0)")
+        return F.when(a < 0, -q).otherwise(q)
+
     num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
     den = F.nullif(F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"), F.lit(0))
-    slope = F.round(num.cast("double") / den, 6)
+    m = F.lit(1_000_000).cast("decimal(38,0)")
+    s6 = idiv_round(m * num, den)  # slope in exact micro-units
+    inum = m * F.col("sy") - s6 * F.col("sx")
+    i6 = idiv_round(inum, F.col("n").cast("decimal(38,0)"))  # intercept micro-units
     return s.select(
         "user_id",
         "n",
-        slope.alias("slope_cents_per_sec"),
-        F.round(
-            (F.col("sy").cast("double") - slope * F.col("sx")) / F.col("n"), 6
-        ).alias("intercept_cents"),
+        (s6.cast("double") / F.lit(1e6)).alias("slope_cents_per_sec"),
+        (i6.cast("double") / F.lit(1e6)).alias("intercept_cents"),
     )
 
 

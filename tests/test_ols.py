@@ -22,17 +22,23 @@ def _run(spark, rows):
         F.sum(d38(F.col("x") * F.col("y"))).alias("sxy"),
         F.sum(d38(F.col("x") * F.col("x"))).alias("sxx"),
     )
+    def idiv_round(a, b):
+        A = F.lit(2) * F.abs(a) + b
+        B = F.lit(2) * b
+        q = ((A - A % B) / B).cast("decimal(38,0)")
+        return F.when(a < 0, -q).otherwise(q)
+
     num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
     den = F.nullif(
         F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"), F.lit(0)
     )
-    slope = F.round(num.cast("double") / den, 6)
+    m = F.lit(1_000_000).cast("decimal(38,0)")
+    s6 = idiv_round(m * num, den)
+    i6 = idiv_round(m * F.col("sy") - s6 * F.col("sx"), F.col("n").cast("decimal(38,0)"))
     out = s.select(
         "user_id",
-        slope.alias("slope"),
-        F.round(
-            (F.col("sy").cast("double") - slope * F.col("sx")) / F.col("n"), 6
-        ).alias("intercept"),
+        (s6.cast("double") / F.lit(1e6)).alias("slope"),
+        (i6.cast("double") / F.lit(1e6)).alias("intercept"),
     )
     return {r.user_id: (r.slope, r.intercept) for r in out.collect()}
 
@@ -49,8 +55,8 @@ def test_ols_matches_numpy_polyfit(spark):
     got = _run(spark, rows)
     for uid, (slope, intercept) in got.items():
         np.testing.assert_allclose(slope, truth[uid][0], rtol=1e-6, atol=1e-6)
-        # the intercept deliberately reuses the 6-decimal-ROUNDED slope
-        # (engine parity), shifting it by up to |slope round error|·mean(x)
+        # the intercept deliberately reuses the 6-decimal MICRO-UNIT slope
+        # (engine parity), shifting it by up to |slope quantization|·mean(x)
         # ≈ 5e-7 · 5e3 — tolerance sized to that design, not to fp noise
         np.testing.assert_allclose(intercept, truth[uid][1], atol=5e-3)
 
