@@ -12,10 +12,11 @@ discipline as the Markov transition matrix's exact-integer probabilities.
 Scale shape (per iteration): ONE join edges⋈ranks on src (both sides
 shuffle on the same key every round — a co-partitioned pair at 100 TB),
 one groupBy(dst) with map-side partial sums, one left join back onto the
-node list. The driver holds two bounded scalars (N once; the dangling
-mass per round — one bigint, same class as dedup_clusters' convergence
-count) and the loop is control-only; ``localCheckpoint`` cuts lineage per
-round. Rounds are a fixed small constant (PageRank converges
+node list; the dangling mass is a one-row aggregate broadcast into the
+update as a scalar cross-join, never collected. The driver holds ONE
+bounded scalar (N, counted once) and the loop is control-only; the sole
+per-round action is the ``localCheckpoint`` that cuts lineage, so each
+iteration is one job. Rounds are a fixed small constant (PageRank converges
 geometrically; rank ordering stabilizes in a handful of iterations).
 
 [ABSENT in reference: SURVEY §2.7 — engine extension.]
@@ -40,7 +41,8 @@ def pagerank(
     """Deterministic integer PageRank over a directed edge list (damping
     0.85 as the exact fraction 85/100). Returns (node, rank) with rank the
     final bigint micro-mass. Dangling nodes (no out-edges) redistribute
-    their mass uniformly each round. Truncation makes this a deterministic
+    their mass uniformly each round — computed as a broadcast one-row
+    scalar, not a driver collect. Truncation makes this a deterministic
     variant (total mass decays by the dropped remainders — identically in
     both engines)."""
     e = edges.select(
@@ -66,26 +68,27 @@ def pagerank(
             .groupBy("dst")
             .agg(F.sum("c").alias("inflow"))
         )
-        # dangling mass: one bigint to the driver per round (bounded
-        # control data, like the CC convergence count)
-        dmass = (
-            ranks.join(outdeg, ranks.node == outdeg.src, "left_anti")
-            .agg(F.coalesce(F.sum("r"), F.lit(0)).alias("d"))
-            .collect()[0]["d"]
+        # dangling mass: a one-row aggregate folded into the update as a
+        # broadcast scalar cross-join (the single-row-scalar idiom) — no
+        # driver round-trip; the only action per iteration is the
+        # localCheckpoint, so each round is one job.
+        dang = ranks.join(outdeg, ranks.node == outdeg.src, "left_anti").agg(
+            F.coalesce(F.sum("r"), F.lit(0)).cast("long").alias("_dm")
         )
-        share = dmass // n
         ranks = (
             nodes.join(inflow, nodes.node == inflow.dst, "left")
+            .crossJoin(F.broadcast(dang))
             .select(
                 "node",
                 F.coalesce("inflow", F.lit(0)).alias("_in"),
+                F.expr(f"_dm div {n}L").alias("_share"),
             )
             .select(
                 "node",
                 # 15*base precomputed in Python: two int32-sized literals
                 # multiplied in SQL would overflow INT under ANSI mode
                 F.expr(
-                    f"({15 * base}L + 85L * (_in + {share}L)) div 100L"
+                    f"({15 * base}L + 85L * (_in + _share)) div 100L"
                 )
                 .cast("long")
                 .alias("r"),

@@ -2194,6 +2194,50 @@ SELECT u, v FROM pair, th WHERE c >= th
 """
 
 
+def _cosupplier_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The lift-thresholded co-supplier edge set — the single most
+    expensive subplan in the graph family (lineitem ⋈ lineitem pair
+    generation + the avg-threshold filter), shared by
+    ``graph_triangles_cosupplier`` and ``graph_bfs_supplier_reach``
+    through a dedicated ``cached_fixture`` key so the pair join is paid
+    ONCE per (session, sf_dir) and its cost is attributed to the fixture
+    phase, not double-counted across the two entries (r7 verdict task 3;
+    per-entry-key attribution per the r5 lesson). The fixture is a pure
+    function of the SF tables — same determinism class as the replay
+    chunk fixtures — and the materialized parquet is exactly the edge
+    relation both oracles recompute via _COSUPPLIER_EDGES_SQL."""
+    import os
+
+    from fdp_dynamically_controlled_streams_spark.sources.registry import (
+        cached_fixture,
+    )
+
+    def _build(path: str) -> None:
+        li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+        x = li.alias("x")
+        y = li.alias("y")
+        pair = (
+            x.join(y, "l_orderkey")
+            .where(F.col("x.l_suppkey") < F.col("y.l_suppkey"))
+            .groupBy(
+                F.col("x.l_suppkey").cast("long").alias("u"),
+                F.col("y.l_suppkey").cast("long").alias("v"),
+            )
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        th = pair.agg(F.avg("c").alias("th"))
+        (
+            pair.crossJoin(F.broadcast(th))
+            .where(F.col("c") >= F.col("th"))
+            .select("u", "v")
+            .write.mode("overwrite")
+            .parquet(os.path.join(path, "edges"))
+        )
+
+    fix = cached_fixture("graph_cosupplier_edges", sf_dir, _build)
+    return spark.read.parquet(os.path.join(fix, "edges"))
+
+
 @query(
     "graph_triangles_cosupplier",
     gph.triangles_oracle_sql(_COSUPPLIER_EDGES_SQL),
@@ -2204,30 +2248,13 @@ def graph_triangles_cosupplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     SIGNIFICANT co-supplier graph (pairs sharing >= avg co-occurrence —
     see _COSUPPLIER_EDGES_SQL for why a raw co-purchase graph densifies
     with volume and must be lift-thresholded at scale). Edge generation
-    is per-order blocked + one pair groupBy; counting uses DEGREE
+    is per-order blocked + one pair groupBy, built once per session via
+    the shared _cosupplier_edges fixture; counting uses DEGREE
     ORIENTATION so the wedge join is bounded m^1.5, each triangle found
     exactly once at its (deg,id)-minimum apex
     (operators/graph.py::triangles). Integer counts end-to-end; the
     avg threshold is a broadcast one-row scalar."""
-    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    x = li.alias("x")
-    y = li.alias("y")
-    pair = (
-        x.join(y, "l_orderkey")
-        .where(F.col("x.l_suppkey") < F.col("y.l_suppkey"))
-        .groupBy(
-            F.col("x.l_suppkey").cast("long").alias("u"),
-            F.col("y.l_suppkey").cast("long").alias("v"),
-        )
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
-    th = pair.agg(F.avg("c").alias("th"))
-    edges = (
-        pair.crossJoin(F.broadcast(th))
-        .where(F.col("c") >= F.col("th"))
-        .select("u", "v")
-    )
-    return gph.triangles(edges)
+    return gph.triangles(_cosupplier_edges(spark, sf_dir))
 
 
 _BFS_SEEDS_SQL = """
@@ -2248,25 +2275,10 @@ def graph_bfs_supplier_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/graph.py::bfs_hops); exact integer hops hash at any
     partitioning and the unrolled CTE twin replays the levels. The edge
     set reuses the lift-thresholded co-supplier graph (see
-    _COSUPPLIER_EDGES_SQL — raw co-purchase graphs densify with volume)."""
-    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    x = li.alias("x")
-    y = li.alias("y")
-    pair = (
-        x.join(y, "l_orderkey")
-        .where(F.col("x.l_suppkey") < F.col("y.l_suppkey"))
-        .groupBy(
-            F.col("x.l_suppkey").cast("long").alias("u"),
-            F.col("y.l_suppkey").cast("long").alias("v"),
-        )
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
-    th = pair.agg(F.avg("c").alias("th"))
-    edges = (
-        pair.crossJoin(F.broadcast(th))
-        .where(F.col("c") >= F.col("th"))
-        .select("u", "v")
-    )
+    _COSUPPLIER_EDGES_SQL — raw co-purchase graphs densify with volume)
+    through the shared _cosupplier_edges session fixture, so the
+    lineitem⋈lineitem pair generation is not paid a second time."""
+    edges = _cosupplier_edges(spark, sf_dir)
     seeds = (
         _t(spark, sf_dir, "supplier")
         .where(F.col("s_nationkey") < 8)

