@@ -141,13 +141,17 @@ def pq_adc_topk(
     k_codes: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    cbs: list[list[list[float]]] | None = None,
 ) -> DataFrame:
     """PQ-ADC top-``k_nn`` (squared-L2) per probe, self excluded: encode
     the corpus to m codes map-side from the trained codebook literal,
     build each probe's (m x k) ADC table in micro-units, then one
     broadcast(probes) x codes join with per-pair cost m integer lookups.
-    Returns (probe_id, cand_id, adc_dist, rank)."""
-    cbs = pq_train(embeddings, m=m, k=k_codes, id_col=id_col, vec_col=vec_col)
+    ``cbs`` lets a caller reuse one :func:`pq_train` result across tiers
+    (the recall/ranking reports score three PQ tiers off one training
+    pass). Returns (probe_id, cand_id, adc_dist, rank)."""
+    if cbs is None:
+        cbs = pq_train(embeddings, m=m, k=k_codes, id_col=id_col, vec_col=vec_col)
     sub = len(cbs[0][0])
     d2 = _sq_dist_expr("sv", "c")
     base = embeddings.select(
@@ -289,6 +293,7 @@ def ivf_pq_topk(
     k_codes: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    cbs: list[list[list[float]]] | None = None,
 ) -> DataFrame:
     """IVF-PQ — the production ANN composition (FAISS's IndexIVFPQ shape):
     the IVF coarse quantizer restricts each probe to its ``n_probe``
@@ -303,7 +308,8 @@ def ivf_pq_topk(
     reuses :func:`similarity.ivf_partition` verbatim (cosine argmax to
     fixed-id centroids, the oracle-checkable stand-in for a trained
     coarse quantizer); the fine stage reuses this module's trained
-    codebooks. Returns (probe_id, cand_id, adc_dist, rank)."""
+    codebooks (pass ``cbs`` to share one training pass across tiers).
+    Returns (probe_id, cand_id, adc_dist, rank)."""
     from fdp_dynamically_controlled_streams_spark.operators.similarity import (
         ivf_partition,
     )
@@ -311,7 +317,8 @@ def ivf_pq_topk(
     assigned, probe_cells = ivf_partition(
         embeddings, probe_ids, n_cells, n_probe, id_col, vec_col
     )
-    cbs = pq_train(embeddings, m=m, k=k_codes, id_col=id_col, vec_col=vec_col)
+    if cbs is None:
+        cbs = pq_train(embeddings, m=m, k=k_codes, id_col=id_col, vec_col=vec_col)
     sub = len(cbs[0][0])
     base = embeddings.select(
         F.col(id_col).alias("id"),
@@ -483,6 +490,7 @@ def ivf_pq_rerank_topk(
     k_codes: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    cbs: list[list[list[float]]] | None = None,
 ) -> DataFrame:
     """Two-stage retrieval — the standard production ANN serving shape:
     IVF-PQ ADC produces a cheap ``shortlist`` of candidates per probe
@@ -504,6 +512,7 @@ def ivf_pq_rerank_topk(
     short = ivf_pq_topk(
         embeddings, probe_ids, k_nn=shortlist, n_cells=n_cells,
         n_probe=n_probe, m=m, k_codes=k_codes, id_col=id_col, vec_col=vec_col,
+        cbs=cbs,
     ).select("probe_id", "cand_id")
     from fdp_dynamically_controlled_streams_spark.functions.vectors import cosine
 

@@ -124,6 +124,68 @@ def test_rerank_without_pruning_equals_brute_force(spark):
     assert got == exact
 
 
+def test_rerank_recall_geq_ivf_pq_law(spark):
+    # LAW (r7 verdict task 1): every exact-top-k neighbor that reaches the
+    # ADC shortlist is retained by the exact rerank — fewer than k corpus
+    # items beat it on exact score, so fewer than k shortlist items do, and
+    # tie-break (desc score, asc cand_id) matches brute_force. Since the
+    # shortlist (ADC top-15) contains the plain IVF-PQ top-5, rerank's hit
+    # set must contain IVF-PQ's hit set: recall is monotone under rerank.
+    df = _emb(spark, _blobs(64, 16), 16)
+    probes = [0, 1, 2, 3]
+    kw = dict(n_cells=4, n_probe=2, m=4, k_codes=8)
+    exact = {
+        (r.probe_id, r.cand_id)
+        for r in brute_force_topk(df, probes, k=5).collect()
+    }
+    ivfpq = {
+        (r.probe_id, r.cand_id)
+        for r in ivf_pq_topk(df, probes, k_nn=5, **kw).collect()
+    }
+    rer = {
+        (r.probe_id, r.cand_id)
+        for r in ivf_pq_rerank_topk(
+            df, probes, k_nn=5, shortlist=15, **kw
+        ).collect()
+    }
+    assert (ivfpq & exact) <= (rer & exact)
+
+
+def test_recall_report_covers_all_six_tiers_rerank_dominates(spark):
+    # the catalog entry emits one row per tier, anchors at 1.0, and the
+    # rerank tier's measured recall is >= the plain IVF-PQ tier's
+    from fdp_dynamically_controlled_streams_spark.queries import spark_queries
+
+    rows = {
+        r.method: r
+        for r in spark_queries()["ann_recall_report"](
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    assert set(rows) == {
+        "brute_force", "sign_lsh", "ivf", "pq_adc", "ivf_pq", "ivf_pq_rerank",
+    }
+    assert rows["brute_force"].recall_at_k == 1.0
+    assert rows["ivf_pq_rerank"].recall_at_k >= rows["ivf_pq"].recall_at_k
+
+
+def test_shared_codebook_param_matches_internal_training(spark):
+    # passing a pre-trained cbs (the recall report's shared-training path)
+    # must be indistinguishable from per-call training
+    df = _emb(spark, _blobs(48, 16), 16)
+    cbs = pq_train(df, m=4, k=8)
+    a = sorted(
+        map(tuple, pq_adc_topk(df, [0, 1], k_nn=4, m=4, k_codes=8).collect())
+    )
+    b = sorted(
+        map(
+            tuple,
+            pq_adc_topk(df, [0, 1], k_nn=4, m=4, k_codes=8, cbs=cbs).collect(),
+        )
+    )
+    assert a == b
+
+
 def test_rerank_scores_exact_and_monotone(spark):
     df = _emb(spark, _blobs(48, 16), 16)
     out = ivf_pq_rerank_topk(
