@@ -49,6 +49,51 @@ def test_partition_invariance(spark):
     assert a == b
 
 
+def test_pagerank_matches_numpy_power_iteration(spark):
+    """Independent-formula cross-check (r7 verdict task 5): the integer
+    fixed-point recurrence vs a numpy float power iteration that shares
+    only the PageRank definition (damping 0.85, uniform teleport, uniform
+    dangling redistribution), not the engine's integer expression tree.
+    Tolerance is sized to integer truncation: each div drops < 1 unit of
+    the 1e12 grid (relative ~1e-12/step), so 1e-6 absolute on the
+    normalized ranks is orders of magnitude above the truncation floor
+    while still catching any formula bug (a wrong damping split, a missed
+    dangling term, or inflow normalized by the wrong degree all move
+    ranks by >> 1e-6)."""
+    import numpy as np
+
+    from fdp_dynamically_controlled_streams_spark.operators.graph import (
+        TOTAL_MASS,
+    )
+
+    # 53 nodes (TOTAL_MASS not divisible -> base truncation exercised),
+    # pseudo-random out-edges, nodes 48..52 dangling-ish (dst-only)
+    edges = [(i, (i * 7 + 3) % 53) for i in range(48)] + [
+        (i, (i * 11 + 5) % 53) for i in range(0, 48, 3)
+    ]
+    edges = sorted(set(edges))
+    n_iter = 3
+
+    nodes = sorted({u for e in edges for u in e})
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    outdeg: dict[int, int] = {}
+    for u, _ in edges:
+        outdeg[u] = outdeg.get(u, 0) + 1
+    r = np.full(n, 1.0 / n)
+    for _ in range(n_iter):
+        inflow = np.zeros(n)
+        for u, v in edges:
+            inflow[idx[v]] += r[idx[u]] / outdeg[u]
+        dmass = sum(r[idx[u]] for u in nodes if u not in outdeg)
+        r = 0.15 / n + 0.85 * (inflow + dmass / n)
+
+    got = _pr(spark, edges, n_iter=n_iter)
+    assert set(got) == set(nodes)
+    for v in nodes:
+        assert abs(got[v] / TOTAL_MASS - r[idx[v]]) < 1e-6, v
+
+
 def test_no_driver_collect_in_iteration(spark):
     # The r7 verdict's scale nit: the dangling-mass aggregate must be a
     # broadcast one-row scalar inside the update plan, not a per-round

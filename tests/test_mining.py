@@ -170,6 +170,76 @@ def test_loo_encoding_null_category_is_its_own_group(spark):
     assert got == {1: 300.0, 2: 100.0, 3: 700.0, 4: 500.0}
 
 
+def test_association_rules_match_bruteforce_hypothesis(spark):
+    """Independent-formula cross-check (r7 verdict task 5): confidence and
+    lift vs a plain-Python brute force that shares only the metric
+    DEFINITIONS (conf = sup_ab/sup_a, lift = sup_ab*N/(sup_a*sup_b)),
+    never the engine's expression tree. Hash parity vs the DuckDB twin
+    proves portability of the shared shape; this proves the shape computes
+    the right numbers. Engine rounds at 1e-6, so |engine - exact| <= 5e-7."""
+    from collections import Counter
+    from itertools import combinations
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from fdp_dynamically_controlled_streams_spark.operators.mining import (
+        association_rules,
+    )
+
+    @settings(max_examples=10, deadline=None)
+    @given(
+        rows=st.lists(
+            st.tuples(st.integers(0, 6), st.integers(0, 8)),
+            min_size=2, max_size=60,
+        ),
+        support=st.integers(1, 3),
+    )
+    def run(rows, support):
+        baskets: dict[int, set] = {}
+        for bk, it in rows:
+            baskets.setdefault(bk, set()).add(f"i{it}")
+        n_total = len(baskets)
+        sup = Counter()
+        for its in baskets.values():
+            sup.update(its)
+        pair = Counter()
+        for its in baskets.values():
+            for a, b in combinations(sorted(its), 2):
+                pair[(a, b)] += 1
+        expected = {}
+        for (a, b), n in pair.items():
+            if n < support:
+                continue
+            for ant, cons in ((a, b), (b, a)):
+                expected[(ant, cons)] = (
+                    n,
+                    sup[ant],
+                    sup[cons],
+                    n / sup[ant],
+                    n * n_total / (sup[ant] * sup[cons]),
+                )
+        df = spark.createDataFrame(
+            [(bk, f"i{it}") for bk, it in rows], ["bk", "it"]
+        )
+        got = {
+            (r.antecedent, r.consequent): (
+                r.n_both, r.sup_a, r.sup_b, r.confidence, r.lift
+            )
+            for r in association_rules(
+                df, "bk", "it", min_support=support
+            ).collect()
+        }
+        assert set(got) == set(expected)
+        for key, (n, sa, sb, conf, lift) in expected.items():
+            gn, gsa, gsb, gconf, glift = got[key]
+            assert (gn, gsa, gsb) == (n, sa, sb)
+            assert abs(gconf - conf) <= 5e-7
+            assert abs(glift - lift) <= 5e-7
+
+    run()
+
+
 def test_frequent_pairs_matches_bruteforce_hypothesis(spark):
     """Property: on random basket tables, frequent_pairs equals a Python
     brute-force pair count under set semantics, for any support."""
