@@ -50,6 +50,17 @@ def bm25_topk(
     natural-language corpus 0.5 cuts the join-exploding stopwords that
     carry ~zero idf anyway; 1.0 disables, for tiny-vocabulary fixtures).
     Returns (query_id, doc_id, rank, score)."""
+    postings, df_t, avg = _build_index(docs, id_col, text_col)
+    return _score_topk(postings, df_t, avg, query_docs, k, id_col, text_col,
+                       max_df_frac)
+
+
+def _build_index(docs: DataFrame, id_col: str, text_col: str):
+    """One tokenize pass -> the three index relations: postings
+    (doc_id, term, tf, dl) with the doc length denormalized in (so the
+    query phase never re-joins the corpus-sized length table), the
+    vocabulary-sized df table (term, df), and the 1-row corpus stats
+    (avgdl, n)."""
     tdc = tfidf_ops.term_doc_counts(docs, text_col, id_col)
     dl = tdc.groupBy("doc_id").agg(F.sum("tf").cast("double").alias("dl"))
     n_total = docs.agg(F.count(F.lit(1)).alias("n"))
@@ -57,12 +68,65 @@ def bm25_topk(
         (F.col("s") / F.col("n")).alias("avgdl"), "n"
     )
     df_t = tdc.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    return tdc.join(dl, "doc_id"), df_t, avg
+
+
+def bm25_index_write(
+    docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Materialize the BM25 inverted index to ``path`` (postings/, dft/,
+    stats/ parquet). The production retrieval shape is "index once, query
+    many": the corpus-sized tokenize + postings build is paid once and
+    every query panel afterwards runs only the postings ⋈ query-terms
+    join. At 100 TB the index is the artifact that persists between
+    contamination sweeps — rebuilding it per query batch would dominate
+    end-to-end cost. Values are bit-identical to the in-memory build
+    (same expression tree, parquet round-trips doubles exactly), so
+    :func:`bm25_topk_from_index` answers match :func:`bm25_topk`."""
+    postings, df_t, avg = _build_index(docs, id_col, text_col)
+    postings.write.mode("overwrite").parquet(f"{path}/postings")
+    df_t.write.mode("overwrite").parquet(f"{path}/dft")
+    avg.write.mode("overwrite").parquet(f"{path}/stats")
+
+
+def bm25_topk_from_index(
+    spark,
+    path: str,
+    query_docs: DataFrame,
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_df_frac: float = 0.5,
+) -> DataFrame:
+    """Query phase of BM25 against an index written by
+    :func:`bm25_index_write`: same result as :func:`bm25_topk` on the
+    indexed corpus."""
+    return _score_topk(
+        spark.read.parquet(f"{path}/postings"),
+        spark.read.parquet(f"{path}/dft"),
+        spark.read.parquet(f"{path}/stats"),
+        query_docs, k, id_col, text_col, max_df_frac,
+    )
+
+
+def _score_topk(
+    postings: DataFrame,
+    df_t: DataFrame,
+    avg: DataFrame,
+    query_docs: DataFrame,
+    k: int,
+    id_col: str,
+    text_col: str,
+    max_df_frac: float,
+) -> DataFrame:
     qterms = (
         tfidf_ops.tokens(query_docs, text_col, id_col)
         .select(F.col("doc_id").alias("query_id"), "term")
         .distinct()
     )
-    postings = tdc.join(dl, "doc_id")
     scored = (
         qterms.join(postings, "term")
         .where(F.col("query_id") != F.col("doc_id"))

@@ -2013,13 +2013,12 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     verdict's one measurement gap: a compressed index that is hash-green
     for determinism but retrieves garbage would be caught here. All six
     tiers score off one materialized corpus scan and one shared pq_train
-    pass; exact integer-division recall
-    (operators/similarity.py recall_report)."""
-    e = _t(spark, sf_dir, "embeddings")
-    return sim_ops.recall_report(
-        e, _PROBE_IDS, k=5, bits=8, n_cells=_IVF_CELLS, n_probe=_IVF_PROBE,
-        extra_tiers=_pq_extra_tiers,
-    )
+    pass, persisted ONCE per session through the shared ann_tier_table
+    fixture (both quality reports are grouped aggregates over the same
+    probe-set-sized sweep — see _ann_tier_fixture); exact
+    integer-division recall (operators/similarity.py
+    recall_report_from_table)."""
+    return sim_ops.recall_report_from_table(_ann_tier_fixture(spark, sf_dir))
 
 
 @query(
@@ -2041,13 +2040,35 @@ def ann_ranking_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     so a tier that finds neighbors but ranks them late scores lower (the
     ADC tiers rank by compressed L2, so this is where quantization error
     in the ORDERING shows). Reuses the per-tier SQL oracles verbatim
-    inside the twin (operators/similarity.py ranking_metrics); one shared
-    pq_train pass across the PQ tiers."""
-    e = _t(spark, sf_dir, "embeddings")
-    return sim_ops.ranking_metrics(
-        e, _PROBE_IDS, k=5, bits=8, n_cells=_IVF_CELLS, n_probe=_IVF_PROBE,
-        extra_tiers=_pq_extra_tiers,
+    inside the twin (operators/similarity.py ranking_metrics_sql); the
+    tier sweep itself comes from the shared ann_tier_table fixture (one
+    evaluation pass feeds both quality reports)."""
+    return sim_ops.ranking_metrics_from_table(
+        _ann_tier_fixture(spark, sf_dir), k=5, n_probes=len(_PROBE_IDS)
     )
+
+
+def _ann_tier_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shared (method, probe_id, cand_id, rank) ANN evaluation sweep,
+    built once per (session, sf_dir) through cached_fixture (the graph
+    entries' shared-edge-fixture pattern): six tiers, one materialized
+    corpus scan, one pq_train pass — then BOTH quality reports read the
+    probe-set-sized parquet instead of re-running the sweep. Bench pass-1
+    attributes the build to this key; warm passes measure only the
+    grouped report aggregates."""
+    from fdp_dynamically_controlled_streams_spark.sources.registry import (
+        cached_fixture,
+    )
+
+    def build(p: str) -> None:
+        e = _t(spark, sf_dir, "embeddings")
+        sim_ops.ann_tier_table(
+            e, _PROBE_IDS, k=5, bits=8, n_cells=_IVF_CELLS,
+            n_probe=_IVF_PROBE, extra_tiers=_pq_extra_tiers,
+        ).write.mode("overwrite").parquet(f"{p}/tiers")
+
+    root = cached_fixture("ann_tier_table", sf_dir, build)
+    return spark.read.parquet(f"{root}/tiers")
 
 
 from fdp_dynamically_controlled_streams_spark.operators import clustering as clu
@@ -5871,10 +5892,30 @@ def retrieval_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     query-driven curation run on exactly this plan at 100 TB. The
     df-cap is disabled (max_df_frac=1.0) because the synthetic fixture
     has a 31-word vocabulary where every term tops the natural-language
-    0.5 default."""
+    0.5 default.
+
+    Index/query phase split (r7 verdict task 8): the corpus-sized
+    tokenize + postings build is materialized ONCE per session through
+    cached_fixture — the production "index once, query many" shape, and
+    the same build/query attribution the replay entries use (pass-1
+    bench wall = index build + query; warm passes measure retrieval
+    only). Values are bit-identical to the inline build (same expression
+    tree; parquet round-trips doubles exactly), so the oracle is
+    unchanged."""
+    from fdp_dynamically_controlled_streams_spark.sources.registry import (
+        cached_fixture,
+    )
+
     docs = _t(spark, sf_dir, "documents")
+    idx = cached_fixture(
+        "retrieval_bm25_topk",
+        sf_dir,
+        lambda p: retr_ops.bm25_index_write(docs, p),
+    )
     qdocs = docs.where(F.col("doc_id") % 100 == 0)
-    return retr_ops.bm25_topk(docs, qdocs, k=10, max_df_frac=1.0)
+    return retr_ops.bm25_topk_from_index(
+        spark, idx, qdocs, k=10, max_df_frac=1.0
+    )
 
 
 from fdp_dynamically_controlled_streams_spark.operators import histogram as hist_ops
