@@ -75,6 +75,25 @@ PROBE_ENTRIES = [
     "stream_mv_agg_replay",
     "mining_association_rules",
     "join_orders_scd2_state",
+    # round-8 broadening (r7 verdict task 4): the remaining top-priced /
+    # quadratic-risk entries join the tier so the 100 TB claim rests on
+    # scale-exposed hash checks, not sf0.01 alone. Graph + the lossy ANN
+    # family + the semantic-dedup blocker are the priority adds; the rest
+    # are the next-priciest sf0.1-tier members not yet covered here.
+    "graph_pagerank_suppliers",
+    "graph_bfs_supplier_reach",
+    "ann_ivf_pq_rerank_topk",
+    "ann_ivf_pq_topk",
+    "ann_pq_adc_topk",
+    "ann_ranking_metrics",
+    "dedup_semantic_clusters",
+    "ts_ewma_user_value",
+    "ts_ols_trend_user_value",
+    "contamination_ngram_overlap",
+    "text_local_min_fingerprints",
+    "curation_pipeline_end_to_end",
+    "stream_windowed_topk_replay",
+    "quality_mad_outliers_value",
 ]
 
 _ALPHA = "abcdefghijklmnopqrstuvwxyz"
