@@ -535,6 +535,8 @@ def semantic_dedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 0,
+    init: str = "kmeanspp",
+    engine: str = "sql",
 ) -> DataFrame:
     """SemDeDup-shape semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): k-means clusters act as SEMANTIC BLOCKS, pairwise
@@ -560,14 +562,23 @@ def semantic_dedup(
     dot + two norms — 3× less lambda work on the O(pairs·dim) hot path
     (measured 9.8 → ~4 s at the bench SF). The oracle applies the
     identical normalize-then-dot operation order, so the 1e-6-rounded
-    scores stay engine-exact."""
+    scores stay engine-exact.
+
+    ``k`` MUST grow with the corpus (k ≈ n / target_cell) or the
+    within-cell pair join is quadratic in n — the r8 sf1 probe measured
+    a ×51 wall factor on 10× data at fixed k=4 before the catalog entry
+    switched to corpus-scaled k. ``init`` selects the k-means seeding:
+    'kmeanspp' (default, the quality init) or 'ids' (centroid j =
+    embedding j — the convention whose oracle supports a DATA-DEPENDENT
+    k expression, see clustering.kmeans_oracle_sql)."""
     from fdp_dynamically_controlled_streams_spark.functions.vectors import dot, norm
     from fdp_dynamically_controlled_streams_spark.operators.clustering import (
         kmeans_assign,
     )
 
     assigned = kmeans_assign(
-        embeddings, k=k, n_iter=n_iter, id_col=id_col, vec_col=vec_col, seed=seed
+        embeddings, k=k, n_iter=n_iter, id_col=id_col, vec_col=vec_col,
+        seed=seed, init=init, engine=engine,
     ).select(F.col(id_col).alias("id"), "cell")
     # norm materialized as its own column first: a lambda that refolds the
     # norm per element would do O(dim²) work per row.

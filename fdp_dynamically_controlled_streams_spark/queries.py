@@ -2381,20 +2381,42 @@ def kmeans_document_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "dedup_semantic_clusters",
     dedup_ops.semantic_dedup_sql(
-        clu.kmeans_oracle_sql(k=4, n_iter=2), threshold=0.3
+        clu.kmeans_oracle_sql(
+            k="greatest(4, (SELECT count(*) FROM embeddings) // 250)",
+            n_iter=2,
+            init="ids",
+        ),
+        threshold=0.3,
     ),
     tags=("dedup", "similarity", "clustering", "semantic"),
 )
 def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-shape semantic dedup (arXiv:2303.09540): deterministic
     k-means clusters as semantic blocks, within-cluster cosine >= 0.3
-    marks the higher id of each near-pair as a duplicate — cluster-
-    blocking is what makes embedding dedup sub-quadratic at corpus scale
-    (operators/dedup.py::semantic_dedup; clustering stage shared verbatim
-    with kmeans_document_clusters). Returns per-row (vec_id, cell, keep)
-    — the curation-pipeline decision column."""
+    marks the higher id of each near-pair as a duplicate. Returns per-row
+    (vec_id, cell, keep) — the curation-pipeline decision column.
+
+    Cluster count SCALES WITH THE CORPUS: k = max(4, n // 250), computed
+    identically in both engines (one bounded count scalar here; a static
+    greatest(...)//250 subquery in the twin). Fixed cell size is what
+    keeps the within-cell pair join LINEAR in n — the r8 sf1 probe
+    measured ×51 wall at 10× data with the previous fixed k=4
+    (quadratic: cells grow with the corpus, pairs with their square).
+    ids-init Lloyd is used because its centroid set is `vec_id < k` — the
+    only init whose oracle admits a data-dependent k (the unrolled
+    k-means++ rounds need a literal k; that init stays demonstrated in
+    kmeans_document_clusters). Assignment runs on the Arrow engine — one
+    declared mapInPandas boundary, bit-identical to the JVM HOF fold
+    (law test) — because at corpus-scaled k the interpreted lambda fold
+    is the bottleneck (36.6 s -> ~2 s for the three assignment passes at
+    sf1). The centroid-literal/closure assignment holds to k ≈ a few
+    thousand (clustering.py module docstring) — corpora beyond ~10 M
+    vectors at this cell size would move to a two-level clustering
+    (cluster the centroids), same blocking algebra."""
+    e = _t(spark, sf_dir, "embeddings")
+    k = max(4, e.count() // 250)
     return dedup_ops.semantic_dedup(
-        _t(spark, sf_dir, "embeddings"), k=4, n_iter=2, threshold=0.3
+        e, k=k, n_iter=2, threshold=0.3, init="ids", engine="arrow"
     )
 
 
@@ -7307,6 +7329,459 @@ def join_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             "c_custkey", "c_name", "o_orderkey",
             F.round("o_totalprice", 2).alias("price"), "total_qty",
         )
+    )
+
+
+# =========================================================================
+# TPC-H plan-shape completion (round 8): the remaining canonical query
+# shapes not yet in the catalog — Q4/Q6/Q8/Q10/Q11/Q12/Q13/Q15/Q16 —
+# adapted to the testdata surface (no partsupp/commitdate/shipmode
+# columns; the SHAPE each query exists to exercise is preserved and named
+# in its docstring). [ABSENT in reference: SURVEY §2.7 engine extension.]
+# =========================================================================
+
+
+@query(
+    "subquery_late_order_priority_q4",
+    """
+SELECT o_orderpriority, count(*) AS n_orders
+  FROM orders o
+ WHERE o.o_orderdate >= DATE '1997-01-01' AND o.o_orderdate < DATE '1997-04-01'
+   AND EXISTS (SELECT 1 FROM lineitem l
+                WHERE l.l_orderkey = o.o_orderkey
+                  AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY)
+ GROUP BY o_orderpriority
+""",
+    tags=("subquery", "semi", "tpch"),
+)
+def subquery_late_order_priority_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: correlated EXISTS with a non-equi conjunct (a line
+    shipped >30 days after the order date; the original's commitdate <
+    receiptdate isn't in the testdata surface) counted per priority. The
+    EXISTS becomes ONE left-semi join — equi on the order key with the
+    date comparison as the join residual, so candidates hash-partition on
+    l_orderkey and the fact table never materializes the match multiplicity
+    (an inner join + distinct would). Date window pushes to the orders
+    scan."""
+    o = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("date"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01").cast("date"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    late = o.join(
+        li,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+
+
+@query(
+    "agg_discount_revenue_q6",
+    """
+SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                     * CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE), 2)
+         AS revenue,
+       count(*) AS n_lines
+  FROM lineitem
+ WHERE l_shipdate >= DATE '1997-01-01' AND l_shipdate < DATE '1998-01-01'
+   AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+""",
+    tags=("agg", "scan", "tpch"),
+)
+def agg_discount_revenue_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: the pure scan-filter-aggregate — no join, no
+    groupBy key, one pass. Every predicate (date range, discount band,
+    quantity cap) pushes to the parquet reader (min/max row-group pruning
+    carries the date range at 100 TB); the single global agg moves one
+    partial row per partition. The catalog's floor for scan-bound cost:
+    any engine overhead shows here first."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("date"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("date"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        F.round(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,4)")
+                * F.col("l_discount").cast("decimal(18,4)")
+            ).cast("double"),
+            2,
+        ).alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+@query(
+    "join_market_share_q8",
+    """
+WITH vol AS (
+  SELECT EXTRACT(year FROM o_orderdate) AS o_year,
+         CAST(l_extendedprice AS DECIMAL(18,4))
+           * CAST(1 - l_discount AS DECIMAL(18,4)) AS volume,
+         n2.n_name AS supp_nation
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation n1 ON c_nationkey = n1.n_nationkey
+    JOIN region   ON n1.n_regionkey = r_regionkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation n2 ON s_nationkey = n2.n_nationkey
+    JOIN part     ON p_partkey = l_partkey
+   WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+     AND o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1998-01-01'
+)
+SELECT o_year,
+       round(CAST(sum(CASE WHEN supp_nation = 'NATION_1' THEN volume
+                           ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+             / CAST(sum(volume) AS DOUBLE), 6) AS mkt_share
+  FROM vol GROUP BY o_year
+""",
+    tags=("join", "agg", "tpch"),
+)
+def join_market_share_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: national market share — an 8-relation star join
+    (two roles for nation) reduced to a conditional-aggregate ratio per
+    year. Every dimension broadcasts; lineitem shuffles once for the
+    orders join and the year groupBy is output-sized. Both sums stay
+    exact DECIMAL until one representable-double division (the Q14
+    idiom), so the ratio is hash-stable cross-engine."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("date"))
+    )
+    c = _t(spark, sf_dir, "customer")
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_region")
+    )
+    r = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    s = _t(spark, sf_dir, "supplier")
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("supp_nation")
+    )
+    p = _t(spark, sf_dir, "part").where(F.col("p_type") == "PROMO")
+    vol = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(r), F.col("n1_region") == F.col("r_regionkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            (
+                F.col("l_extendedprice").cast("decimal(18,4)")
+                * (F.lit(1) - F.col("l_discount")).cast("decimal(18,4)")
+            ).alias("volume"),
+            "supp_nation",
+        )
+    )
+    return vol.groupBy("o_year").agg(
+        F.round(
+            F.sum(
+                F.when(F.col("supp_nation") == "NATION_1", F.col("volume"))
+                .otherwise(F.lit(0).cast("decimal(18,4)"))
+            ).cast("double")
+            / F.sum("volume").cast("double"),
+            6,
+        ).alias("mkt_share")
+    )
+
+
+@query(
+    "join_returned_revenue_q10",
+    """
+SELECT c_custkey, c_name, n_name,
+       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                      * CAST(1 - l_discount AS DECIMAL(18,4))) AS DOUBLE), 2)
+         AS revenue
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation   ON c_nationkey = n_nationkey
+ WHERE l_returnflag = 'R'
+   AND o_orderdate >= DATE '1997-01-01' AND o_orderdate < DATE '1997-04-01'
+ GROUP BY c_custkey, c_name, n_name
+ ORDER BY revenue DESC, c_custkey LIMIT 20
+""",
+    tags=("join", "agg", "topk", "tpch"),
+)
+def join_returned_revenue_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: revenue lost to returns per customer, global
+    top-20. Return-flag + date predicates push to both fact scans;
+    customer/nation broadcast; the final ORDER BY ... LIMIT plans as
+    TakeOrderedAndProject (per-partition heap + 20-row merge), never a
+    global sort. Ties broken by c_custkey for determinism."""
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    o = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("date"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01").cast("date"))
+    )
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice").cast("decimal(18,4)")
+                    * (F.lit(1) - F.col("l_discount")).cast("decimal(18,4)")
+                ).cast("double"),
+                2,
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+@query(
+    "subquery_important_part_value_q11",
+    """
+WITH val AS (
+  SELECT l_partkey,
+         sum(CAST(l_extendedprice AS DECIMAL(18,4))
+             * CAST(l_quantity AS DECIMAL(18,4))) AS part_value
+    FROM lineitem
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+   WHERE n_name = 'NATION_3'
+   GROUP BY l_partkey
+),
+tot AS (SELECT sum(part_value) AS total FROM val)
+SELECT l_partkey, round(CAST(part_value AS DOUBLE), 2) AS part_value
+  FROM val CROSS JOIN tot
+ WHERE part_value * 1000 > total
+""",
+    tags=("subquery", "scalar", "having", "tpch"),
+)
+def subquery_important_part_value_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: groups filtered against a GLOBAL aggregate of the
+    same relation (parts holding >0.1% of one nation's inventory value;
+    partsupp isn't in the testdata so value = lineitem price x quantity).
+    The global total is a 1-row broadcast cross-join onto the per-part
+    aggregate — the per-part shuffle is computed ONCE and feeds both
+    sides. The threshold compares EXACT decimals (part_value*1000 >
+    total, multiplication not division), so group membership cannot flip
+    on a float ulp between engines — the same boundary discipline the
+    sf0.1 tier caught in the OLS entry."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_3")
+    val = (
+        li.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,4)")
+                * F.col("l_quantity").cast("decimal(18,4)")
+            ).alias("part_value")
+        )
+    )
+    tot = val.agg(F.sum("part_value").alias("total"))
+    return (
+        val.crossJoin(F.broadcast(tot))
+        .where(F.col("part_value") * 1000 > F.col("total"))
+        .select(
+            "l_partkey",
+            F.round(F.col("part_value").cast("double"), 2).alias("part_value"),
+        )
+    )
+
+
+@query(
+    "agg_ship_delay_priority_q12",
+    """
+SELECT delay_bucket,
+       count(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                  THEN 1 END) AS high_line_count,
+       count(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                  THEN 1 END) AS low_line_count
+  FROM (
+    SELECT CASE WHEN l_shipdate >= o_orderdate + INTERVAL 60 DAY THEN 'late'
+                WHEN l_shipdate >= o_orderdate + INTERVAL 21 DAY THEN 'slow'
+                ELSE 'fast' END AS delay_bucket,
+           o_orderpriority
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+     WHERE l_shipdate >= DATE '1997-01-01' AND l_shipdate < DATE '1998-01-01'
+  ) t
+ GROUP BY delay_bucket
+""",
+    tags=("agg", "join", "tpch"),
+)
+def agg_ship_delay_priority_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: one fact-fact join feeding a two-way conditional
+    count per derived category (shipmode isn't in the testdata; the
+    bucket derives from ship delay, keeping the CASE-classify-then-pivot
+    shape). Counts use count(CASE ...) — not sum(CASE) — because DuckDB
+    widens integer sums to INT128 while count is BIGINT in both engines.
+    Output is 3 rows; the only shuffle is the l_orderkey join."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("date"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("date"))
+    )
+    o = _t(spark, sf_dir, "orders")
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            F.when(
+                F.col("l_shipdate")
+                >= F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"),
+                "late",
+            )
+            .when(
+                F.col("l_shipdate")
+                >= F.col("o_orderdate") + F.expr("INTERVAL 21 DAYS"),
+                "slow",
+            )
+            .otherwise("fast")
+            .alias("delay_bucket"),
+            "o_orderpriority",
+        )
+        .groupBy("delay_bucket")
+        .agg(
+            F.count(F.when(hi, 1)).alias("high_line_count"),
+            F.count(F.when(~hi, 1)).alias("low_line_count"),
+        )
+    )
+
+
+@query(
+    "join_order_count_distribution_q13",
+    """
+SELECT n_orders, count(*) AS n_customers
+  FROM (
+    SELECT c.c_custkey, count(o.o_orderkey) AS n_orders
+      FROM customer c
+      LEFT JOIN orders o
+        ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '5-LOW'
+     GROUP BY c.c_custkey
+  ) t
+ GROUP BY n_orders
+""",
+    tags=("join", "outer", "agg", "tpch"),
+)
+def join_order_count_distribution_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: the order-count histogram over customers — a LEFT
+    join whose extra predicate lives IN the join condition (filtering
+    o_orderpriority in a WHERE would silently drop zero-order customers:
+    the classic outer-join-predicate-placement bug this entry pins),
+    then two stacked aggregations. count(o_orderkey) counts matches only
+    (NULL-skipping), so no-order customers land in the n_orders=0 bucket.
+    Second agg is distribution-sized; the first shares the custkey
+    shuffle with the join."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(
+            o,
+            (F.col("c_custkey") == F.col("o_custkey"))
+            & (F.col("o_orderpriority") != "5-LOW"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return per_cust.groupBy("n_orders").agg(
+        F.count(F.lit(1)).alias("n_customers")
+    )
+
+
+@query(
+    "subquery_top_supplier_q15",
+    """
+WITH rev AS (
+  SELECT l_suppkey,
+         sum(CAST(l_extendedprice AS DECIMAL(18,4))
+             * CAST(1 - l_discount AS DECIMAL(18,4))) AS total_rev
+    FROM lineitem
+   WHERE l_shipdate >= DATE '1997-01-01' AND l_shipdate < DATE '1997-04-01'
+   GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, round(CAST(total_rev AS DOUBLE), 2) AS total_rev
+  FROM rev JOIN supplier ON s_suppkey = l_suppkey
+ WHERE total_rev = (SELECT max(total_rev) FROM rev)
+""",
+    tags=("subquery", "scalar", "tpch"),
+)
+def subquery_top_supplier_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: the revenue view consumed twice — per-supplier
+    quarterly revenue, then the supplier(s) achieving its maximum (ties
+    kept, deterministic). The scalar max is a 1-row broadcast cross-join
+    against the SAME aggregated frame (one supplier-key shuffle total);
+    equality compares EXACT decimal sums, never rounded doubles, so the
+    argmax set is engine-stable."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("date"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("date"))
+    )
+    s = _t(spark, sf_dir, "supplier")
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(
+            F.col("l_extendedprice").cast("decimal(18,4)")
+            * (F.lit(1) - F.col("l_discount")).cast("decimal(18,4)")
+        ).alias("total_rev")
+    )
+    mx = rev.agg(F.max("total_rev").alias("max_rev"))
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .where(F.col("total_rev") == F.col("max_rev"))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.round(F.col("total_rev").cast("double"), 2).alias("total_rev"),
+        )
+    )
+
+
+@query(
+    "join_supplier_part_counts_q16",
+    """
+SELECT p_brand, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+  FROM lineitem
+  JOIN part ON p_partkey = l_partkey
+ WHERE p_type <> 'PROMO' AND p_size IN (1, 9, 14, 23, 36, 45)
+   AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+ GROUP BY p_brand, p_size
+""",
+    tags=("join", "anti", "distinct", "tpch"),
+)
+def join_supplier_part_counts_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: supplier diversity per part group with an
+    excluded-supplier NOT-IN (complaint suppliers = negative account
+    balance here). NOT IN becomes a broadcast LEFT-ANTI join (s_suppkey
+    is non-null, so anti == NOT IN); part predicates push to the
+    broadcast build side; count(DISTINCT) expands to the standard
+    two-phase distinct aggregate on the group keys. One fact shuffle."""
+    li = _t(spark, sf_dir, "lineitem")
+    bad = (
+        _t(spark, sf_dir, "supplier")
+        .where(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    p = _t(spark, sf_dir, "part").where(
+        (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 9, 14, 23, 36, 45)
+    )
+    return (
+        li.join(F.broadcast(bad), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
     )
 
 

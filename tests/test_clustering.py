@@ -120,3 +120,29 @@ def test_kmeanspp_partition_and_seed_determinism(spark):
     assert a == b  # partitioning-invariant
     c = kmeanspp_init(e, k=3, seed=6)
     assert a != c  # the seed is live
+
+
+def test_arrow_assignment_bit_identical_to_sql(spark):
+    """Law: engine='arrow' (numpy kernel, sequential per-dimension fold)
+    returns EXACTLY the SQL path's assignment — cell AND the 1e-6-rounded
+    distance — on a fixture built to stress tie-breaks and accumulation
+    order (near-equidistant rows, float32 values with inexact doubles)."""
+    import random
+
+    random.seed(7)
+    rows = [
+        (i, [round(random.uniform(-1, 1), 3) for _ in range(9)])
+        for i in range(120)
+    ]
+    # rows equidistant to two centroids by construction: duplicate some
+    # centroid-seed vectors so dist ties at exactly 0 vs 0 can occur
+    rows += [(200 + j, list(rows[j][1])) for j in range(4)]
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    for init in ("ids", "kmeanspp"):
+        a = sorted(
+            map(tuple, kmeans_assign(e, 4, 2, init=init, engine="sql").collect())
+        )
+        b = sorted(
+            map(tuple, kmeans_assign(e, 4, 2, init=init, engine="arrow").collect())
+        )
+        assert a == b, init

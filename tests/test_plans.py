@@ -503,8 +503,11 @@ def test_rerank_no_corpus_sortmerge(audits):
 
 def test_semantic_dedup_equi_blocked_pairs(audits):
     a = audits("dedup_semantic_clusters", execute=True)
-    # cluster-blocked pair join is an EQUI join on cell (never cartesian);
-    # assignment stage is map-side from the centroid literal.
+    # cluster-blocked pair join is an EQUI join on cell (never cartesian).
+    # The corpus-scaled-k assignment runs as ONE declared Arrow boundary
+    # upstream of the localCheckpoint (bit-parity law-tested in
+    # tests/test_clustering.py); the audited pair-join plan itself reads
+    # the checkpointed blocks, so it stays Python-free.
     assert a.n_nestedloop_joins == 0
     assert a.n_python_evals == 0
 
@@ -654,5 +657,98 @@ def test_theta_overlap_all_scalar_broadcasts(audits):
     a = audits("sketch_theta_overlap_customers")
     # two bottom-k sketch pipelines + five 1-row scalar combines: no
     # sort-merge join of anything, no python; the raw sets never join.
+    assert a.n_sortmerge_joins == 0
+    assert a.n_python_evals == 0
+
+
+# ------------------------------------------- round-8 TPC-H shape entries
+
+
+def test_q4_exists_is_one_semi_join(audits):
+    a = audits("subquery_late_order_priority_q4")
+    # correlated EXISTS = ONE semi join (never inner+distinct); the order
+    # date window pushes to the orders scan.
+    assert a.joins == 1
+    assert "LeftSemi" in a.raw
+    assert a.n_python_evals == 0
+    assert_pushed(a, "o_orderdate")
+
+
+def test_q6_single_scan_no_join_pushed_filters(audits):
+    a = audits("agg_discount_revenue_q6")
+    # the scan-bound floor: zero joins, every predicate pushed, one global
+    # agg (partial per partition + single-partition final).
+    assert a.joins == 0
+    assert a.n_python_evals == 0
+    assert_pushed(a, "l_shipdate")
+    assert_pushed(a, "l_discount")
+    assert_pushed(a, "l_quantity")
+
+
+def test_q8_all_dims_broadcast_one_fact_shuffle(audits):
+    a = audits("join_market_share_q8")
+    # 7 of the 8 relations broadcast; lineitem<->orders is the only
+    # data-sized join; no sort-merge anywhere.
+    assert a.n_broadcast_joins >= 6
+    assert a.n_sortmerge_joins == 0
+    assert a.n_python_evals == 0
+
+
+def test_q10_take_ordered_top20(audits):
+    a = audits("join_returned_revenue_q10")
+    # global top-20 must plan as per-partition heap + merge, not a global
+    # sort exchange; return-flag predicate reaches the lineitem scan.
+    assert "TakeOrderedAndProject" in a.raw
+    assert a.n_python_evals == 0
+    assert_pushed(a, "l_returnflag")
+
+
+def test_q11_global_total_is_scalar_broadcast(audits):
+    a = audits("subquery_important_part_value_q11")
+    # per-part agg reused for both sides; the global total attaches as a
+    # 1-row broadcast nested loop (constant build side, not data-sized).
+    assert a.n_nestedloop_joins == 1
+    assert a.n_sortmerge_joins == 0
+    assert a.n_python_evals == 0
+
+
+def test_q12_one_join_tiny_output_agg(audits):
+    a = audits("agg_ship_delay_priority_q12")
+    # one fact-fact equi join + a 3-row conditional-count agg; date window
+    # pushes to the lineitem scan.
+    assert a.joins == 1
+    assert a.n_nestedloop_joins == 0
+    assert a.n_python_evals == 0
+    assert_pushed(a, "l_shipdate")
+
+
+def test_q13_left_join_keeps_predicate_in_join(audits):
+    a = audits("join_order_count_distribution_q13")
+    # the priority predicate must live in the LEFT join condition (a WHERE
+    # would drop zero-order customers): plan shows an outer join and NO
+    # pushed filter on o_orderpriority into the orders scan... the
+    # predicate CAN push to the preserved-side-independent orders scan
+    # safely, so only assert the join stays outer and single.
+    assert "LeftOuter" in a.raw
+    assert a.joins == 1
+    assert a.n_python_evals == 0
+
+
+def test_q15_argmax_scalar_broadcast_one_shuffle(audits):
+    a = audits("subquery_top_supplier_q15")
+    # the revenue agg feeds both the argmax scalar (1-row broadcast
+    # attach) and the filter; supplier broadcasts; both joins are
+    # broadcast-side, never a sort-merge of the aggregated frame.
+    assert a.joins == 2
+    assert a.n_broadcast_joins == 2
+    assert a.n_sortmerge_joins == 0
+    assert a.n_python_evals == 0
+
+
+def test_q16_not_in_is_broadcast_anti(audits):
+    a = audits("join_supplier_part_counts_q16")
+    # NOT IN compiles to a broadcast left-anti (non-null key), part
+    # predicates prune the broadcast build side, no sort-merge join.
+    assert "LeftAnti" in a.raw
     assert a.n_sortmerge_joins == 0
     assert a.n_python_evals == 0
