@@ -529,3 +529,125 @@ SELECT xi.xi AS n_exact_inter,
                    - xu.xu) / xu.xu, 6) END AS rel_err_union
   FROM xi CROSS JOIN xu CROSS JOIN nc CROSS JOIN nb CROSS JOIN theta
 """
+
+
+# ---------------------------------------------------------------- HDR
+# log-linear quantile histogram (HdrHistogram, Gil Tene): buckets are
+# powers of two split into 2^sub_bits linear sub-buckets — PURE INTEGER
+# math end-to-end. floor(log2(cents)) = length(bin(cents)) - 1 in BOTH
+# engines (no libm log anywhere — a ceil(ln(x)/ln(γ)) DDSketch-style
+# index would flip buckets on cross-libm last-ulp differences, the exact
+# failure mode the repo's bigram/Benford notes document), so the sketch
+# is deterministic and value-hashes against the SQL twin.
+
+
+def hdr_quantiles(
+    df: DataFrame,
+    value_col: str,
+    quantiles: tuple = (("p50", 1, 2), ("p90", 9, 10),
+                        ("p99", 99, 100), ("p999", 999, 1000)),
+    sub_bits: int = 4,
+) -> DataFrame:
+    """Mergeable approximate quantiles from a log-linear integer histogram
+    (HdrHistogram shape): one scan builds ≤ 64·2^sub_bits bucket counts
+    (map-side combined — the ONLY shuffle is output-sized), the quantile
+    is the lower bound of the first bucket whose cumulative count reaches
+    ceil(q·n). Relative error ≤ 2^-sub_bits by construction (bucket width
+    / lower bound), estimates never exceed the true quantile (lower-bound
+    selection) — both law-tested. Counts are plain integers, so sketches
+    MERGE by addition (per-partition, per-day, per-source rollups at
+    100 TB cost one small combine instead of a global sort; the exact
+    alternative, operators/histogram.py::exact_quantiles, pays a
+    bucket-count pass per refinement level). Ranks are computed as
+    (num·n + den − 1) div den — exact rational ceil, no float q·n.
+    Returns (q, rank, estimate_cents)."""
+    s = 1 << sub_bits
+    cents = F.round(F.col(value_col) * 100).cast("bigint")
+    rows = df.select(cents.alias("cents")).where(F.col("cents") >= 1)
+    base_sql = ("shiftleft(CAST(1 AS BIGINT),"
+                " CAST(length(bin(cents)) - 1 AS INT))")
+    bucket = F.expr(
+        f"CAST(length(bin(cents)) - 1 AS BIGINT) * {s}"
+        f" + ((cents - {base_sql}) * {s}) div {base_sql}"
+    )
+    counts = rows.select(bucket.alias("bucket")).groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    cum = counts.select(
+        "bucket", "cnt", F.sum("cnt").over(w).alias("cum")
+    )
+    n = counts.agg(F.sum("cnt").alias("n"))
+    spark = df.sparkSession
+    qdf = spark.createDataFrame(list(quantiles), "q string, num long, den long")
+    ranked = (
+        F.broadcast(qdf)
+        .crossJoin(F.broadcast(n))
+        .select("q", F.expr("(num * n + den - 1) div den").alias("rank"))
+    )
+    picked = (
+        ranked.join(cum, F.col("cum") >= F.col("rank"))
+        .groupBy("q", "rank")
+        .agg(F.min("bucket").alias("bucket"))
+    )
+    eb_sql = f"shiftleft(CAST(1 AS BIGINT), CAST(bucket div {s} AS INT))"
+    return picked.select(
+        "q",
+        "rank",
+        F.expr(f"{eb_sql} + ((bucket % {s}) * {eb_sql}) div {s}").alias(
+            "estimate_cents"
+        ),
+    )
+
+
+def hdr_quantiles_sql(
+    table: str,
+    value_expr: str,
+    quantiles: tuple = (("p50", 1, 2), ("p90", 9, 10),
+                        ("p99", 99, 100), ("p999", 999, 1000)),
+    sub_bits: int = 4,
+) -> str:
+    """DuckDB twin of :func:`hdr_quantiles` — identical integer bucket
+    index (length(bin(cents))-1, << shifts, div), identical rational
+    rank, identical lower-bound selection."""
+    s = 1 << sub_bits
+    qrows = " UNION ALL ".join(
+        f"SELECT '{q}' AS q, CAST({num} AS BIGINT) AS num,"
+        f" CAST({den} AS BIGINT) AS den"
+        for q, num, den in quantiles
+    )
+    return f"""
+WITH cents_t AS (
+  SELECT CAST(round({value_expr} * 100) AS BIGINT) AS cents FROM {table}
+),
+rows_t AS (SELECT cents FROM cents_t WHERE cents >= 1),
+bucketed AS (
+  SELECT (CAST(length(bin(cents)) - 1 AS BIGINT) * {s})
+         + ((cents - (CAST(1 AS BIGINT) << (length(bin(cents)) - 1))) * {s})
+           // (CAST(1 AS BIGINT) << (length(bin(cents)) - 1)) AS bucket
+  FROM rows_t
+),
+counts AS (SELECT bucket, count(*) AS cnt FROM bucketed GROUP BY bucket),
+cum AS (
+  SELECT bucket, cnt,
+         sum(cnt) OVER (ORDER BY bucket
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM counts
+),
+n_t AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM counts),
+qs AS ({qrows}),
+ranked AS (
+  SELECT q, CAST((num * n + den - 1) // den AS BIGINT) AS rank
+  FROM qs CROSS JOIN n_t
+),
+picked AS (
+  SELECT r.q, r.rank, min(c.bucket) AS bucket
+  FROM ranked r JOIN cum c ON c.cum >= r.rank
+  GROUP BY r.q, r.rank
+)
+SELECT q, rank,
+       CAST((CAST(1 AS BIGINT) << CAST(bucket // {s} AS INT))
+            + ((bucket % {s}) * (CAST(1 AS BIGINT) << CAST(bucket // {s} AS INT)))
+              // {s} AS BIGINT) AS estimate_cents
+FROM picked
+"""

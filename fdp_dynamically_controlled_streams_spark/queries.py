@@ -3835,6 +3835,25 @@ def sketch_theta_overlap_customers(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 @query(
+    "sketch_hdr_quantiles_extendedprice",
+    skt.hdr_quantiles_sql("lineitem", "l_extendedprice"),
+    tags=("sketch", "quantiles", "hdr"),
+)
+def sketch_hdr_quantiles_extendedprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable approximate quantiles (p50/p90/p99/p999 of
+    l_extendedprice) from an HdrHistogram-shape LOG-LINEAR INTEGER
+    histogram: floor(log2(cents)) via length(bin(cents))-1 — pure integer
+    math in both engines, no libm log that could flip a bucket on a
+    cross-libm ulp — split into 16 linear sub-buckets (relative error
+    ≤ 1/16, law-tested; estimates never exceed the true quantile). One
+    scan, one output-sized shuffle; counts merge by ADDITION, so per-day/
+    per-source sketches roll up to any grain without rescanning — the
+    approximate complement of histogram.py::exact_quantiles, which costs
+    a pass per refinement level (operators/sketches.py::hdr_quantiles)."""
+    return skt.hdr_quantiles(_t(spark, sf_dir, "lineitem"), "l_extendedprice")
+
+
+@query(
     "sketch_hll_daily_rollup_users",
     skt.hll_rollup_sql(
         "events", "strftime(ts, '%Y-%m-%d')", "day", "user_id"

@@ -661,6 +661,15 @@ def test_theta_overlap_all_scalar_broadcasts(audits):
     assert a.n_python_evals == 0
 
 
+def test_hdr_quantiles_one_scan_no_python(audits):
+    a = audits("sketch_hdr_quantiles_extendedprice")
+    # integer bucketing is a scan projection; one output-sized groupBy,
+    # the bucket-table window + tiny broadcast rank joins; no sort-merge
+    # of anything data-sized, no Python, no libm.
+    assert a.n_python_evals == 0
+    assert a.n_sortmerge_joins == 0
+
+
 # ------------------------------------------- round-8 TPC-H shape entries
 
 

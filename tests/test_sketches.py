@@ -225,3 +225,58 @@ def test_theta_overlap_disjoint_sets(spark):
     # is empty and the estimate must be exactly 0
     assert r.inter_estimate == 0.0
     assert r.rel_err_inter is None  # exact is 0 -> rel err undefined
+
+
+# ---------------------------------------------------------------- HDR
+
+
+def test_hdr_quantile_laws(spark):
+    """Two laws of the log-linear quantile sketch on a skewed fixture:
+    (1) the estimate NEVER exceeds the exact quantile (lower-bound
+    selection), and relative error <= 2^-sub_bits (bucket width over
+    lower bound); (2) ranks are exact rational ceils of q*n."""
+    import math
+    import random
+
+    from fdp_dynamically_controlled_streams_spark.operators.sketches import (
+        hdr_quantiles,
+    )
+
+    random.seed(3)
+    vals = [round(math.exp(random.uniform(0, 10)) / 100 + 0.01, 2)
+            for _ in range(5000)]
+    df = spark.createDataFrame([(v,) for v in vals], "price double")
+    got = {r.q: r for r in hdr_quantiles(df, "price").collect()}
+    cents = sorted(round(v * 100) for v in vals)
+    n = len(cents)
+    for q, num, den in [("p50", 1, 2), ("p90", 9, 10),
+                        ("p99", 99, 100), ("p999", 999, 1000)]:
+        rank = -(-num * n // den)  # ceil
+        exact = cents[rank - 1]
+        r = got[q]
+        assert r.rank == rank, q
+        assert r.estimate_cents <= exact, (q, r.estimate_cents, exact)
+        assert exact - r.estimate_cents <= exact / 16 + 1, (
+            q, r.estimate_cents, exact)
+
+
+def test_hdr_sketch_merges_by_addition(spark):
+    """Merge law: bucket counts from two halves ADD to the whole-corpus
+    sketch, so quantiles computed from merged per-partition counts equal
+    the single-pass answer exactly (the property that lets per-day
+    sketches answer any coarser rollup without rescanning)."""
+    import random
+
+    from fdp_dynamically_controlled_streams_spark.operators.sketches import (
+        hdr_quantiles,
+    )
+
+    random.seed(9)
+    vals = [(i, round(random.uniform(0.5, 9000), 2)) for i in range(4000)]
+    df = spark.createDataFrame(vals, "i long, price double")
+    whole = sorted(map(tuple, hdr_quantiles(df, "price").collect()))
+    halves = df.where(F.col("i") % 2 == 0).unionByName(
+        df.where(F.col("i") % 2 == 1)
+    )
+    merged = sorted(map(tuple, hdr_quantiles(halves, "price").collect()))
+    assert whole == merged
