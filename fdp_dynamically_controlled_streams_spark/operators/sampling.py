@@ -26,7 +26,7 @@ consistent membership across tables sharing the key domain.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from fdp_dynamically_controlled_streams_spark.functions.hashing import (
@@ -305,4 +305,115 @@ SELECT {key_expr}, shard,
            AS pos
   FROM (SELECT {key_expr}, {h} AS h, CAST({h} % {n_shards} AS INT) AS shard
           FROM {table})
+"""
+
+
+def temperature_mix(
+    df: DataFrame,
+    strata: str,
+    key: str,
+    budget_frac_den: int = 5,
+    seed: int = 0,
+) -> DataFrame:
+    """Temperature-based domain mixing (the LLM data-mixing primitive:
+    sample source s with probability ∝ n_s^α, α = 1/2): per-source accept
+    rate r_s = T·√n_s / (Σ√n · n_s), where T = n_total div
+    ``budget_frac_den`` is the integer token budget. Low-resource sources
+    are upsampled relative to proportional mixing (r_s ∝ 1/√n_s), the
+    α→1 limit is proportional and α→0 uniform-per-source.
+
+    Engine-exactness discipline: α is fixed at 1/2 BECAUSE sqrt is
+    IEEE-correctly-rounded in both engines where a general pow() is libm
+    (the bigram/Benford rule); Σ√n_s is an ORDER-FIXED running-sum fold
+    over sources (window ORDER BY source, total = max) so the few-term
+    float sum cannot differ by engine reduction order; the rate is
+    snapped to integer BASIS POINTS with the repo's double-round idiom
+    and the per-row decision is an INTEGER compare of the portable hash
+    gate — membership cannot flip on a float ulp. Returns per-source
+    (source, n_s, thr_bp, n_sampled); zero-rate sources report 0.
+
+    Scale shape: one count aggregate (source-cardinality output), rates
+    broadcast back, the gate is a map-side predicate — the fact table
+    shuffles once for the final per-source count, nothing else."""
+    rows = df.select(F.col(strata).alias("source"), F.col(key).alias("_k"))
+    counts = rows.groupBy("source").agg(F.count(F.lit(1)).alias("n_s"))
+    w = Window.orderBy("source").rowsBetween(Window.unboundedPreceding, 0)
+    cum = counts.select(
+        "source", "n_s",
+        F.sum(F.sqrt(F.col("n_s").cast("double"))).over(w).alias("cw"),
+    )
+    tot = cum.agg(
+        F.max("cw").alias("total_w"), F.sum("n_s").alias("n_total")
+    )
+    rates = cum.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_s",
+        F.expr(
+            f"CAST(round(round(least(1.0,"
+            f" CAST(n_total div {budget_frac_den} AS DOUBLE)"
+            f" * sqrt(CAST(n_s AS DOUBLE))"
+            f" / (total_w * CAST(n_s AS DOUBLE))), 6) * {DENOM}, 0)"
+            f" AS BIGINT)"
+        ).alias("thr_bp"),
+    )
+    sampled = (
+        rows.join(F.broadcast(rates), "source")
+        .where(hash_gate("_k", seed) < F.col("thr_bp"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_sampled"))
+    )
+    return (
+        rates.join(sampled, "source", "left")
+        .select(
+            "source", "n_s", "thr_bp",
+            F.coalesce("n_sampled", F.lit(0)).alias("n_sampled"),
+        )
+    )
+
+
+def temperature_mix_sql(
+    table: str,
+    strata_expr: str,
+    key_expr: str,
+    budget_frac_den: int = 5,
+    seed: int = 0,
+) -> str:
+    """DuckDB twin of :func:`temperature_mix` — identical order-fixed
+    weight fold, identical basis-point snap, identical integer gate."""
+    gate = hash_gate_sql("CAST(t.k AS VARCHAR)", seed)
+    return f"""
+WITH rows_t AS (
+  SELECT {strata_expr} AS source, {key_expr} AS k FROM {table}
+),
+counts AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_s FROM rows_t GROUP BY source
+),
+cum AS (
+  SELECT source, n_s,
+         sum(sqrt(CAST(n_s AS DOUBLE)))
+           OVER (ORDER BY source
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw
+  FROM counts
+),
+tot AS (
+  SELECT max(cw) AS total_w, CAST(sum(n_s) AS BIGINT) AS n_total FROM cum
+),
+rates AS (
+  SELECT source, n_s,
+         CAST(round(round(least(1.0,
+              CAST(n_total // {budget_frac_den} AS DOUBLE)
+              * sqrt(CAST(n_s AS DOUBLE))
+              / (total_w * CAST(n_s AS DOUBLE))), 6) * {DENOM}, 0)
+              AS BIGINT) AS thr_bp
+  FROM cum CROSS JOIN tot
+),
+sampled AS (
+  SELECT r.source, CAST(count(*) AS BIGINT) AS n_sampled
+  FROM rows_t t JOIN rates r ON t.source = r.source
+  WHERE {gate} < r.thr_bp
+  GROUP BY r.source
+)
+SELECT r.source, r.n_s, r.thr_bp,
+       COALESCE(s.n_sampled, CAST(0 AS BIGINT)) AS n_sampled
+FROM rates r LEFT JOIN sampled s ON s.source = r.source
 """

@@ -3528,6 +3528,27 @@ def sample_stratified_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sample_temperature_domain_mix",
+    smp.temperature_mix_sql("documents", "source", "doc_id", seed=17),
+    tags=("sampling", "mixing"),
+)
+def sample_temperature_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based domain mixing (α = 1/2): per-source accept rate
+    ∝ √n_s / n_s against a 20% token budget — the data-mixing primitive
+    that upsamples low-resource sources relative to proportional (the
+    multilingual/domain-balance recipe). α is FIXED at 1/2 because sqrt
+    is IEEE-correctly-rounded in both engines where pow() is libm; the
+    weight total is an order-fixed fold, rates snap to integer basis
+    points, and membership is an integer hash-gate compare — nothing can
+    flip on a float ulp (operators/sampling.py::temperature_mix). One
+    count agg + broadcast rates + map-side gate: the corpus shuffles once
+    for the output count."""
+    return smp.temperature_mix(
+        _t(spark, sf_dir, "documents"), "source", "doc_id", seed=17
+    )
+
+
+@query(
     "split_train_valid_test",
     f"""
     SELECT {smp.assign_split_sql("CAST(doc_id AS VARCHAR)", _SPLIT_WEIGHTS, seed=13)} AS split,

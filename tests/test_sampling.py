@@ -164,3 +164,47 @@ def test_weighted_bottomk_laws(spark):
     assert [r.k for r in z] == [3999]
     # plan shape: TakeOrderedAndProject like the uniform tier
     assert "TakeOrderedAndProject" in s._jdf.queryExecution().executedPlan().toString()
+
+
+# ------------------------------------------------------ temperature mix
+
+
+def test_temperature_mix_upsamples_low_resource_sources(spark):
+    """Laws on a skewed corpus (α = 1/2 mixing): (1) accept RATES are
+    monotone decreasing in source size (low-resource upsampled); (2) the
+    realized mix is flatter than proportional — the small source's SHARE
+    of the sample strictly exceeds its share of the corpus; (3) per-source
+    thresholds reproduce the closed-form √n_s basis-point snap."""
+    import math
+
+    from fdp_dynamically_controlled_streams_spark.operators.sampling import (
+        DENOM,
+        temperature_mix,
+    )
+
+    sizes = {"big": 6000, "mid": 1500, "small": 200}
+    rows, i = [], 0
+    for src, n in sizes.items():
+        for _ in range(n):
+            rows.append((i, src))
+            i += 1
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    got = {r.source: r for r in temperature_mix(df, "source", "doc_id").collect()}
+    assert set(got) == set(sizes)
+    # (3) closed-form thresholds
+    n_total = sum(sizes.values())
+    total_w = 0.0
+    for src in sorted(sizes):  # order-fixed fold, as the operator computes
+        total_w += math.sqrt(sizes[src])
+    t_budget = n_total // 5
+    for src, n in sizes.items():
+        rate = min(1.0, t_budget * math.sqrt(n) / (total_w * n))
+        assert got[src].thr_bp == round(round(rate, 6) * DENOM), src
+    # (1) monotone: smaller source -> higher accept rate
+    assert got["small"].thr_bp > got["mid"].thr_bp > got["big"].thr_bp
+    # (2) flatter than proportional
+    n_sampled_total = sum(r.n_sampled for r in got.values())
+    assert n_sampled_total > 0
+    assert (got["small"].n_sampled / n_sampled_total) > (
+        sizes["small"] / n_total
+    )
