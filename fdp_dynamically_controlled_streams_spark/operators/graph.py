@@ -37,6 +37,7 @@ def pagerank(
     n_iter: int = 3,
     src_col: str = "src",
     dst_col: str = "dst",
+    sources: list[int] | None = None,
 ) -> DataFrame:
     """Deterministic integer PageRank over a directed edge list (damping
     0.85 as the exact fraction 85/100). Returns (node, rank) with rank the
@@ -44,7 +45,15 @@ def pagerank(
     their mass uniformly each round — computed as a broadcast one-row
     scalar, not a driver collect. Truncation makes this a deterministic
     variant (total mass decays by the dropped remainders — identically in
-    both engines)."""
+    both engines).
+
+    ``sources`` switches to PERSONALIZED PageRank: teleport mass AND the
+    dangling redistribution go only to the source set (the random surfer
+    restarts at the sources), so ranks measure proximity to the sources —
+    the seed-expansion / related-entity primitive. The source list is a
+    bounded literal (an IN predicate, no join). With sources = all nodes
+    the recurrence degenerates EXACTLY to the uniform variant
+    (T//n teleport, dmass//n shares) — law-tested."""
     e = edges.select(
         F.col(src_col).cast("long").alias("src"),
         F.col(dst_col).cast("long").alias("dst"),
@@ -57,8 +66,17 @@ def pagerank(
     )
     outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).localCheckpoint()
     n = nodes.count()  # bounded driver scalar (node count)
-    base = TOTAL_MASS // n
-    ranks = nodes.select("node", F.lit(base).cast("long").alias("r")).localCheckpoint()
+    if sources is None:
+        base = TOTAL_MASS // n
+        ind = F.lit(1).cast("long")  # every node is a teleport target
+        n_targets = n
+        init = F.lit(base).cast("long")
+    else:
+        n_targets = len(sources)
+        base = TOTAL_MASS // n_targets
+        ind = F.col("node").isin(sources).cast("long")
+        init = (F.lit(base) * F.col("node").isin(sources).cast("long")).cast("long")
+    ranks = nodes.select("node", init.alias("r")).localCheckpoint()
     for _ in range(n_iter):
         r_deg = ranks.join(outdeg, ranks.node == outdeg.src).select(
             "src", F.expr("r div deg").alias("c")
@@ -81,14 +99,15 @@ def pagerank(
             .select(
                 "node",
                 F.coalesce("inflow", F.lit(0)).alias("_in"),
-                F.expr(f"_dm div {n}L").alias("_share"),
+                (F.expr(f"_dm div {n_targets}L") * ind).alias("_share"),
+                ind.alias("_t"),
             )
             .select(
                 "node",
                 # 15*base precomputed in Python: two int32-sized literals
                 # multiplied in SQL would overflow INT under ANSI mode
                 F.expr(
-                    f"({15 * base}L + 85L * (_in + _share)) div 100L"
+                    f"({15 * base}L * _t + 85L * (_in + _share)) div 100L"
                 )
                 .cast("long")
                 .alias("r"),
@@ -101,17 +120,31 @@ def pagerank(
 def pagerank_oracle_sql(
     edges_sql: str,
     n_iter: int = 3,
+    sources: list[int] | None = None,
 ) -> str:
     """DuckDB twin of :func:`pagerank`: iterations unrolled as CTE chains,
     identical integer truncation at every step. ``edges_sql`` must yield
-    (src, dst) BIGINT columns."""
+    (src, dst) BIGINT columns. ``sources`` mirrors the personalized
+    variant (teleport/dangling to the literal source set only)."""
+    if sources is None:
+        tel = f"({TOTAL_MASS} // nn.n)"
+        ind = "1"
+        share_den = "nn.n"
+        init = f"CAST({TOTAL_MASS} // n AS BIGINT)"
+    else:
+        s = len(sources)
+        in_set = "(" + ", ".join(str(x) for x in sorted(sources)) + ")"
+        tel = f"{TOTAL_MASS // s}"
+        ind = f"(CASE WHEN n2.node IN {in_set} THEN 1 ELSE 0 END)"
+        share_den = str(s)
+        init = (f"CAST(CASE WHEN node IN {in_set}"
+                f" THEN {TOTAL_MASS // s} ELSE 0 END AS BIGINT)")
     parts = [
         f"edges AS ({edges_sql})",
         "nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges)",
         "nn AS (SELECT count(*) AS n FROM nodes)",
         "outdeg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src)",
-        f"r_0 AS (SELECT node, CAST({TOTAL_MASS} // n AS BIGINT) AS r"
-        "  FROM nodes CROSS JOIN nn)",
+        f"r_0 AS (SELECT node, {init} AS r FROM nodes CROSS JOIN nn)",
     ]
     for i in range(n_iter):
         parts.append(
@@ -128,8 +161,9 @@ def pagerank_oracle_sql(
         parts.append(
             f"""r_{i + 1} AS (
   SELECT n2.node,
-         CAST((15 * ({TOTAL_MASS} // nn.n)
-               + 85 * (COALESCE(c.inflow, 0) + d.dmass // nn.n)) // 100
+         CAST((15 * {tel} * {ind}
+               + 85 * (COALESCE(c.inflow, 0)
+                       + (d.dmass // {share_den}) * {ind})) // 100
               AS BIGINT) AS r
   FROM nodes n2 CROSS JOIN nn CROSS JOIN d_{i + 1} d
   LEFT JOIN c_{i + 1} c ON c.dst = n2.node)"""

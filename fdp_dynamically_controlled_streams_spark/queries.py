@@ -2246,6 +2246,40 @@ def graph_pagerank_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gph.pagerank(edges, n_iter=3)
 
 
+#: PPR seed set: five fixed customer nodes of the purchase graph (the
+#: same node id space as _PAGERANK_EDGES_SQL's src side).
+_PPR_SEEDS = [1, 2, 3, 5, 8]
+
+
+@query(
+    "graph_ppr_purchase_seeds",
+    gph.pagerank_oracle_sql(_PAGERANK_EDGES_SQL, n_iter=3, sources=_PPR_SEEDS),
+    tags=("graph", "iterative", "pagerank", "personalized"),
+)
+def graph_ppr_purchase_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERSONALIZED PageRank over the customer->supplier purchase graph:
+    teleport mass and the dangling redistribution go only to five seed
+    customers, so ranks measure proximity to the seed cohort — the
+    seed-expansion / related-entity primitive (recommendation candidates,
+    fraud-ring neighborhoods) on the same exact-integer recurrence as
+    graph_pagerank_suppliers: bigint micro-mass, order-independent sums,
+    value-hashes at any partitioning. The seed set rides as a literal IN
+    predicate — no extra join; per-iteration plan identical to the
+    uniform variant. sources=all-nodes degenerates exactly to uniform
+    PageRank (law-tested)."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    edges = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            F.col("o_custkey").cast("long").alias("src"),
+            (F.lit(10_000_000) + F.col("l_suppkey")).cast("long").alias("dst"),
+        )
+        .distinct()
+    )
+    return gph.pagerank(edges, n_iter=3, sources=_PPR_SEEDS)
+
+
 # Data-relative sparsification: keep only supplier pairs whose
 # co-occurrence count reaches the corpus average (a lift-style
 # significance filter). A raw co-purchase graph GROWS DENSE with data

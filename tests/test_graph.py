@@ -9,9 +9,12 @@ from fdp_dynamically_controlled_streams_spark.operators.graph import (
 )
 
 
-def _pr(spark, edges, n_iter=3):
+def _pr(spark, edges, n_iter=3, sources=None):
     df = spark.createDataFrame(edges, "src long, dst long")
-    return {r.node: r["rank"] for r in pagerank(df, n_iter=n_iter).collect()}
+    return {
+        r.node: r["rank"]
+        for r in pagerank(df, n_iter=n_iter, sources=sources).collect()
+    }
 
 
 def test_star_hub_ranks_highest(spark):
@@ -223,3 +226,25 @@ def test_bfs_early_exit_matches_deep_cap(spark):
     # graph exhausts at hop 2; a much larger cap must not change output
     edges = [(0, 1), (1, 2)]
     assert _bfs(spark, edges, [0], max_hops=2) == _bfs(spark, edges, [0], max_hops=9)
+
+
+def test_ppr_with_all_sources_equals_uniform_pagerank(spark):
+    """Degeneracy law: personalized PageRank with sources = EVERY node is
+    the uniform recurrence exactly (same teleport T//n, same dmass//n
+    shares, same truncations) — pins that the indicator plumbing changes
+    nothing when the indicator is all-ones."""
+    edges = [(i, (i * 7 + 3) % 23) for i in range(20)] + [(2, 21), (21, 2)]
+    nodes = sorted({u for e in edges for u in e})
+    assert _pr(spark, edges, n_iter=3) == _pr(
+        spark, edges, n_iter=3, sources=nodes
+    )
+
+
+def test_ppr_unreachable_nodes_get_zero(spark):
+    """Locality law: a node that is not a seed and not reachable from any
+    seed holds zero mass at every iteration; seeds hold positive mass."""
+    # two disconnected components: {0,1,2} cycle and {10,11} edge
+    edges = [(0, 1), (1, 2), (2, 0), (10, 11)]
+    got = _pr(spark, edges, n_iter=3, sources=[0])
+    assert got[0] > 0 and got[1] > 0 and got[2] > 0
+    assert got[10] == 0 and got[11] == 0
