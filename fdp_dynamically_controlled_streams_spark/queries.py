@@ -4112,6 +4112,62 @@ def layout_partitioned_pruned_read(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+@query(
+    "layout_sorted_minmax_pruned_read",
+    """
+SELECT count(*) AS n_lines,
+       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                      * CAST(1 - l_discount AS DECIMAL(18,4))) AS DOUBLE), 2)
+         AS revenue
+  FROM lineitem
+ WHERE l_shipdate >= DATE '1997-03-01' AND l_shipdate < DATE '1997-06-01'
+""",
+    tags=("layout", "sorting", "pruning"),
+)
+def layout_sorted_minmax_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The OTHER half of the layout story (partition pruning's sibling):
+    range-partition + sort lineitem by l_shipdate into disjoint-range
+    parquet files ONCE per session (cached_fixture — the clustered-table
+    shape every 100 TB fact store maintains), then read a 3-month window.
+    Because file/row-group min-max ranges are disjoint, the pushed date
+    predicate lets the parquet reader skip every non-overlapping file —
+    I/O proportional to the WINDOW, not the table
+    (tests/test_layout.py::test_sorted_layout_files_are_range_disjoint
+    asserts the disjointness that makes the skipping real; the plan audit
+    asserts the predicate reaches the scan). Values are layout-invariant,
+    so the oracle reads the raw table."""
+    from fdp_dynamically_controlled_streams_spark.sources.registry import (
+        cached_fixture,
+    )
+
+    def build(p: str) -> None:
+        li = _t(spark, sf_dir, "lineitem").select(
+            "l_shipdate", "l_extendedprice", "l_discount"
+        )
+        (
+            li.repartitionByRange(8, "l_shipdate")
+            .sortWithinPartitions("l_shipdate")
+            .write.mode("overwrite")
+            .parquet(f"{p}/data")
+        )
+
+    root = cached_fixture("layout_sorted_minmax", sf_dir, build)
+    r = spark.read.parquet(f"{root}/data").where(
+        (F.col("l_shipdate") >= F.lit("1997-03-01").cast("date"))
+        & (F.col("l_shipdate") < F.lit("1997-06-01").cast("date"))
+    )
+    return r.agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.round(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,4)")
+                * (F.lit(1) - F.col("l_discount")).cast("decimal(18,4)")
+            ).cast("double"),
+            2,
+        ).alias("revenue"),
+    )
+
+
 # =========================================================================
 # 15. Data quality: profiling + constraint validation (operators/quality.py)
 # =========================================================================

@@ -92,3 +92,39 @@ def test_compact_parquet_hits_target_count(spark, tmp_path):
     n_out = compact_parquet(spark, src, dst, target_file_bytes=total // 3)
     assert n_out == 3
     assert spark.read.parquet(dst).count() == 100_000
+
+
+def test_sorted_layout_files_are_range_disjoint(spark):
+    """The property that makes layout_sorted_minmax_pruned_read's skipping
+    real: the range-partitioned sorted write produces parquet files whose
+    l_shipdate [min, max] ranges do not overlap, so a pushed date window
+    predicate prunes every non-overlapping file at row-group-stats level;
+    a 3-month window over the ~7-year table must leave most files fully
+    prunable."""
+    from pathlib import Path
+
+    import pyarrow.parquet as pq
+
+    from fdp_dynamically_controlled_streams_spark.queries import spark_queries
+    from fdp_dynamically_controlled_streams_spark.sources.registry import (
+        cached_fixture,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    spark_queries()["layout_sorted_minmax_pruned_read"](spark, sf).collect()
+    root = cached_fixture("layout_sorted_minmax", sf, lambda p: None)
+    files = sorted(Path(f"{root}/data").glob("*.parquet"))
+    assert len(files) >= 4
+    ranges = []
+    for f in files:
+        t = pq.read_table(f, columns=["l_shipdate"]).to_pandas()
+        ranges.append((t["l_shipdate"].min(), t["l_shipdate"].max()))
+    ranges.sort()
+    for (_, hi1), (lo2, _) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2  # disjoint => min-max skipping is effective
+    # the query window overlaps at most 2 of the >=4 files
+    import pandas as pd
+
+    lo, hi = pd.Timestamp("1997-03-01"), pd.Timestamp("1997-06-01")
+    overlapping = sum(1 for mn, mx in ranges if mx >= lo and mn < hi)
+    assert overlapping <= 2, ranges

@@ -661,6 +661,16 @@ def test_theta_overlap_all_scalar_broadcasts(audits):
     assert a.n_python_evals == 0
 
 
+def test_sorted_layout_read_pushes_date_window(audits):
+    a = audits("layout_sorted_minmax_pruned_read", execute=True)
+    # the date window must reach the parquet scan of the sorted layout —
+    # with the range-disjoint files (test_layout.py) that predicate is
+    # what turns min-max stats into skipped I/O; no joins, no Python.
+    assert a.joins == 0
+    assert a.n_python_evals == 0
+    assert_pushed(a, "l_shipdate")
+
+
 def test_hdr_quantiles_one_scan_no_python(audits):
     a = audits("sketch_hdr_quantiles_extendedprice")
     # integer bucketing is a scan projection; one output-sized groupBy,
