@@ -94,6 +94,9 @@ PROBE_ENTRIES = [
     "curation_pipeline_end_to_end",
     "stream_windowed_topk_replay",
     "quality_mad_outliers_value",
+    # round-8 in-session addition: the personalized-PageRank sibling
+    # joins its uniform twin in the tier (iterative = scale-exposed)
+    "graph_ppr_purchase_seeds",
 ]
 
 _ALPHA = "abcdefghijklmnopqrstuvwxyz"

@@ -61,6 +61,8 @@ PRICIEST = [
     "mining_association_rules",
     "er_golden_part_records",
     "join_orders_scd2_state",
+    # round-8: the new heavyweight (3.2 s at the bench SF — iterative)
+    "graph_ppr_purchase_seeds",
 ]
 
 pytestmark = pytest.mark.skipif(
