@@ -1,0 +1,147 @@
+"""BPE tokenizer training (Sennrich et al. 2016, arXiv:1508.07909) as a
+distributed Spark job — the trainable-tokenizer stage of a training-data
+pipeline (the text family's token counting uses a FIXED BPE-ish regex;
+this learns the merge table itself).
+
+Scale shape — the classic trick that makes BPE feasible at corpus scale:
+training operates on the WORD-FREQUENCY TABLE, never the corpus. One
+corpus tokenize pass builds (word, freq) — vocabulary-sized, ~10^6-10^7
+rows for a 100 TB web corpus — and every merge round then touches only
+that table: one explode of adjacent symbol pairs weighted by freq, one
+map-side-combinable groupBy(pair), one bounded argmax (a single collected
+row — the same bounded-control-scalar budget as the k-means centroids and
+IVF cells), and one vocab-sized merge rewrite. Corpus cost is paid once;
+rounds cost O(vocab).
+
+Determinism: the argmax tie-breaks by (freq DESC, left ASC, right ASC) —
+total order, so the learned merge sequence is partition-invariant and
+seed-free (property-tested, plus a hand-computed golden corpus).
+
+Why there is NO SQL oracle for the catalog entry: each round rewrites
+symbol arrays using the PREVIOUS round's learned pair — iterative
+DATA-DEPENDENT string rewriting. An unrolled SQL twin would need the
+merge strings as literals, which only the run itself produces; this is
+exactly the "genuinely non-SQL-expressible" carve-out, so the entry is a
+rows-only check backed by the golden + property tests here.
+
+[ABSENT in reference: SURVEY §2.7 — LLM-pipeline engine extension.]
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: tokenizer shared with the tf-idf/BM25 family (one tokenization rule
+#: repo-wide keeps oracles and operators consistent).
+from fdp_dynamically_controlled_streams_spark.operators.tfidf import tokens
+
+
+def _merge_once(syms: F.Column, left: str, right: str) -> F.Column:
+    """Greedy left-to-right non-overlapping merge of (left, right) in a
+    symbol array — the exact reference semantics: a single fold where the
+    pair merges iff the accumulator's LAST element is ``left`` and the
+    incoming symbol is ``right`` (property-tested against a plain-Python
+    fold). JVM HOF: vocab-sized input, never corpus-sized."""
+    return F.aggregate(
+        syms,
+        F.array().cast("array<string>"),
+        lambda acc, s: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(left))
+            & (s == F.lit(right)),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1),
+                F.array(F.lit(left + right)),
+            ),
+        ).otherwise(F.concat(acc, F.array(s))),
+    )
+
+
+def word_freq_table(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(word, freq, syms): the vocabulary-sized training table — one corpus
+    tokenize pass, symbols initialized to single characters."""
+    wf = (
+        tokens(docs, text_col, id_col)
+        .groupBy(F.col("term").alias("word"))
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    chars = F.transform(
+        F.sequence(F.lit(1), F.length("word")),
+        lambda i: F.expr("word").substr(i, F.lit(1)),
+    )
+    return wf.select("word", "freq", chars.alias("syms"))
+
+
+def bpe_train(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_merges: int = 16,
+) -> DataFrame:
+    """Learn the top ``n_merges`` BPE merges from the corpus. Returns
+    (rank, left, right, pair_freq) — rank 1 is the first-learned merge.
+    Stops early if no adjacent pair remains (fully merged vocabulary)."""
+    vocab = word_freq_table(docs, text_col, id_col).localCheckpoint()
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(1, n_merges + 1):
+        pairs = (
+            vocab.select(
+                "freq",
+                F.explode(
+                    F.zip_with(
+                        F.slice(F.col("syms"), 1, F.size("syms") - 1),
+                        F.slice(F.col("syms"), 2, F.size("syms") - 1),
+                        lambda a, b: F.struct(
+                            a.alias("l"), b.alias("r")
+                        ),
+                    )
+                ).alias("p"),
+            )
+            .groupBy("p.l", "p.r")
+            .agg(F.sum("freq").alias("pf"))
+        )
+        # bounded argmax: ONE row leaves the cluster per round (the
+        # k-means-centroid budget); total order = partition-invariant.
+        top = pairs.orderBy(
+            F.desc("pf"), F.asc("l"), F.asc("r")
+        ).limit(1).collect()
+        if not top:
+            break
+        left, right, pf = top[0]["l"], top[0]["r"], int(top[0]["pf"])
+        merges.append((rank, left, right, pf))
+        vocab = vocab.select(
+            "word", "freq", _merge_once(F.col("syms"), left, right).alias("syms")
+        ).localCheckpoint()
+    return docs.sparkSession.createDataFrame(
+        merges, "rank int, left string, right string, pair_freq long"
+    )
+
+
+def bpe_apply(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Tokenize with a learned merge list (rank order): per doc,
+    (doc_id, n_bpe_tokens, n_chars_tokenized). The merge list rides as
+    plan literals — applying m merges is m vocab-cheap folds per word,
+    all JVM-side."""
+    w = tokens(docs, text_col, id_col).groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    syms = F.transform(
+        F.sequence(F.lit(1), F.length("term")),
+        lambda i: F.expr("term").substr(i, F.lit(1)),
+    )
+    col = syms
+    for left, right in merges:
+        col = _merge_once(col, left, right)
+    per_word = w.select(
+        "doc_id", "tf", F.size(col).alias("n_sym"), F.length("term").alias("n_chr")
+    )
+    return per_word.groupBy("doc_id").agg(
+        F.sum(F.col("tf") * F.col("n_sym")).alias("n_bpe_tokens"),
+        F.sum(F.col("tf") * F.col("n_chr")).alias("n_chars_tokenized"),
+    )

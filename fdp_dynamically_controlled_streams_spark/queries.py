@@ -3908,6 +3908,35 @@ def sketch_hdr_quantiles_extendedprice(spark: SparkSession, sf_dir: str) -> Data
     return skt.hdr_quantiles(_t(spark, sf_dir, "lineitem"), "l_extendedprice")
 
 
+from fdp_dynamically_controlled_streams_spark.operators import bpe as bpe_ops
+
+
+@query(
+    "text_bpe_learn_merges",
+    None,  # iterative data-dependent string rewriting — see the docstring
+    tags=("text", "tokenizer", "bpe", "iterative"),
+)
+def text_bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learn a BPE merge table (top 16 merges) from the documents corpus —
+    the trainable-tokenizer stage (Sennrich et al. 2016). Training runs on
+    the WORD-FREQUENCY table (vocabulary-sized, built in one corpus pass),
+    so each merge round costs O(vocab): one pair explode + one map-side-
+    combinable groupBy + one BOUNDED argmax row (the k-means-centroid
+    control-scalar budget) + one vocab-sized rewrite — at 100 TB the
+    corpus is touched once, the rounds never re-scan it.
+
+    NO SQL oracle — the genuinely non-SQL-expressible carve-out: each
+    round rewrites symbol arrays with the PREVIOUS round's learned pair,
+    so an unrolled static twin would need the merge strings as literals
+    that only the run itself produces. Correctness rests on the golden
+    Sennrich corpus, a hypothesis property against a plain-Python
+    reference trainer, partition-invariance, and monotone-compression
+    laws (tests/test_bpe.py); the driver records the rows-only check."""
+    return bpe_ops.bpe_train(
+        _t(spark, sf_dir, "documents"), n_merges=16
+    )
+
+
 @query(
     "sketch_hll_daily_rollup_users",
     skt.hll_rollup_sql(
