@@ -218,3 +218,145 @@ SELECT query_id, doc_id, rank, score FROM (
   FROM per_pair
 ) WHERE rank <= {k}
 """
+
+
+# ------------------------------------------------------------------ RRF
+
+#: standard reciprocal-rank-fusion constant (Cormack et al. 2009).
+RRF_K = 60
+#: fixed-point scale for the 1/(k+rank) contributions.
+RRF_SCALE = 1_000_000
+
+
+def tfidf_dot_topk(
+    docs: DataFrame,
+    query_docs: DataFrame,
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-``k`` corpus docs per query under the smooth-idf TF-IDF dot
+    product — the second ranker of the hybrid-retrieval pair (BM25
+    saturates tf; this one is linear in tf with a different idf, so the
+    two rankings genuinely disagree and fusing them is meaningful).
+    Weights are the repo's 6-rounded tf·(ln((1+N)/(1+df))+1) snapped to
+    MICRO-INT, so the dot is an order-independent integer sum — the same
+    postings ⋈ query-terms join bound as BM25, never query × corpus.
+    Returns (query_id, doc_id, rank, dot_micro2)."""
+    w = tfidf_ops.tfidf(docs, text_col, id_col).select(
+        "doc_id",
+        "term",
+        F.expr(f"CAST(round(weight * {RRF_SCALE}, 0) AS BIGINT)").alias("wi"),
+    )
+    qids = query_docs.select(F.col(id_col).alias("query_id")).distinct()
+    qw = w.join(
+        qids, w.doc_id == qids.query_id
+    ).select("query_id", "term", F.col("wi").alias("wq"))
+    scored = (
+        qw.join(w, "term")
+        .where(F.col("query_id") != F.col("doc_id"))
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum(F.col("wq") * F.col("wi")).alias("dot_micro2"))
+    )
+    win = Window.partitionBy("query_id").orderBy(
+        F.col("dot_micro2").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(win))
+        .where(F.col("rank") <= k)
+        .select("query_id", "doc_id", "rank", "dot_micro2")
+    )
+
+
+def rrf_fuse(
+    rank_tables: list[DataFrame],
+    topk: int = 10,
+    k_rrf: int = RRF_K,
+) -> DataFrame:
+    """Reciprocal-rank fusion of N (query_id, doc_id, rank) tables:
+    fused score = Σ_lists RRF_SCALE div (k_rrf + rank) — EXACT integer
+    contributions (div, not float division), so the fused ordering is
+    engine- and partition-invariant; a doc absent from a list contributes
+    nothing. Returns (query_id, doc_id, rrf_micro, rank), top ``topk``
+    per query, ties to the lower doc_id."""
+    contrib = None
+    for t in rank_tables:
+        c = t.select(
+            "query_id",
+            "doc_id",
+            F.expr(f"{RRF_SCALE} div ({k_rrf} + rank)").alias("c"),
+        )
+        contrib = c if contrib is None else contrib.unionByName(c)
+    fused = contrib.groupBy("query_id", "doc_id").agg(
+        F.sum("c").alias("rrf_micro")
+    )
+    win = Window.partitionBy("query_id").orderBy(
+        F.col("rrf_micro").desc(), F.col("doc_id").asc()
+    )
+    return (
+        fused.withColumn("rank", F.row_number().over(win))
+        .where(F.col("rank") <= topk)
+        .select("query_id", "doc_id", "rrf_micro", "rank")
+    )
+
+
+def rrf_fusion_sql(
+    table: str = "documents",
+    query_pred: str = "doc_id % 100 = 0",
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_df_frac: float = 1.0,
+    k_rrf: int = RRF_K,
+) -> str:
+    """DuckDB twin of BM25 ⊕ TF-IDF-dot reciprocal-rank fusion: the BM25
+    ranking is :func:`bm25_topk_sql` verbatim as a CTE; the dot ranking
+    mirrors :func:`tfidf_dot_topk`; fusion is the same integer div sum."""
+    bm25 = bm25_topk_sql(table, query_pred, k, id_col, text_col, max_df_frac)
+    return rf"""
+WITH a AS ({bm25}),
+toks2 AS (
+  SELECT {id_col} AS doc_id, t.term
+  FROM {table},
+       UNNEST(regexp_split_to_array(lower({text_col}), '[^a-z0-9]+')) AS t(term)
+  WHERE t.term <> ''
+), tdc2 AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM toks2 GROUP BY doc_id, term
+), dfreq AS (
+  SELECT term, count(*) AS doc_freq FROM tdc2 GROUP BY term
+), nn2 AS (SELECT count(DISTINCT doc_id) AS n FROM {table}),
+wt AS (
+  SELECT doc_id, term,
+         CAST(round(round(tf * (ln((1 + n)::DOUBLE / (1 + doc_freq)) + 1.0), 6)
+                    * {RRF_SCALE}, 0) AS BIGINT) AS wi
+  FROM tdc2 JOIN dfreq USING (term) CROSS JOIN nn2
+), qw AS (
+  SELECT doc_id AS query_id, term, wi AS wq FROM wt
+  WHERE {query_pred}
+), dots AS (
+  SELECT q.query_id, w.doc_id, sum(q.wq * w.wi) AS dot
+  FROM qw q JOIN wt w ON w.term = q.term AND w.doc_id <> q.query_id
+  GROUP BY q.query_id, w.doc_id
+), b AS (
+  SELECT query_id, doc_id, rank FROM (
+    SELECT query_id, doc_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY dot DESC, doc_id ASC) AS rank
+    FROM dots
+  ) WHERE rank <= {k}
+), contrib AS (
+  SELECT query_id, doc_id, {RRF_SCALE} // ({k_rrf} + rank) AS c FROM a
+  UNION ALL
+  SELECT query_id, doc_id, {RRF_SCALE} // ({k_rrf} + rank) AS c FROM b
+), fused AS (
+  SELECT query_id, doc_id, CAST(sum(c) AS BIGINT) AS rrf_micro
+  FROM contrib GROUP BY query_id, doc_id
+)
+SELECT query_id, doc_id, rrf_micro, rank FROM (
+  SELECT query_id, doc_id, rrf_micro,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY rrf_micro DESC, doc_id ASC) AS rank
+  FROM fused
+) WHERE rank <= {k}
+"""

@@ -6083,20 +6083,58 @@ def retrieval_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     only). Values are bit-identical to the inline build (same expression
     tree; parquet round-trips doubles exactly), so the oracle is
     unchanged."""
+    docs = _t(spark, sf_dir, "documents")
+    qdocs = docs.where(F.col("doc_id") % 100 == 0)
+    return retr_ops.bm25_topk_from_index(
+        spark, _bm25_index(spark, sf_dir), qdocs, k=10, max_df_frac=1.0
+    )
+
+
+def _bm25_index(spark: SparkSession, sf_dir: str) -> str:
+    """The session-cached BM25 inverted index over documents — one key,
+    shared by the plain BM25 entry and the RRF fusion entry (the graph
+    edge-fixture pattern: the expensive artifact is built once and every
+    consumer's bench cost is attributed to the shared key)."""
     from fdp_dynamically_controlled_streams_spark.sources.registry import (
         cached_fixture,
     )
 
     docs = _t(spark, sf_dir, "documents")
-    idx = cached_fixture(
+    return cached_fixture(
         "retrieval_bm25_topk",
         sf_dir,
         lambda p: retr_ops.bm25_index_write(docs, p),
     )
+
+
+@query(
+    "retrieval_rrf_fusion",
+    retr_ops.rrf_fusion_sql(
+        "documents", query_pred="doc_id % 100 = 0", k=10, max_df_frac=1.0
+    ),
+    tags=("text", "retrieval", "rrf", "hybrid"),
+)
+def retrieval_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via RECIPROCAL-RANK FUSION (Cormack et al. 2009):
+    fuse the BM25 top-10 (tf-saturating, Robertson idf — served from the
+    shared session index) with a smooth-idf TF-IDF dot-product top-10
+    (linear in tf — a genuinely different ranker) as
+    Σ 1e6 div (60 + rank), an EXACT integer contribution per list, so the
+    fused ordering is engine- and partition-invariant with no float
+    division anywhere. This is the standard way RAG pipelines combine
+    lexical rankers (and, with an ANN list appended, dense ones — rrf_fuse
+    takes N tables). Both rankings are postings ⋈ query-terms joins
+    bounded by shared terms; fusion itself is rank-table-sized
+    (operators/retrieval.py::rrf_fuse)."""
+    docs = _t(spark, sf_dir, "documents")
     qdocs = docs.where(F.col("doc_id") % 100 == 0)
-    return retr_ops.bm25_topk_from_index(
-        spark, idx, qdocs, k=10, max_df_frac=1.0
+    a = retr_ops.bm25_topk_from_index(
+        spark, _bm25_index(spark, sf_dir), qdocs, k=10, max_df_frac=1.0
+    ).select("query_id", "doc_id", "rank")
+    b = retr_ops.tfidf_dot_topk(docs, qdocs, k=10).select(
+        "query_id", "doc_id", "rank"
     )
+    return retr_ops.rrf_fuse([a, b], topk=10)
 
 
 from fdp_dynamically_controlled_streams_spark.operators import histogram as hist_ops

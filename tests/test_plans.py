@@ -671,6 +671,16 @@ def test_sorted_layout_read_pushes_date_window(audits):
     assert_pushed(a, "l_shipdate")
 
 
+def test_rrf_fusion_equi_joins_no_python(audits):
+    a = audits("retrieval_rrf_fusion")
+    # both rankings are postings/query-terms EQUI joins (bounded by
+    # shared terms); fusion is a rank-table-sized union+groupBy; the only
+    # nested loops are the BM25 1-row scalar attaches.
+    assert a.n_python_evals == 0
+    assert a.n_sortmerge_joins == 0
+    assert a.n_nestedloop_joins <= 4
+
+
 def test_hdr_quantiles_one_scan_no_python(audits):
     a = audits("sketch_hdr_quantiles_extendedprice")
     # integer bucketing is a scan projection; one output-sized groupBy,

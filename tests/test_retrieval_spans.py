@@ -260,3 +260,68 @@ def test_span_dedup_two_separate_runs(spark):
     # each block is exactly one 5-gram; runs are separate -> max span 5
     assert out[0].n_dup_ngrams == 2
     assert out[0].max_dup_span_tokens == 5
+
+
+# ------------------------------------------------------------------ RRF
+
+
+def test_rrf_identity_and_consensus_laws(spark):
+    """Two laws of reciprocal-rank fusion: (1) fusing a list with itself
+    preserves its ordering exactly (identity); (2) a doc ranked by BOTH
+    lists outscores a doc holding the same single-list rank in only one
+    (consensus dominance)."""
+    from fdp_dynamically_controlled_streams_spark.operators.retrieval import (
+        RRF_SCALE,
+        rrf_fuse,
+    )
+
+    a = spark.createDataFrame(
+        [(0, 10, 1), (0, 11, 2), (0, 12, 3)],
+        "query_id long, doc_id long, rank int",
+    )
+    same = rrf_fuse([a, a], topk=3).collect()
+    order = [r.doc_id for r in sorted(same, key=lambda r: r.rank)]
+    assert order == [10, 11, 12]
+    assert all(
+        r.rrf_micro == 2 * (RRF_SCALE // (60 + i + 1))
+        for i, r in enumerate(sorted(same, key=lambda r: r.rank))
+    )
+    # doc 11 is rank-2 in both lists; doc 99 is rank-2 in one only
+    b = spark.createDataFrame(
+        [(0, 20, 1), (0, 11, 2), (0, 21, 3)],
+        "query_id long, doc_id long, rank int",
+    )
+    fused = {r.doc_id: r.rrf_micro for r in rrf_fuse([a, b], topk=6).collect()}
+    assert fused[11] == 2 * (RRF_SCALE // 62)
+    assert fused[11] > fused[10]  # consensus at rank 2+2 beats single rank 1
+
+
+def test_tfidf_dot_and_bm25_rankers_disagree_and_fuse(spark):
+    """The two rankers are genuinely different (BM25 saturates tf, the
+    dot is linear), so on a tf-skewed fixture their top-1 differs and the
+    fusion contains candidates from both."""
+    from fdp_dynamically_controlled_streams_spark.operators.retrieval import (
+        bm25_topk,
+        rrf_fuse,
+        tfidf_dot_topk,
+    )
+
+    rows = [
+        (0, "spark shuffle join"),
+        # massive tf repetition: linear dot loves it, BM25 saturates
+        (1, " ".join(["spark"] * 40)),
+        # balanced overlap at sane length: BM25's preferred match
+        (2, "spark shuffle join window partition"),
+        (3, "unrelated text entirely different tokens"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    q = docs.where(F.col("doc_id") == 0)
+    a = bm25_topk(docs, q, k=3, max_df_frac=1.0).select(
+        "query_id", "doc_id", "rank"
+    )
+    b = tfidf_dot_topk(docs, q, k=3)
+    top_a = [r.doc_id for r in a.collect() if r.rank == 1][0]
+    top_b = [r.doc_id for r in b.collect() if r.rank == 1][0]
+    assert top_a == 2 and top_b == 1  # saturation vs linearity
+    fused = [r.doc_id for r in rrf_fuse([a, b.select("query_id", "doc_id", "rank")], topk=3).collect()]
+    assert {1, 2} <= set(fused)
