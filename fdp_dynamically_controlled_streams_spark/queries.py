@@ -6110,7 +6110,7 @@ def _bm25_index(spark: SparkSession, sf_dir: str) -> str:
 @query(
     "retrieval_rrf_fusion",
     retr_ops.rrf_fusion_sql(
-        "documents", query_pred="doc_id % 100 = 0", k=10, max_df_frac=1.0
+        "documents", query_pred="doc_id % 200 = 0", k=10, max_df_frac=1.0
     ),
     tags=("text", "retrieval", "rrf", "hybrid"),
 )
@@ -6125,9 +6125,13 @@ def retrieval_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     lexical rankers (and, with an ANN list appended, dense ones — rrf_fuse
     takes N tables). Both rankings are postings ⋈ query-terms joins
     bounded by shared terms; fusion itself is rank-table-sized
-    (operators/retrieval.py::rrf_fuse)."""
+    (operators/retrieval.py::rrf_fuse). The query panel is every 200th
+    doc (half the BM25 entry's): the fixture's 31-word vocabulary makes
+    every doc a candidate for every query in BOTH rankers, so the entry
+    pays that worst case twice — the panel bounds it while still fusing
+    hundreds of rankings at the bench SF."""
     docs = _t(spark, sf_dir, "documents")
-    qdocs = docs.where(F.col("doc_id") % 100 == 0)
+    qdocs = docs.where(F.col("doc_id") % 200 == 0)
     a = retr_ops.bm25_topk_from_index(
         spark, _bm25_index(spark, sf_dir), qdocs, k=10, max_df_frac=1.0
     ).select("query_id", "doc_id", "rank")

@@ -61,8 +61,9 @@ PRICIEST = [
     "mining_association_rules",
     "er_golden_part_records",
     "join_orders_scd2_state",
-    # round-8: the new heavyweight (3.2 s at the bench SF — iterative)
+    # round-8: the new heavyweights (iterative graph + double-ranker fusion)
     "graph_ppr_purchase_seeds",
+    "retrieval_rrf_fusion",
 ]
 
 pytestmark = pytest.mark.skipif(
