@@ -561,6 +561,17 @@ def hdr_quantiles(
     bucket-count pass per refinement level). Ranks are computed as
     (num·n + den − 1) div den — exact rational ceil, no float q·n.
     Returns (q, rank, estimate_cents)."""
+    counts = hdr_bucket_rows(df, value_col, sub_bits).groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    return hdr_quantiles_from_counts(counts, quantiles, sub_bits)
+
+
+def hdr_bucket_rows(
+    df: DataFrame, value_col: str, sub_bits: int = 4
+) -> DataFrame:
+    """Per-row log-linear bucket index (the map-side projection the batch
+    AND streaming sketches share): one `bucket` bigint column."""
     s = 1 << sub_bits
     cents = F.round(F.col(value_col) * 100).cast("bigint")
     rows = df.select(cents.alias("cents")).where(F.col("cents") >= 1)
@@ -570,16 +581,27 @@ def hdr_quantiles(
         f"CAST(length(bin(cents)) - 1 AS BIGINT) * {s}"
         f" + ((cents - {base_sql}) * {s}) div {base_sql}"
     )
-    counts = rows.select(bucket.alias("bucket")).groupBy("bucket").agg(
-        F.count(F.lit(1)).alias("cnt")
-    )
+    return rows.select(bucket.alias("bucket"))
+
+
+def hdr_quantiles_from_counts(
+    counts: DataFrame,
+    quantiles: tuple = (("p50", 1, 2), ("p90", 9, 10),
+                        ("p99", 99, 100), ("p999", 999, 1000)),
+    sub_bits: int = 4,
+) -> DataFrame:
+    """Quantile selection from an HDR bucket-count table — the stage that
+    consumes a MERGED sketch (per-partition, per-day, or streaming-built
+    counts all land here; counts merge by addition)."""
+    s = 1 << sub_bits
     w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
     cum = counts.select(
         "bucket", "cnt", F.sum("cnt").over(w).alias("cum")
     )
     n = counts.agg(F.sum("cnt").alias("n"))
-    spark = df.sparkSession
-    qdf = spark.createDataFrame(list(quantiles), "q string, num long, den long")
+    qdf = counts.sparkSession.createDataFrame(
+        list(quantiles), "q string, num long, den long"
+    )
     ranked = (
         F.broadcast(qdf)
         .crossJoin(F.broadcast(n))

@@ -6603,6 +6603,67 @@ def stream_cms_counters_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_hdr_quantiles_replay",
+    skt.hdr_quantiles_sql("events", "value"),
+    tags=("streaming", "sketch", "quantiles"),
+)
+def stream_hdr_quantiles_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HDR quantile sketch built ON THE STREAM: the log-linear integer
+    bucket projection runs per-microbatch and a native streaming
+    aggregation maintains the ≤ 64·16-row count table (complete mode —
+    the fixed-size mergeable-sketch shape, same as the CMS counters);
+    quantile selection then runs on the materialized counts. Hash
+    equality with the one-shot batch oracle proves the incrementally
+    built sketch ≡ the batch build — the merge-by-addition law exercised
+    by the streaming runtime itself (the per-day-rollup story at 100 TB:
+    the stream maintains the registers; ANY later quantile question costs
+    a 1024-row read, never a rescan)."""
+    import tempfile
+
+    from fdp_dynamically_controlled_streams_spark.sources.registry import (
+        cached_fixture,
+        replay_dir,
+        write_replay_chunks_df,
+    )
+
+    events = _t(spark, sf_dir, "events")
+    fix = cached_fixture(
+        "events_user_value_2chunks",
+        sf_dir,
+        lambda p: write_replay_chunks_df(
+            events.select("user_id", "ts", "event_id", "value"),
+            f"{p}/data",
+            n_chunks=2,
+            order_cols=("ts", "event_id"),
+        ),
+    )
+    tmp = tempfile.mkdtemp(prefix="dcs-hdr-")
+    stream = replay_dir(
+        spark,
+        f"{fix}/data",
+        "user_id long, ts timestamp, event_id long, value double",
+        files_per_trigger=1,
+    )
+    buckets = skt.hdr_bucket_rows(stream, "value")
+    out = f"{tmp}/out"
+    with _replay_conf(spark, partitions=4):
+        q = (
+            buckets.groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .writeStream.outputMode("complete")
+            .foreachBatch(
+                lambda bdf, bid: bdf.write.mode("overwrite").parquet(out)
+            )
+            .option("checkpointLocation", f"{tmp}/chk")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    counts = _read_replay_out(spark, "bucket bigint, cnt long", out)
+    return skt.hdr_quantiles_from_counts(counts)
+
+
+@query(
     "privacy_k_anonymity",
     """
 WITH small AS (
