@@ -94,9 +94,11 @@ PROBE_ENTRIES = [
     "curation_pipeline_end_to_end",
     "stream_windowed_topk_replay",
     "quality_mad_outliers_value",
-    # round-8 in-session addition: the personalized-PageRank sibling
-    # joins its uniform twin in the tier (iterative = scale-exposed)
+    # round-8 in-session additions: the personalized-PageRank sibling
+    # joins its uniform twin (iterative = scale-exposed); the streaming
+    # HDR sketch completes the replay family's trend line
     "graph_ppr_purchase_seeds",
+    "stream_hdr_quantiles_replay",
 ]
 
 _ALPHA = "abcdefghijklmnopqrstuvwxyz"

@@ -64,6 +64,7 @@ PRICIEST = [
     # round-8: the new heavyweights (iterative graph + double-ranker fusion)
     "graph_ppr_purchase_seeds",
     "retrieval_rrf_fusion",
+    "stream_hdr_quantiles_replay",
 ]
 
 pytestmark = pytest.mark.skipif(
