@@ -53,7 +53,12 @@ def pagerank(
     the seed-expansion / related-entity primitive. The source list is a
     bounded literal (an IN predicate, no join). With sources = all nodes
     the recurrence degenerates EXACTLY to the uniform variant
-    (T//n teleport, dmass//n shares) — law-tested."""
+    (T//n teleport, dmass//n shares) — law-tested. The list is
+    normalized to sorted-distinct first: the denominators use the COUNT
+    of sources while the indicator is set-membership, so a duplicate
+    seed would otherwise silently shrink every share (r8 ADVICE)."""
+    if sources is not None:
+        sources = sorted(set(sources))
     e = edges.select(
         F.col(src_col).cast("long").alias("src"),
         F.col(dst_col).cast("long").alias("dst"),
@@ -125,7 +130,10 @@ def pagerank_oracle_sql(
     """DuckDB twin of :func:`pagerank`: iterations unrolled as CTE chains,
     identical integer truncation at every step. ``edges_sql`` must yield
     (src, dst) BIGINT columns. ``sources`` mirrors the personalized
-    variant (teleport/dangling to the literal source set only)."""
+    variant (teleport/dangling to the literal source set only; the list
+    is normalized to sorted-distinct, matching :func:`pagerank`)."""
+    if sources is not None:
+        sources = sorted(set(sources))
     if sources is None:
         tel = f"({TOTAL_MASS} // nn.n)"
         ind = "1"

@@ -279,6 +279,8 @@ def rrf_fuse(
     engine- and partition-invariant; a doc absent from a list contributes
     nothing. Returns (query_id, doc_id, rrf_micro, rank), top ``topk``
     per query, ties to the lower doc_id."""
+    if not rank_tables:
+        raise ValueError("rrf_fuse requires at least one rank table")
     contrib = None
     for t in rank_tables:
         c = t.select(

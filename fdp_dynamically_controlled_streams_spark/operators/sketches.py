@@ -560,6 +560,15 @@ def hdr_quantiles(
     alternative, operators/histogram.py::exact_quantiles, pays a
     bucket-count pass per refinement level). Ranks are computed as
     (num·n + den − 1) div den — exact rational ceil, no float q·n.
+
+    POSITIVE DOMAIN ONLY: rows whose value rounds below one cent
+    (zeros, negatives, |v| < 0.005) are excluded before bucketing —
+    the log-linear index needs cents >= 1 — so ``n`` and every rank
+    cover the positive subset, exactly as HdrHistogram's lowest
+    trackable value does. Callers sketching a column that may contain
+    such rows should count them separately if the fraction matters
+    (the SQL twin applies the identical cents >= 1 filter, so the
+    restriction never breaks the value hash).
     Returns (q, rank, estimate_cents)."""
     counts = hdr_bucket_rows(df, value_col, sub_bits).groupBy("bucket").agg(
         F.count(F.lit(1)).alias("cnt")

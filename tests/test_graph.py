@@ -97,16 +97,33 @@ def test_pagerank_matches_numpy_power_iteration(spark):
         assert abs(got[v] / TOTAL_MASS - r[idx[v]]) < 1e-6, v
 
 
-def test_no_driver_collect_in_iteration(spark):
+def test_no_driver_collect_in_iteration():
     # The r7 verdict's scale nit: the dangling-mass aggregate must be a
     # broadcast one-row scalar inside the update plan, not a per-round
-    # driver collect. Pin the discipline at the source level (the only
-    # blocking per-round action is the lineage-cutting localCheckpoint).
+    # driver collect. Pin the discipline at the source level, SCOPED TO
+    # THE ITERATION LOOP BODY (r8 ADVICE: a whole-function substring
+    # check flips on unrelated refactors — a docstring example, a
+    # helper outside the loop). The only blocking per-round action is
+    # the lineage-cutting localCheckpoint.
+    import ast
     import inspect
+    import textwrap
 
-    src = inspect.getsource(pagerank)
-    assert ".collect(" not in src
-    assert "broadcast" in src  # dangling mass rides the scalar cross-join
+    tree = ast.parse(textwrap.dedent(inspect.getsource(pagerank)))
+    loops = [n for n in ast.walk(tree) if isinstance(n, ast.For)]
+    assert loops, "pagerank lost its iteration loop?"
+    body_src = "\n".join(ast.unparse(stmt) for stmt in loops[0].body)
+    assert ".collect(" not in body_src
+    assert "broadcast" in body_src  # dangling mass rides the scalar cross-join
+
+
+def test_duplicate_seeds_normalize_to_set(spark):
+    # r8 ADVICE: a duplicated seed id must not shrink the teleport share
+    # (count-based denominators vs set-membership indicator).
+    edges = [(1, 2), (2, 3), (3, 1), (3, 4)]
+    a = _pr(spark, edges, sources=[1, 3])
+    b = _pr(spark, edges, sources=[3, 1, 1, 3, 1])
+    assert a == b
 
 
 # ---------------------------------------------------------------- triangles

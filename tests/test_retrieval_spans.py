@@ -296,6 +296,18 @@ def test_rrf_identity_and_consensus_laws(spark):
     assert fused[11] > fused[10]  # consensus at rank 2+2 beats single rank 1
 
 
+def test_rrf_empty_input_raises(spark):
+    # r8 ADVICE: a clear error instead of AttributeError on None.groupBy
+    import pytest
+
+    from fdp_dynamically_controlled_streams_spark.operators.retrieval import (
+        rrf_fuse,
+    )
+
+    with pytest.raises(ValueError, match="at least one rank table"):
+        rrf_fuse([])
+
+
 def test_tfidf_dot_and_bm25_rankers_disagree_and_fuse(spark):
     """The two rankers are genuinely different (BM25 saturates tf, the
     dot is linear), so on a tf-skewed fixture their top-1 differs and the
