@@ -126,8 +126,14 @@ def bpe_apply(
 ) -> DataFrame:
     """Tokenize with a learned merge list (rank order): per doc,
     (doc_id, n_bpe_tokens, n_chars_tokenized). The merge list rides as
-    plan literals — applying m merges is m vocab-cheap folds per word,
-    all JVM-side."""
+    plan literals, all JVM-side.
+
+    Scale shape: the m folds run once per DISTINCT TERM — the vocabulary
+    table, ~10^6-10^7 rows at 100 TB — and the corpus-sized (doc, term,
+    tf) table picks the result up through one term-keyed equi-join. The
+    previous form folded per (doc, term) pair (~10^4× more fold work at
+    web scale for the identical answer); the join is the strictly
+    cheaper shuffle."""
     w = tokens(docs, text_col, id_col).groupBy("doc_id", "term").agg(
         F.count(F.lit(1)).alias("tf")
     )
@@ -138,10 +144,103 @@ def bpe_apply(
     col = syms
     for left, right in merges:
         col = _merge_once(col, left, right)
-    per_word = w.select(
-        "doc_id", "tf", F.size(col).alias("n_sym"), F.length("term").alias("n_chr")
+    per_term = (
+        w.select("term")
+        .distinct()
+        .select(
+            "term", F.size(col).alias("n_sym"), F.length("term").alias("n_chr")
+        )
     )
-    return per_word.groupBy("doc_id").agg(
-        F.sum(F.col("tf") * F.col("n_sym")).alias("n_bpe_tokens"),
-        F.sum(F.col("tf") * F.col("n_chr")).alias("n_chars_tokenized"),
+    return (
+        w.join(per_term, "term")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.col("tf") * F.col("n_sym")).alias("n_bpe_tokens"),
+            F.sum(F.col("tf") * F.col("n_chr")).alias("n_chars_tokenized"),
+        )
     )
+
+
+def bpe_apply_sql(
+    merges: list[tuple[str, str]],
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB twin of :func:`bpe_apply` for a FIXED merge list, built on a
+    genuinely different mechanism (pinning ``_merge_once`` against an
+    independent engine): each term is spelled as separator-wrapped symbols
+    (``_t__a__b__l__e_``) and one ``replace(s, '_l__r_', '_lr_')`` per
+    merge performs the greedy left-to-right non-overlapping whole-symbol
+    merge — ``replace`` scans left to right, never rescans replaced text,
+    and the ``_sym_`` wrapping makes mid-symbol matches impossible (terms
+    are [a-z0-9]+ so '_' cannot occur inside a symbol). This equals the
+    fold semantics exactly, including the left==right run-parity case
+    (law-tested in tests/test_bpe.py). Symbol count = separator pairs."""
+    rep = r"regexp_replace(term, '(.)', '_\1_', 'g')"
+    for left, right in merges:
+        rep = f"replace({rep}, '_{left}__{right}_', '_{left}{right}_')"
+    return rf"""
+WITH toks AS (
+  SELECT {id_col} AS doc_id, t.term
+  FROM {table},
+       UNNEST(regexp_split_to_array(lower({text_col}), '[^a-z0-9]+')) AS t(term)
+  WHERE t.term <> ''
+), tdc AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM toks GROUP BY doc_id, term
+), per_term AS (
+  SELECT term,
+         (length(r) - length(replace(r, '_', ''))) // 2 AS n_sym,
+         length(term) AS n_chr
+  FROM (SELECT DISTINCT term, {rep} AS r FROM tdc)
+), j AS (
+  SELECT d.doc_id, d.tf, p.n_sym, p.n_chr
+  FROM tdc d JOIN per_term p USING (term)
+)
+SELECT doc_id,
+       CAST(sum(tf * n_sym) AS BIGINT) AS n_bpe_tokens,
+       CAST(sum(tf * n_chr) AS BIGINT) AS n_chars_tokenized
+FROM j GROUP BY doc_id
+"""
+
+
+def bpe_train_py(texts: list[str], n_merges: int):
+    """Plain-Python reference trainer sharing only the DEFINITION with
+    :func:`bpe_train`: word-frequency table, most-frequent adjacent pair
+    with (freq desc, left asc, right asc) tie-break, greedy left-to-right
+    non-overlapping merge. Used by the hypothesis property tests AND as
+    the catalog entry's py-reference oracle (the harness compares the
+    Spark-learned merge table against this on the same corpus — the
+    rows-only carve-out with an actual check behind it).
+    Returns (merges [(rank, left, right, pair_freq)], final vocab, wf)."""
+    import re
+    from collections import Counter
+
+    wf: Counter = Counter()
+    for t in texts:
+        for w in re.split(r"[^a-z0-9]+", t.lower()):
+            if w:
+                wf[w] += 1
+    vocab = {w: list(w) for w in wf}
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(1, n_merges + 1):
+        pairs: Counter = Counter()
+        for w, syms in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] += wf[w]
+        if not pairs:
+            break
+        (left, right), pf = min(
+            pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((rank, left, right, pf))
+        for w, syms in vocab.items():
+            out: list[str] = []
+            for s in syms:
+                if out and out[-1] == left and s == right:
+                    out[-1] = left + right
+                else:
+                    out.append(s)
+            vocab[w] = out
+    return merges, vocab, wf

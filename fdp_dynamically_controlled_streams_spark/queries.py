@@ -47,14 +47,27 @@ class CatalogEntry:
     fn: QueryFn
     oracle: str | None  # ANSI SQL for DuckDB; None => rows-only check
     tags: tuple[str, ...] = field(default_factory=tuple)
+    #: optional plain-Python reference for oracle=None entries: called with
+    #: a DuckDB connection over the same sf_dir views, returns the expected
+    #: pandas DataFrame. The self-check harness exact-compares against it
+    #: and reports rows_match/schema_match (hash_match stays None BY
+    #: DESIGN — the reference is an independent Python implementation, not
+    #: an independent SQL engine). The driver, which only sees oracle_sql(),
+    #: still records its weaker rows-only check for these.
+    py_oracle: Callable | None = None
 
 
 _CATALOG: dict[str, CatalogEntry] = {}
 
 
-def query(name: str, oracle: str | None, tags: tuple[str, ...] = ()):
+def query(
+    name: str,
+    oracle: str | None,
+    tags: tuple[str, ...] = (),
+    py_oracle: Callable | None = None,
+):
     def deco(fn: QueryFn) -> QueryFn:
-        _CATALOG[name] = CatalogEntry(name, fn, oracle, tags)
+        _CATALOG[name] = CatalogEntry(name, fn, oracle, tags, py_oracle)
         return fn
 
     return deco
@@ -3915,6 +3928,15 @@ from fdp_dynamically_controlled_streams_spark.operators import bpe as bpe_ops
     "text_bpe_learn_merges",
     None,  # iterative data-dependent string rewriting — see the docstring
     tags=("text", "tokenizer", "bpe", "iterative"),
+    py_oracle=lambda con: __import__("pandas").DataFrame(
+        bpe_ops.bpe_train_py(
+            [t for (t,) in con.execute(
+                "SELECT text FROM documents ORDER BY doc_id"
+            ).fetchall()],
+            16,
+        )[0],
+        columns=["rank", "left", "right", "pair_freq"],
+    ),
 )
 def text_bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Learn a BPE merge table (top 16 merges) from the documents corpus —
@@ -3931,9 +3953,47 @@ def text_bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     that only the run itself produces. Correctness rests on the golden
     Sennrich corpus, a hypothesis property against a plain-Python
     reference trainer, partition-invariance, and monotone-compression
-    laws (tests/test_bpe.py); the driver records the rows-only check."""
+    laws (tests/test_bpe.py); the driver records the rows-only check.
+    The repo self-check goes further (r8 verdict task 2): a PY-REFERENCE
+    oracle re-trains with bpe_ops.bpe_train_py on the same corpus pulled
+    through DuckDB and the harness exact-compares the merge tables —
+    rows_match/schema_match are real checks, hash_match stays null by
+    design (a Python reference is not an independent SQL engine)."""
     return bpe_ops.bpe_train(
         _t(spark, sf_dir, "documents"), n_merges=16
+    )
+
+
+#: fixed merge list for the SQL-checkable APPLY entry: exercises two-level
+#: merge chains (t,able / th,e / ro,w) plus a never-firing left==right pair.
+_BPE_FIXED_MERGES = [
+    ("l", "e"), ("a", "b"), ("ab", "le"), ("r", "o"), ("ro", "w"),
+    ("s", "t"), ("t", "h"), ("th", "e"), ("e", "e"),
+]
+
+
+@query(
+    "text_bpe_apply_tokens",
+    bpe_ops.bpe_apply_sql(_BPE_FIXED_MERGES),
+    tags=("text", "tokenizer", "bpe"),
+)
+def text_bpe_apply_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPLY a fixed BPE merge list (r8 verdict task 3): per document,
+    the BPE token count and tokenized char count under a 9-merge table
+    riding as plan literals. Training is the rows-only carve-out;
+    applying is NOT — this entry gives the BPE family a fully
+    hash-checked member and pins ``_merge_once`` against an independent
+    engine through a genuinely different mechanism (the oracle merges
+    via separator-wrapped string replace; equivalence to the fold is
+    hypothesis-law-tested in tests/test_bpe.py).
+
+    Scale shape: the m greedy folds run once per DISTINCT TERM (the
+    vocabulary table — ~10^7 rows at 100 TB), and the corpus-sized
+    (doc, term, tf) table picks the symbol counts up through one
+    term-keyed equi-join; integer sums only, so the result is exact
+    under any partitioning (operators/bpe.py::bpe_apply)."""
+    return bpe_ops.bpe_apply(
+        _t(spark, sf_dir, "documents"), _BPE_FIXED_MERGES
     )
 
 

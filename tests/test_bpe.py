@@ -3,7 +3,6 @@
 from __future__ import annotations
 
 import re
-from collections import Counter
 
 from hypothesis import given, settings
 from hypothesis import strategies as st
@@ -11,41 +10,12 @@ from hypothesis import strategies as st
 from fdp_dynamically_controlled_streams_spark.operators.bpe import (
     bpe_apply,
     bpe_train,
+    bpe_train_py,
 )
 
-
-def _py_bpe(texts: list[str], n_merges: int):
-    """Plain-Python reference trainer sharing only the DEFINITION:
-    word-frequency table, most-frequent adjacent pair with
-    (freq desc, left asc, right asc) tie-break, greedy left-to-right
-    non-overlapping merge."""
-    wf = Counter()
-    for t in texts:
-        for w in re.split(r"[^a-z0-9]+", t.lower()):
-            if w:
-                wf[w] += 1
-    vocab = {w: list(w) for w in wf}
-    merges = []
-    for rank in range(1, n_merges + 1):
-        pairs: Counter = Counter()
-        for w, syms in vocab.items():
-            for a, b in zip(syms, syms[1:]):
-                pairs[(a, b)] += wf[w]
-        if not pairs:
-            break
-        (left, right), pf = min(
-            pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
-        )
-        merges.append((rank, left, right, pf))
-        for w, syms in vocab.items():
-            out: list[str] = []
-            for s in syms:
-                if out and out[-1] == left and s == right:
-                    out[-1] = left + right
-                else:
-                    out.append(s)
-            vocab[w] = out
-    return merges, vocab, wf
+#: the reference trainer now lives next to the operator (it doubles as the
+#: catalog entry's py-reference oracle); the tests keep their local name.
+_py_bpe = bpe_train_py
 
 
 def _train(spark, texts, n_merges):
@@ -125,3 +95,76 @@ def test_bpe_merges_reduce_token_count(spark):
         cur = bpe_apply(df, [(l, r) for _, l, r, _ in m[:k]]).collect()[0]
         assert cur.n_bpe_tokens < prev  # every merge with freq>0 shrinks
         prev = cur.n_bpe_tokens
+
+
+# ------------------------------------------------- apply-oracle mechanism
+
+def _replace_merge(syms: list[str], left: str, right: str) -> list[str]:
+    """The SQL oracle's mechanism in pure Python: wrap each symbol in
+    separators, one left-to-right non-overlapping str.replace per merge."""
+    s = "".join(f"_{x}_" for x in syms)
+    s = s.replace(f"_{left}__{right}_", f"_{left}{right}_")
+    return [x for x in s.split("_") if x]
+
+
+def _fold_merge(syms: list[str], left: str, right: str) -> list[str]:
+    """_merge_once's fold semantics in pure Python."""
+    out: list[str] = []
+    for x in syms:
+        if out and out[-1] == left and x == right:
+            out[-1] = left + right
+        else:
+            out.append(x)
+    return out
+
+
+def test_replace_mechanism_equals_fold_hypothesis():
+    """The bpe_apply oracle applies merges via separator-wrapped
+    str.replace (a genuinely different mechanism from the F.aggregate
+    fold); prove the two agree on arbitrary symbol sequences and pairs —
+    including left==right run parity and multi-char symbols."""
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        syms=st.lists(st.text(alphabet="ab", min_size=1, max_size=3),
+                      min_size=1, max_size=12),
+        left=st.text(alphabet="ab", min_size=1, max_size=3),
+        right=st.text(alphabet="ab", min_size=1, max_size=3),
+    )
+    def run(syms, left, right):
+        assert _replace_merge(syms, left, right) == _fold_merge(
+            syms, left, right
+        )
+
+    run()
+
+
+def test_bpe_apply_sql_matches_python_on_duckdb():
+    """Execute the actual DuckDB oracle SQL against a tiny corpus and
+    compare with the plain-Python fold pipeline."""
+    import duckdb
+    import pandas as pd  # noqa: F401  (duckdb fetchdf)
+
+    from fdp_dynamically_controlled_streams_spark.operators.bpe import (
+        bpe_apply_sql,
+    )
+
+    texts = ["low lower lowest wide widest", "seen seed trees; low!"]
+    merges = [("l", "o"), ("lo", "w"), ("e", "e"), ("ee", "s"), ("s", "t")]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents AS SELECT * FROM (VALUES "
+                + ", ".join(f"({i}, '{t}')" for i, t in enumerate(texts))
+                + ") AS t(doc_id, text)")
+    got = {
+        int(r[0]): (int(r[1]), int(r[2]))
+        for r in con.execute(bpe_apply_sql(merges)).fetchall()
+    }
+    for i, t in enumerate(texts):
+        words = [w for w in re.split(r"[^a-z0-9]+", t.lower()) if w]
+        n_sym = 0
+        for w in words:
+            syms = list(w)
+            for l, r in merges:
+                syms = _fold_merge(syms, l, r)
+            n_sym += len(syms)
+        assert got[i] == (n_sym, sum(len(w) for w in words)), i

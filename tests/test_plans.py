@@ -681,6 +681,16 @@ def test_rrf_fusion_equi_joins_no_python(audits):
     assert a.n_nestedloop_joins <= 4
 
 
+def test_bpe_apply_folds_on_vocab_side_of_broadcast(audits):
+    a = audits("text_bpe_apply_tokens")
+    # the merge folds run on the DISTINCT-term (vocabulary) side and the
+    # corpus-sized (doc, term, tf) table joins it by term — at test SF the
+    # vocab side broadcasts; nothing nested-loops and nothing is Python.
+    assert a.n_python_evals == 0
+    assert a.n_nestedloop_joins == 0
+    assert a.joins == 1
+
+
 def test_hdr_quantiles_one_scan_no_python(audits):
     a = audits("sketch_hdr_quantiles_extendedprice")
     # integer bucketing is a scan projection; one output-sized groupBy,
