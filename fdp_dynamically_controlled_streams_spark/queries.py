@@ -4202,6 +4202,65 @@ def layout_partitioned_pruned_read(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 @query(
+    "layout_compacted_read",
+    """
+SELECT l_returnflag,
+       count(*) AS n_lines,
+       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE), 2)
+         AS total_price
+  FROM lineitem GROUP BY l_returnflag
+""",
+    tags=("layout", "compaction"),
+)
+def layout_compacted_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file COMPACTION (r8 verdict task 7 — the last layout tool
+    with tests but no oracle row): write a lineitem projection as 48
+    deliberately tiny files (the shape streaming sinks and fine-grained
+    partitions accumulate), rewrite it to size-targeted files with
+    operators/layout.py::compact_parquet (range-partitioned on
+    l_shipdate so the rewrite ESTABLISHES clustering while compacting),
+    then read the compacted table back and aggregate. The build asserts
+    the file-count contract — output files == ceil(input_bytes /
+    target) and far fewer than the fragment count — so the entry fails
+    loudly if compaction stops compacting; at 100 TB this rewrite is
+    the nightly job that keeps footer-open cost amortized over ~128 MB
+    reads instead of dominating them. Values are layout-invariant, so
+    the oracle reads the raw table."""
+    import math
+    from pathlib import Path
+
+    from fdp_dynamically_controlled_streams_spark.operators.layout import (
+        compact_parquet,
+    )
+    from fdp_dynamically_controlled_streams_spark.sources.registry import (
+        cached_fixture,
+    )
+
+    def build(p: str) -> None:
+        li = _t(spark, sf_dir, "lineitem").select(
+            "l_returnflag", "l_extendedprice", "l_shipdate"
+        )
+        li.repartition(48).write.mode("overwrite").parquet(f"{p}/frag")
+        total = sum(
+            f.stat().st_size for f in Path(f"{p}/frag").glob("*.parquet")
+        )
+        target = max(1, total // 4)
+        n_out = compact_parquet(
+            spark, f"{p}/frag", f"{p}/data",
+            target_file_bytes=target, sort_key="l_shipdate",
+        )
+        expect = math.ceil(total / target)
+        assert n_out == expect and n_out < 48, (n_out, expect)
+
+    root = cached_fixture("layout_compacted", sf_dir, build)
+    r = spark.read.parquet(f"{root}/data")
+    return r.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        _dsum(F.col("l_extendedprice")).alias("total_price"),
+    )
+
+
+@query(
     "layout_sorted_minmax_pruned_read",
     """
 SELECT count(*) AS n_lines,

@@ -681,6 +681,15 @@ def test_rrf_fusion_equi_joins_no_python(audits):
     assert a.n_nestedloop_joins <= 4
 
 
+def test_compacted_read_is_one_agg_exchange_no_python(audits):
+    a = audits("layout_compacted_read")
+    # after compaction the read is a plain scan + map-side partial agg +
+    # one hash exchange; no joins, no Python anywhere near it.
+    assert a.joins == 0
+    assert a.n_python_evals == 0
+    assert a.n_exchanges == 1
+
+
 def test_bpe_apply_folds_on_vocab_side_of_broadcast(audits):
     a = audits("text_bpe_apply_tokens")
     # the merge folds run on the DISTINCT-term (vocabulary) side and the
