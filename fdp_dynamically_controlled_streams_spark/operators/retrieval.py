@@ -302,21 +302,23 @@ def rrf_fuse(
     )
 
 
-def rrf_fusion_sql(
-    table: str = "documents",
-    query_pred: str = "doc_id % 100 = 0",
-    k: int = 10,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    max_df_frac: float = 1.0,
-    k_rrf: int = RRF_K,
+def _hybrid_ranks_sql(
+    table: str,
+    query_pred: str,
+    k: int,
+    id_col: str,
+    text_col: str,
+    max_df_frac: float,
+    k_rrf: int,
 ) -> str:
-    """DuckDB twin of BM25 ⊕ TF-IDF-dot reciprocal-rank fusion: the BM25
-    ranking is :func:`bm25_topk_sql` verbatim as a CTE; the dot ranking
-    mirrors :func:`tfidf_dot_topk`; fusion is the same integer div sum."""
+    """The shared CTE chain of the hybrid-retrieval twins: rank tables
+    ``a`` (BM25, :func:`bm25_topk_sql` verbatim), ``b`` (smooth-idf
+    TF-IDF dot, mirroring :func:`tfidf_dot_topk`) and ``fused`` (the
+    exact integer RRF contributions summed). Callers append their own
+    final selection (the fusion entry ranks ``fused``; the quality
+    report joins all three against qrels)."""
     bm25 = bm25_topk_sql(table, query_pred, k, id_col, text_col, max_df_frac)
-    return rf"""
-WITH a AS ({bm25}),
+    return rf"""a AS ({bm25}),
 toks2 AS (
   SELECT {id_col} AS doc_id, t.term
   FROM {table},
@@ -354,7 +356,175 @@ wt AS (
 ), fused AS (
   SELECT query_id, doc_id, CAST(sum(c) AS BIGINT) AS rrf_micro
   FROM contrib GROUP BY query_id, doc_id
+)"""
+
+
+def retrieval_quality_report(
+    rank_tables: dict[str, DataFrame],
+    qrels: DataFrame,
+    panel: DataFrame,
+) -> DataFrame:
+    """Measured retrieval quality per ranker — the lexical mirror of the
+    ANN tiers' recall/MRR gates (similarity.py::ann_recall_report):
+    given (query_id, doc_id, rank) top-k tables, relevance labels
+    ``qrels`` (query_id, rel_id), and the query ``panel`` (query_id),
+    emit one row per ranker:
+
+      (ranker, n_queries, n_rel, hits10, mrr_micro)
+
+    hits10 counts (query, relevant) pairs retrieved in the top-k;
+    recall@k = hits10 / n_rel is derivable exactly. mrr_micro is
+    Σ_queries 1e6 div (first relevant rank) — the exact-integer MRR sum
+    (a query with no relevant hit contributes 0), engine- and
+    partition-invariant by construction. All metric joins are
+    rank-table-sized (panel × k rows at most) — the corpus never
+    re-enters."""
+    if not rank_tables:
+        raise ValueError("retrieval_quality_report requires >= 1 rank table")
+    nq = panel.agg(F.count(F.lit(1)).alias("n_queries"))
+    nr = qrels.agg(F.count(F.lit(1)).alias("n_rel"))
+    rows = None
+    for name, t in rank_tables.items():
+        hit = t.join(
+            qrels,
+            (t.query_id == qrels.query_id) & (t.doc_id == qrels.rel_id),
+        ).select(t.query_id.alias("qid"), "rank")
+        hits = hit.agg(F.count(F.lit(1)).alias("hits10"))
+        mrr = (
+            hit.groupBy("qid")
+            .agg(F.min("rank").alias("mr"))
+            .agg(
+                F.coalesce(
+                    F.sum(F.expr(f"{RRF_SCALE} div mr")), F.lit(0)
+                ).cast("bigint").alias("mrr_micro")
+            )
+        )
+        row = (
+            F.broadcast(nq)
+            .crossJoin(F.broadcast(nr))
+            .crossJoin(F.broadcast(hits))
+            .crossJoin(F.broadcast(mrr))
+            .select(
+                F.lit(name).alias("ranker"),
+                "n_queries", "n_rel", "hits10", "mrr_micro",
+            )
+        )
+        rows = row if rows is None else rows.unionByName(row)
+    return rows
+
+
+def prefix_qrels(
+    docs: DataFrame,
+    prefix_len: int = 120,
+    panel_cap: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Relevance labels from the corpus's OWN near-duplicate structure:
+    documents sharing their first ``prefix_len`` chars form a group; the
+    lowest id is the query, the rest are its relevant set (the
+    duplicate-pair convention every dedup entry in the catalog uses).
+    The panel is the ``panel_cap`` lowest query ids — a deterministic
+    bound so the entry's cost stays panel-sized at every SF while the
+    correctness SF uses (almost) every group. Returns (panel, qrels)."""
+    pfx = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.substring(F.col(text_col), 1, prefix_len).alias("pfx"),
+    )
+    groups = (
+        pfx.groupBy("pfx")
+        .agg(F.min("doc_id").alias("query_id"), F.count(F.lit(1)).alias("c"))
+        .where(F.col("c") > 1)
+    )
+    panel = groups.orderBy("query_id").limit(panel_cap).select("pfx", "query_id")
+    qrels = (
+        panel.join(pfx, "pfx")
+        .where(F.col("doc_id") != F.col("query_id"))
+        .select("query_id", F.col("doc_id").alias("rel_id"))
+    )
+    return panel.select("query_id"), qrels
+
+
+def retrieval_quality_sql(
+    table: str = "documents",
+    prefix_len: int = 120,
+    panel_cap: int = 32,
+    k: int = 10,
+    max_df_frac: float = 1.0,
+    k_rrf: int = RRF_K,
+) -> str:
+    """DuckDB twin of the full quality report: the qrels CTEs mirror
+    :func:`prefix_qrels`, the three rank tables come from
+    :func:`_hybrid_ranks_sql` (BM25 / dot / fused — the same text the
+    fusion entry replays), and the metric joins are the same exact
+    integer arithmetic."""
+    common = _hybrid_ranks_sql(
+        table, "doc_id IN (SELECT query_id FROM panel)", k,
+        "doc_id", "text", max_df_frac, k_rrf,
+    )
+
+    def metrics(name: str, rel: str) -> str:
+        return f"""
+  SELECT '{name}' AS ranker,
+         (SELECT count(*) FROM panel) AS n_queries,
+         (SELECT count(*) FROM qrels) AS n_rel,
+         (SELECT count(*) FROM {rel} r
+            JOIN qrels ON r.query_id = qrels.query_id
+                      AND r.doc_id = qrels.rel_id) AS hits10,
+         COALESCE((SELECT CAST(sum({RRF_SCALE} // mr) AS BIGINT) FROM (
+            SELECT r.query_id, min(r.rank) AS mr FROM {rel} r
+              JOIN qrels ON r.query_id = qrels.query_id
+                        AND r.doc_id = qrels.rel_id
+             GROUP BY r.query_id)), 0) AS mrr_micro"""
+
+    return rf"""
+WITH dpfx AS (
+  SELECT doc_id, substr(text, 1, {prefix_len}) AS pfx FROM {table}
+), grp AS (
+  SELECT pfx, min(doc_id) AS query_id, count(*) AS c
+  FROM dpfx GROUP BY pfx HAVING count(*) > 1
+), panel0 AS (
+  SELECT pfx, query_id FROM grp ORDER BY query_id LIMIT {panel_cap}
+), panel AS (SELECT query_id FROM panel0),
+qrels AS (
+  SELECT p.query_id, d.doc_id AS rel_id
+  FROM panel0 p JOIN dpfx d USING (pfx)
+  WHERE d.doc_id <> p.query_id
+),
+{common},
+f AS (
+  SELECT query_id, doc_id, rank FROM (
+    SELECT query_id, doc_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY rrf_micro DESC, doc_id ASC) AS rank
+    FROM fused
+  ) WHERE rank <= {k}
 )
+SELECT * FROM ({metrics("bm25", "a")})
+UNION ALL
+SELECT * FROM ({metrics("rrf", "f")})
+UNION ALL
+SELECT * FROM ({metrics("tfidf", "b")})
+"""
+
+
+def rrf_fusion_sql(
+    table: str = "documents",
+    query_pred: str = "doc_id % 100 = 0",
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_df_frac: float = 1.0,
+    k_rrf: int = RRF_K,
+) -> str:
+    """DuckDB twin of BM25 ⊕ TF-IDF-dot reciprocal-rank fusion: the BM25
+    ranking is :func:`bm25_topk_sql` verbatim as a CTE; the dot ranking
+    mirrors :func:`tfidf_dot_topk`; fusion is the same integer div sum."""
+    common = _hybrid_ranks_sql(
+        table, query_pred, k, id_col, text_col, max_df_frac, k_rrf
+    )
+    return rf"""
+WITH {common}
 SELECT query_id, doc_id, rrf_micro, rank FROM (
   SELECT query_id, doc_id, rrf_micro,
          row_number() OVER (PARTITION BY query_id

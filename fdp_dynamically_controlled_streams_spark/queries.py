@@ -6260,6 +6260,44 @@ def retrieval_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return retr_ops.rrf_fuse([a, b], topk=10)
 
 
+@query(
+    "retrieval_quality_report",
+    retr_ops.retrieval_quality_sql(),
+    tags=("text", "retrieval", "quality", "metrics"),
+)
+def retrieval_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured retrieval quality for the lexical rankers (r8 verdict
+    task 5 — the mirror of the ANN tiers' recall/MRR gates): relevance
+    labels come from the corpus's own near-duplicate structure
+    (documents sharing their first 120 chars; lowest id = query, rest =
+    relevant — the same duplicate convention the dedup entries prove),
+    the panel is the 32 lowest query ids (a deterministic bound keeping
+    the entry panel-sized at every SF), and each of BM25 / TF-IDF-dot /
+    RRF-fused reports (ranker, n_queries, n_rel, hits10, mrr_micro) —
+    exact integers only, recall@10 = hits10/n_rel derivable. BM25 rides
+    the shared session index; the metric joins are rank-table-sized.
+    The RRF-dominance law (fused recall >= each single ranker on this
+    consensus-labeled fixture) is asserted in
+    tests/test_retrieval_spans.py."""
+    docs = _t(spark, sf_dir, "documents")
+    panel, qrels = retr_ops.prefix_qrels(docs)
+    panel = panel.localCheckpoint()  # tiny; avoids re-running the corpus
+    qrels = qrels.localCheckpoint()  # prefix groupBy once per metric join
+    qdocs = docs.join(
+        panel, docs.doc_id == panel.query_id, "left_semi"
+    )
+    a = retr_ops.bm25_topk_from_index(
+        spark, _bm25_index(spark, sf_dir), qdocs, k=10, max_df_frac=1.0
+    ).select("query_id", "doc_id", "rank")
+    b = retr_ops.tfidf_dot_topk(docs, qdocs, k=10).select(
+        "query_id", "doc_id", "rank"
+    )
+    f = retr_ops.rrf_fuse([a, b], topk=10).select("query_id", "doc_id", "rank")
+    return retr_ops.retrieval_quality_report(
+        {"bm25": a, "tfidf": b, "rrf": f}, qrels, panel
+    )
+
+
 from fdp_dynamically_controlled_streams_spark.operators import histogram as hist_ops
 
 

@@ -681,6 +681,15 @@ def test_rrf_fusion_equi_joins_no_python(audits):
     assert a.n_nestedloop_joins <= 4
 
 
+def test_retrieval_quality_metric_joins_stay_jvm_side(audits):
+    a = audits("retrieval_quality_report")
+    # three rank tables + rank-table-sized qrels metric joins; the only
+    # nested loops are 1-row scalar attaches (avgdl/n + the four metric
+    # scalars per ranker); nothing is Python.
+    assert a.n_python_evals == 0
+    assert a.n_sortmerge_joins == 0
+
+
 def test_compacted_read_is_one_agg_exchange_no_python(audits):
     a = audits("layout_compacted_read")
     # after compaction the read is a plain scan + map-side partial agg +

@@ -296,6 +296,25 @@ def test_rrf_identity_and_consensus_laws(spark):
     assert fused[11] > fused[10]  # consensus at rank 2+2 beats single rank 1
 
 
+def test_rrf_recall_dominates_singles_on_consensus_fixture(spark):
+    """The dominance law behind hybrid retrieval (Cormack 2009): on a
+    consensus-labeled fixture (near-duplicate qrels, where both rankers
+    carry real signal), the FUSED top-10 recalls at least as many
+    relevant docs as either single ranker — measured through the actual
+    catalog entry at the correctness SF."""
+    from fdp_dynamically_controlled_streams_spark.queries import spark_queries
+
+    rows = {
+        r.ranker: r
+        for r in spark_queries()["retrieval_quality_report"](
+            spark, "/root/testdata/sf0.01"
+        ).collect()
+    }
+    assert set(rows) == {"bm25", "tfidf", "rrf"}
+    assert rows["rrf"].hits10 >= max(rows["bm25"].hits10, rows["tfidf"].hits10)
+    assert rows["rrf"].hits10 > 0  # the labels are non-degenerate
+
+
 def test_rrf_empty_input_raises(spark):
     # r8 ADVICE: a clear error instead of AttributeError on None.groupBy
     import pytest
