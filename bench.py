@@ -87,6 +87,19 @@ def main() -> None:
         pass
 
     qs = spark_queries()
+    # SPARK_GRAFT_BENCH_ENTRIES=a,b,c runs an isolated subset with the exact
+    # per-entry protocol (passes, fixture phase split). Used for quiet
+    # back-to-back attribution runs (r8 verdict task 1); subset runs never
+    # overwrite BENCH_DETAIL.json or the regression baseline.
+    only = os.environ.get("SPARK_GRAFT_BENCH_ENTRIES", "").strip()
+    subset = False
+    if only:
+        want = [w.strip() for w in only.split(",") if w.strip()]
+        missing = [w for w in want if w not in qs]
+        if missing:
+            raise SystemExit(f"unknown bench entries: {missing}")
+        qs = {w: qs[w] for w in want}
+        subset = True
     pass_timings: list[dict[str, float]] = []
     build_sec: dict[str, float] = {}
     for p in range(passes):
@@ -161,8 +174,9 @@ def main() -> None:
         "regressions_vs_prev": regressions,
         "fixture_stats": dict(FIXTURE_STATS),
     }
+    detail_name = "BENCH_DETAIL_SUBSET.json" if subset else "BENCH_DETAIL.json"
     try:
-        Path(__file__).resolve().parent.joinpath("BENCH_DETAIL.json").write_text(
+        Path(__file__).resolve().parent.joinpath(detail_name).write_text(
             json.dumps(detail, indent=1) + "\n"
         )
     except OSError:

@@ -2,7 +2,9 @@
 -clustering stage of a training-data pipeline (topic balancing, domain
 mixing, diversity sampling all start from a corpus clustering).
 
-Scale shape (100 TB corpus, k ≤ a few thousand):
+Scale shape (100 TB corpus; flat assignment to k ≈ a few thousand, the
+two-level cluster-the-centroids kernel past TWO_LEVEL_K with bit-identical
+output — see _assign_two_level_arrow_fn):
   * ASSIGNMENT is map-side and shuffle-free — the k×dim centroid matrix is
     a single nested array Literal (same trick as similarity.ivf_topk: one
     Literal node + a `transform` HOF, so plan-analysis cost is independent
@@ -151,6 +153,154 @@ def _assign_arrow_fn(cents: list[list[float]], id_col: str, vec_col: str):
     return fn
 
 
+#: fine-centroid count at/above which the Arrow assignment goes two-level
+#: (cluster-the-centroids). Chosen so the sf1 tier replay (k = 80 at the
+#: probe's corpus-scaled cell size) exercises the path in production while
+#: the small SFs stay on the flat kernel.
+TWO_LEVEL_K = 64
+
+
+def _coarse_structure(cents: list[list[float]], coarse_k: int | None = None):
+    """Cluster the k fine centroids into ~sqrt(k) coarse cells (driver-side
+    numpy Lloyd, ids-init — centroid j of the COARSE tier starts as fine
+    centroid j, mirroring clustering's 'ids' convention). The coarse tier is
+    pure BLOCKING STRUCTURE: it bounds which fine centroids a point must be
+    compared against, and the triangle-inequality pruning in
+    :func:`_assign_two_level_arrow_fn` guarantees the final assignment is
+    EXACTLY the flat argmin whatever this clustering looks like — so its
+    float arithmetic needs no cross-engine discipline, only determinism
+    (plain numpy ops on the driver, no RNG).
+
+    Returns (G, groups, radii): K×dim coarse centroids, per-coarse-cell
+    fine-index arrays (ascending — preserves the global first-min
+    tie-break), and per-cell covering radii max‖fine − coarse‖ inflated by
+    one ulp-scale factor so float rounding can never make the bound
+    under-cover."""
+    import numpy as np
+
+    C = np.asarray(cents, dtype=np.float64)
+    k = len(C)
+    K = coarse_k if coarse_k is not None else max(2, int(round(k**0.5)))
+    K = min(K, k)
+    G = C[:K].copy()
+    for _ in range(4):
+        d2 = ((C[:, None, :] - G[None, :, :]) ** 2).sum(axis=2)
+        a = np.argmin(d2, axis=1)
+        for j in range(K):
+            members = C[a == j]
+            if len(members):
+                G[j] = members.mean(axis=0)
+    d2 = ((C[:, None, :] - G[None, :, :]) ** 2).sum(axis=2)
+    a = np.argmin(d2, axis=1)
+    groups = []
+    radii = []
+    centers = []
+    for j in range(K):
+        idx = np.nonzero(a == j)[0]
+        if idx.size == 0:
+            continue  # empty coarse cell covers nothing — drop it
+        groups.append(idx)
+        radii.append(float(np.sqrt(d2[idx, j].max())) * (1.0 + 1e-12) + 1e-12)
+        centers.append(G[j])
+    return np.asarray(centers), groups, np.asarray(radii)
+
+
+def _assign_two_level_arrow_fn(
+    cents: list[list[float]],
+    id_col: str,
+    vec_col: str,
+    coarse_k: int | None = None,
+):
+    """Two-level (cluster-the-centroids) Arrow assignment: EXACTLY equal to
+    :func:`_assign_arrow_fn` — same floats, same cell, same dist — while
+    touching only O(sqrt(k)) coarse cells + the unpruned fine subsets per
+    point instead of all k fine centroids (law-tested bit-parity in
+    tests/test_clustering.py).
+
+    Why it is exact, not approximate:
+      * every examined (point, fine-centroid) distance accumulates ONE
+        DIMENSION AT A TIME over the fine subset — the identical scalar
+        sequence (X[i,d]-C[j,d])² added in d order as the flat kernel's
+        full-matrix fold, so examined distances are bit-identical;
+      * a coarse cell is skipped only when its triangle-inequality lower
+        bound (‖p−coarse‖ − radius)², slack-inflated, exceeds the current
+        best — in exact arithmetic no member could beat OR TIE the best,
+        and the 1e-9 relative slack absorbs the sqrt/fold rounding, so no
+        candidate that could win the lexicographic (dist, index) min is
+        ever pruned;
+      * updates are lexicographic on (dist, fine index) with ascending
+        index order inside each cell — the global first-min tie-break of
+        np.argmin / array_position(array_min).
+
+    This is the >10M-vector scale path the SemDeDup docstring promises: at
+    corpus-scaled k the flat kernel's n×k distance matrix outgrows a task,
+    while the two-level scan stays n×O(sqrt(k)) with the same answer."""
+    import numpy as np
+    import pandas as pd
+
+    G0, groups0, radii0 = _coarse_structure(cents, coarse_k)
+
+    def fn(batches):
+        C = np.asarray(cents, dtype=np.float64)  # k x dim
+        G, groups, radii = G0, groups0, radii0
+        K = len(groups)
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pd.DataFrame(
+                    {"id": pdf[id_col], "vec": pdf[vec_col],
+                     "cell": pd.Series([], dtype="int32"),
+                     "dist": pd.Series([], dtype="float64")}
+                )
+                continue
+            X = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )  # n x dim
+            n = len(X)
+            accG = np.zeros((n, K))
+            for d in range(C.shape[1]):
+                diff = X[:, d : d + 1] - G[None, :, d]
+                accG += diff * diff
+            near = np.argmin(accG, axis=1)
+            dG = np.sqrt(accG)
+            best = np.full(n, np.inf)
+            besti = np.full(n, -1, dtype=np.int64)
+
+            def scan(j: int, mask) -> None:
+                idx = np.nonzero(mask)[0]
+                if idx.size == 0:
+                    return
+                fidx = groups[j]  # ascending fine indices
+                sub = C[fidx]
+                acc = np.zeros((idx.size, len(fidx)))
+                Xs = X[idx]
+                for d in range(C.shape[1]):  # sequential fold in d
+                    diff = Xs[:, d : d + 1] - sub[None, :, d]
+                    acc += diff * diff
+                a = np.argmin(acc, axis=1)  # first min -> lowest fine idx
+                cd = acc[np.arange(idx.size), a]
+                ci = fidx[a]
+                take = (cd < best[idx]) | (
+                    (cd == best[idx]) & (ci < besti[idx])
+                )
+                upd = idx[take]
+                best[upd] = cd[take]
+                besti[upd] = ci[take]
+
+            for j in range(K):  # phase 1: each point's home coarse cell
+                scan(j, near == j)
+            for j in range(K):  # phase 2: unpruned neighbor cells
+                lb = dG[:, j] - radii[j]
+                np.maximum(lb, 0.0, out=lb)
+                scan(j, (near != j) & (lb * lb <= best * (1 + 1e-9) + 1e-9))
+            yield pd.DataFrame(
+                {"id": pdf[id_col].to_numpy(), "vec": pdf[vec_col],
+                 "cell": besti.astype("int32"),
+                 "dist": best}
+            )
+
+    return fn
+
+
 def kmeans_assign(
     embeddings: DataFrame,
     k: int = 4,
@@ -196,8 +346,18 @@ def kmeans_assign(
 
     def assign(mat: list[list[float]]) -> DataFrame:
         if engine == "arrow":
+            # At corpus-scaled k the flat n×k distance matrix outgrows a
+            # task; past TWO_LEVEL_K the kernel switches to the two-level
+            # (cluster-the-centroids) scan — bit-identical output (law test
+            # in tests/test_clustering.py), so catalog hashes are invariant
+            # to which side of the threshold a tier lands on.
+            kern = (
+                _assign_two_level_arrow_fn(mat, id_col, vec_col)
+                if len(mat) >= TWO_LEVEL_K
+                else _assign_arrow_fn(mat, id_col, vec_col)
+            )
             return embeddings.select(id_col, vec_col).mapInPandas(
-                _assign_arrow_fn(mat, id_col, vec_col),
+                kern,
                 schema=f"id {id_type}, vec {vec_type}, cell int, dist double",
             )
         m = F.lit(mat)

