@@ -102,7 +102,27 @@ def main() -> None:
         subset = True
     pass_timings: list[dict[str, float]] = []
     build_sec: dict[str, float] = {}
+    # Host-contention telemetry (r8 verdict: three rounds of "is this delta
+    # the code or the host?" archaeology): 1-min loadavg sampled before each
+    # pass and after the last, plus the /proc/stat non-idle fraction across
+    # the whole run. With 32 benchmark threads, loadavg >> 32 or busy
+    # fraction >> this process's share means a contended host — recorded in
+    # the artifact so regressions_vs_prev can be read against it directly.
+    loadavg_samples: list[float] = []
+
+    def _cpu_times() -> tuple[float, float]:
+        try:
+            with open("/proc/stat") as fh:
+                parts = fh.readline().split()[1:]
+            vals = [float(x) for x in parts]
+            idle = vals[3] + (vals[4] if len(vals) > 4 else 0.0)
+            return sum(vals), idle
+        except (OSError, ValueError, IndexError):
+            return 0.0, 0.0
+
+    cpu_t0, cpu_i0 = _cpu_times()
     for p in range(passes):
+        loadavg_samples.append(round(os.getloadavg()[0], 2))
         timings: dict[str, float] = {}
         for name, fn in qs.items():
             b0 = FIXTURE_STATS["build_sec"]
@@ -116,6 +136,13 @@ def main() -> None:
                 if built > 0:
                     build_sec[name] = round(built, 4)
         pass_timings.append(timings)
+    loadavg_samples.append(round(os.getloadavg()[0], 2))
+    cpu_t1, cpu_i1 = _cpu_times()
+    host_busy_frac = (
+        round(1.0 - (cpu_i1 - cpu_i0) / (cpu_t1 - cpu_t0), 4)
+        if cpu_t1 > cpu_t0
+        else None
+    )
 
     measured = {
         name: min(t[name] for t in pass_timings) for name in pass_timings[0]
@@ -173,6 +200,8 @@ def main() -> None:
         "pass1_query_phase_sec": query_phase,
         "regressions_vs_prev": regressions,
         "fixture_stats": dict(FIXTURE_STATS),
+        "host_loadavg_per_pass": loadavg_samples,
+        "host_busy_frac": host_busy_frac,
     }
     detail_name = "BENCH_DETAIL_SUBSET.json" if subset else "BENCH_DETAIL.json"
     try:

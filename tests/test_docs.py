@@ -95,3 +95,15 @@ def test_selfcheck_artifact_is_green():
         or rec.get("schema_match") is False
     }
     assert not bad, f"{art.name} non-green records: {sorted(bad)}"
+
+
+def test_sf01_tier_superset_of_sf1_probe():
+    """Tier containment law (r8 verdict task 6): every sf1-probed entry is
+    also in the sf0.1 hash tier, so a probe's scaling factor always has a
+    hash-verified numerator AND denominator. Ungated pure-list check (the
+    tier runs themselves stay env-gated)."""
+    from tests.sf1_probe import PROBE_ENTRIES
+    from tests.test_sf01_selfcheck import PRICIEST
+
+    missing = sorted(set(PROBE_ENTRIES) - set(PRICIEST))
+    assert not missing, f"sf1-probed entries absent from sf0.1 tier: {missing}"

@@ -65,6 +65,16 @@ PRICIEST = [
     "graph_ppr_purchase_seeds",
     "retrieval_rrf_fusion",
     "stream_hdr_quantiles_replay",
+    # round-9 (r8 verdict task 6): sf0.1 ⊇ sf1's PROBE_ENTRIES so every
+    # scale-probed entry has hash checks at BOTH tier points and probe
+    # factors stay interpretable (enforced by test_sf01_superset_of_sf1)
+    "ann_ivf_pq_topk",
+    "ann_pq_adc_topk",
+    "ann_ranking_metrics",
+    "cdc_snapshot_diff",
+    "graph_pagerank_suppliers",
+    "stream_cms_counters_replay",
+    "ts_ols_trend_user_value",
 ]
 
 pytestmark = pytest.mark.skipif(
