@@ -441,3 +441,147 @@ SELECT d.node, d.deg,
             ELSE 0.0 END AS clustering_coeff
 FROM deg d LEFT JOIN per_node p ON p.node = d.node
 """
+
+
+def sssp(
+    edges: DataFrame,
+    seeds: DataFrame,
+    n_rounds: int = 4,
+    u_col: str = "u",
+    v_col: str = "v",
+    w_col: str = "w",
+    seed_col: str = "node",
+) -> DataFrame:
+    """Multi-source weighted shortest path (label-correcting Bellman-Ford,
+    ``n_rounds`` synchronous relaxation rounds) over an undirected edge
+    list with EXACT INTEGER weights: every node gets the minimum path cost
+    from the seed set using at most ``n_rounds`` edges (seeds at 0;
+    unreached nodes absent). Returns (node, dist).
+
+    Scale shape — the Pregel relaxation as three DataFrame ops per round,
+    the weighted sibling of :func:`bfs_hops`: frontier ⋈ edges on the node
+    key (co-partitioned both sides at 100 TB), one groupBy(node).min on
+    the candidate costs (map-side partial agg), one join against the
+    current labels keeping strict improvements. The frontier carries only
+    IMPROVED nodes, so relaxation work tracks the wavefront, not |V|, and
+    the driver's only per-round scalar is the frontier-empty early-stop
+    check (bounded control, same class as BFS's). Costs are exact BIGINT
+    sums of BIGINT weights — no float accumulation — so the result
+    value-hashes against the unrolled CTE twin at any partitioning, and
+    early-stop is invariant (an empty improvement round leaves labels
+    fixed, exactly as the oracle's remaining rounds do). Bounded rounds
+    are the 100 TB posture (cost-bounded ego nets / supply-chain reach),
+    not diameter convergence; ``localCheckpoint`` cuts per-round lineage.
+
+    [ABSENT in reference: SURVEY §2.7 — engine extension.]
+    """
+    sym = (
+        edges.select(
+            F.col(u_col).cast("long").alias("src"),
+            F.col(v_col).cast("long").alias("dst"),
+            F.col(w_col).cast("long").alias("w"),
+        )
+        .union(
+            edges.select(
+                F.col(v_col).cast("long").alias("src"),
+                F.col(u_col).cast("long").alias("dst"),
+                F.col(w_col).cast("long").alias("w"),
+            )
+        )
+        .where(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.min("w").alias("w"))  # parallel edges: keep the cheapest
+        .localCheckpoint()
+    )
+    dist = (
+        seeds.select(F.col(seed_col).cast("long").alias("node"))
+        .distinct()
+        .select("node", F.lit(0).cast("long").alias("dist"))
+        .localCheckpoint()
+    )
+    frontier = dist
+    for _ in range(n_rounds):
+        cand = (
+            frontier.join(sym, frontier.node == sym.src)
+            .select(
+                F.col("dst").alias("node"),
+                (F.col("dist") + F.col("w")).alias("dist"),
+            )
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+        )
+        improved = (
+            cand.join(dist.select("node", F.col("dist").alias("_old")),
+                      "node", "left")
+            .where(F.col("_old").isNull() | (F.col("dist") < F.col("_old")))
+            .select("node", "dist")
+            .localCheckpoint()
+        )
+        dist = (
+            dist.join(improved.select("node", F.col("dist").alias("_new")),
+                      "node", "left")
+            .select(
+                "node",
+                F.coalesce("_new", "dist").alias("dist"),
+            )
+            .union(
+                improved.join(dist.select("node", F.lit(1).alias("_have")),
+                              "node", "left")
+                .where(F.col("_have").isNull())
+                .select("node", "dist")
+            )
+            .localCheckpoint()
+        )
+        frontier = improved
+        if improved.isEmpty():
+            break
+    return dist
+
+
+def sssp_oracle_sql(
+    edges_sql: str,
+    seeds_sql: str,
+    n_rounds: int = 4,
+) -> str:
+    """DuckDB twin of :func:`sssp`: relaxation rounds unrolled as CTE
+    chains. ``edges_sql`` must yield (u, v, w) integer columns,
+    ``seeds_sql`` a ``node`` integer column."""
+    parts = [
+        f"edges AS ({edges_sql})",
+        "sym AS (SELECT src, dst, min(w) AS w FROM ("
+        "  SELECT CAST(u AS BIGINT) AS src, CAST(v AS BIGINT) AS dst,"
+        "         CAST(w AS BIGINT) AS w FROM edges"
+        "  UNION ALL SELECT CAST(v AS BIGINT), CAST(u AS BIGINT),"
+        "         CAST(w AS BIGINT) FROM edges)"
+        " WHERE src <> dst GROUP BY src, dst)",
+        f"d_0 AS (SELECT DISTINCT CAST(node AS BIGINT) AS node,"
+        f" CAST(0 AS BIGINT) AS dist FROM ({seeds_sql}))",
+        "f_0 AS (SELECT node, dist FROM d_0)",
+    ]
+    for i in range(1, n_rounds + 1):
+        parts.append(
+            f"""c_{i} AS (
+  SELECT s.dst AS node, min(f.dist + s.w) AS dist
+  FROM f_{i - 1} f JOIN sym s ON s.src = f.node
+  GROUP BY s.dst)"""
+        )
+        parts.append(
+            f"""f_{i} AS (
+  SELECT c.node, c.dist
+  FROM c_{i} c LEFT JOIN d_{i - 1} d ON d.node = c.node
+  WHERE d.node IS NULL OR c.dist < d.dist)"""
+        )
+        parts.append(
+            f"""d_{i} AS (
+  SELECT d.node, CASE WHEN f.dist IS NOT NULL AND f.dist < d.dist
+                      THEN f.dist ELSE d.dist END AS dist
+  FROM d_{i - 1} d LEFT JOIN f_{i} f ON f.node = d.node
+  UNION ALL
+  SELECT f.node, f.dist FROM f_{i} f LEFT JOIN d_{i - 1} d ON d.node = f.node
+  WHERE d.node IS NULL)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"\nSELECT node, dist FROM d_{n_rounds}"
+    )

@@ -2407,6 +2407,60 @@ def graph_bfs_supplier_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gph.bfs_hops(edges, seeds, max_hops=3)
 
 
+#: weighted supply graph for the SSSP entry: bipartite supplier↔part edges
+#: (part node ids offset by 1e8 into their own range), weight = cheapest
+#: observed line price in EXACT CENTS for that (supplier, part) pair — the
+#: round(x*100)::BIGINT idiom quality_impute_group_median already proves
+#: cross-engine. One groupBy over the lineitem scan, no fixture needed.
+_SUPPLY_EDGES_SQL = """
+SELECT CAST(l_suppkey AS BIGINT) AS u,
+       CAST(l_partkey + 100000000 AS BIGINT) AS v,
+       min(CAST(round(l_extendedprice * 100) AS BIGINT)) AS w
+  FROM lineitem GROUP BY 1, 2
+"""
+
+_SSSP_SEEDS_SQL = """
+SELECT CAST(s_suppkey AS BIGINT) AS node FROM supplier WHERE s_nationkey < 4
+"""
+
+
+@query(
+    "graph_sssp_supply_costs",
+    gph.sssp_oracle_sql(_SUPPLY_EDGES_SQL, _SSSP_SEEDS_SQL, n_rounds=4),
+    tags=("graph", "iterative", "sssp"),
+)
+def graph_sssp_supply_costs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source WEIGHTED shortest path (4 Bellman-Ford relaxation
+    rounds) over the bipartite supplier↔part supply graph, seeded by a
+    nation-range supplier set: each reached node's cheapest supply-chain
+    cost in exact cents. The weighted sibling of graph_bfs_supplier_reach —
+    per round one co-partitioned frontier⋈edges join, one
+    groupBy(node).min (map-side partial agg), one improvements-only join;
+    the frontier carries only improved labels so relaxation work tracks
+    the wavefront (operators/graph.py::sssp). BIGINT cost sums make the
+    result engine- and partition-invariant, and the unrolled CTE twin
+    replays the rounds exactly; bounded rounds = cost-bounded reach, the
+    100 TB posture (diameter convergence is never the plan)."""
+    li = _t(spark, sf_dir, "lineitem")
+    edges = (
+        li.groupBy(
+            F.col("l_suppkey").cast("long").alias("u"),
+            (F.col("l_partkey") + F.lit(100000000)).cast("long").alias("v"),
+        )
+        .agg(
+            F.min(
+                F.round(F.col("l_extendedprice") * 100).cast("long")
+            ).alias("w")
+        )
+    )
+    seeds = (
+        _t(spark, sf_dir, "supplier")
+        .where(F.col("s_nationkey") < 4)
+        .select(F.col("s_suppkey").cast("long").alias("node"))
+    )
+    return gph.sssp(edges, seeds, n_rounds=4)
+
+
 @query(
     "kmeans_document_clusters",
     clu.kmeans_oracle_sql(k=4, n_iter=2),

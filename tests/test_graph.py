@@ -265,3 +265,61 @@ def test_ppr_unreachable_nodes_get_zero(spark):
     got = _pr(spark, edges, n_iter=3, sources=[0])
     assert got[0] > 0 and got[1] > 0 and got[2] > 0
     assert got[10] == 0 and got[11] == 0
+
+
+# ---- weighted SSSP laws (entry proves engine parity; these prove the
+# operator behaves like shortest path) ----
+
+
+def _sssp(spark, edges, seeds, n_rounds=4):
+    from fdp_dynamically_controlled_streams_spark.operators.graph import sssp
+
+    e = spark.createDataFrame(edges, "u long, v long, w long")
+    s = spark.createDataFrame([(x,) for x in seeds], "node long")
+    return {r.node: r.dist for r in sssp(e, s, n_rounds=n_rounds).collect()}
+
+
+def test_sssp_cheap_detour_beats_expensive_direct(spark):
+    # 1-3 direct costs 10; 1-2-3 costs 2+3=5: relaxation must take the detour
+    got = _sssp(spark, [(1, 3, 10), (1, 2, 2), (2, 3, 3)], [1])
+    assert got == {1: 0, 2: 2, 3: 5}
+
+
+def test_sssp_unit_weights_reduce_to_bfs_hops(spark):
+    from fdp_dynamically_controlled_streams_spark.operators.graph import bfs_hops
+
+    edges = [(1, 2, 1), (2, 3, 1), (3, 4, 1), (2, 5, 1), (5, 4, 1), (6, 7, 1)]
+    got = _sssp(spark, edges, [1], n_rounds=3)
+    e = spark.createDataFrame([(u, v) for u, v, _ in edges], "u long, v long")
+    s = spark.createDataFrame([(1,)], "node long")
+    hops = {r.node: r.hop for r in bfs_hops(e, s, max_hops=3).collect()}
+    assert got == hops  # unit weights: cost == hop count, same reach bound
+
+
+def test_sssp_more_rounds_never_worse_and_converges(spark):
+    # expensive short path first, cheap long path needs more rounds
+    edges = [(1, 5, 100), (1, 2, 1), (2, 3, 1), (3, 4, 1), (4, 5, 1)]
+    r1 = _sssp(spark, edges, [1], n_rounds=1)
+    r4 = _sssp(spark, edges, [1], n_rounds=4)
+    assert r1[5] == 100 and r4[5] == 4  # later rounds improve the label
+    for n, d in r4.items():
+        assert d <= r1.get(n, d)  # monotone: never worse with more rounds
+    assert _sssp(spark, edges, [1], n_rounds=5) == r4  # converged fixpoint
+
+
+def test_sssp_multi_source_takes_nearest_seed_and_parallel_edge_min(spark):
+    # parallel edges keep the cheapest; label = min over seeds
+    edges = [(1, 2, 7), (1, 2, 3), (9, 2, 1)]
+    got = _sssp(spark, edges, [1, 9])
+    assert got == {1: 0, 9: 0, 2: 1}
+
+
+def test_sssp_partition_invariant(spark):
+    edges = [(i, i + 1, (i * 13) % 5 + 1) for i in range(1, 30)]
+    e = spark.createDataFrame(edges, "u long, v long, w long")
+    s = spark.createDataFrame([(1,), (17,)], "node long")
+    from fdp_dynamically_controlled_streams_spark.operators.graph import sssp
+
+    a = sorted(map(tuple, sssp(e.coalesce(1), s, n_rounds=4).collect()))
+    b = sorted(map(tuple, sssp(e.repartition(16), s, n_rounds=4).collect()))
+    assert a == b
