@@ -7241,6 +7241,34 @@ def sql_subquery_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_SUBQUERY_SQL)
 
 
+_LATERAL_SQL = """
+SELECT n.n_name, c.c_name, c.acctbal_cents
+FROM nation n JOIN LATERAL (
+  SELECT c_name, CAST(round(c_acctbal * 100) AS BIGINT) AS acctbal_cents
+  FROM customer
+  WHERE c_nationkey = n.n_nationkey
+  ORDER BY acctbal_cents DESC, c_name LIMIT 2
+) c ON true
+"""
+
+
+@query("sql_lateral_topk_per_group", _LATERAL_SQL, tags=("sql", "lateral"))
+def sql_lateral_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI LATERAL correlated subquery surface: per-nation top-2 customers
+    by account balance, written as `JOIN LATERAL (... ORDER BY ... LIMIT 2)`
+    — the SQL text runs VERBATIM on both engines (exact-cents ordering with
+    a name tiebreak so the top-2 set is engine-invariant). The plan is the
+    point: Catalyst DECORRELATES the per-row subquery into a
+    WindowGroupLimit (partial top-k before the shuffle, final after) plus
+    one broadcast hash join — no per-outer-row re-execution anywhere, which
+    is exactly the rank-then-filter plan window_topk_orders_per_customer
+    builds by hand. At 100 TB the partial WindowGroupLimit caps the
+    exchange at k rows per group per mapper."""
+    for t in ("nation", "customer"):
+        _t(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_LATERAL_SQL)
+
+
 @query(
     "events_markov_transitions",
     """
