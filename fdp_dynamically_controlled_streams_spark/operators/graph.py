@@ -501,41 +501,58 @@ def sssp(
     )
     frontier = dist
     for _ in range(n_rounds):
-        cand = (
-            frontier.join(sym, frontier.node == sym.src)
-            .select(
-                F.col("dst").alias("node"),
-                (F.col("dist") + F.col("w")).alias("dist"),
-            )
-            .groupBy("node")
-            .agg(F.min("dist").alias("dist"))
-        )
-        improved = (
-            cand.join(dist.select("node", F.col("dist").alias("_old")),
-                      "node", "left")
-            .where(F.col("_old").isNull() | (F.col("dist") < F.col("_old")))
-            .select("node", "dist")
-            .localCheckpoint()
-        )
-        dist = (
-            dist.join(improved.select("node", F.col("dist").alias("_new")),
-                      "node", "left")
-            .select(
-                "node",
-                F.coalesce("_new", "dist").alias("dist"),
-            )
-            .union(
-                improved.join(dist.select("node", F.lit(1).alias("_have")),
-                              "node", "left")
-                .where(F.col("_have").isNull())
-                .select("node", "dist")
-            )
-            .localCheckpoint()
-        )
+        # checkpoint between the two phases: merge must read the MATERIALIZED
+        # improvements (isEmpty executes them anyway), never re-run the
+        # relaxation agg
+        improved = _sssp_improved(frontier, sym, dist).localCheckpoint()
+        dist = _sssp_merge(dist, improved).localCheckpoint()
         frontier = improved
         if improved.isEmpty():
             break
     return dist
+
+
+def _sssp_improved(
+    frontier: DataFrame, sym: DataFrame, dist: DataFrame
+) -> DataFrame:
+    """Relaxation phase of one SSSP round (un-checkpointed, so its plan is
+    auditable — tests/test_plans.py asserts the round shape on exactly this
+    code path): frontier ⋈ edges, groupBy(node).min with map-side partial
+    agg, then keep only strictly-better labels."""
+    cand = (
+        frontier.join(sym, frontier.node == sym.src)
+        .select(
+            F.col("dst").alias("node"),
+            (F.col("dist") + F.col("w")).alias("dist"),
+        )
+        .groupBy("node")
+        .agg(F.min("dist").alias("dist"))
+    )
+    return (
+        cand.join(dist.select("node", F.col("dist").alias("_old")),
+                  "node", "left")
+        .where(F.col("_old").isNull() | (F.col("dist") < F.col("_old")))
+        .select("node", "dist")
+    )
+
+
+def _sssp_merge(dist: DataFrame, improved: DataFrame) -> DataFrame:
+    """Merge phase of one SSSP round: existing labels take the improvement
+    if present; brand-new nodes append."""
+    return (
+        dist.join(improved.select("node", F.col("dist").alias("_new")),
+                  "node", "left")
+        .select(
+            "node",
+            F.coalesce("_new", "dist").alias("dist"),
+        )
+        .union(
+            improved.join(dist.select("node", F.lit(1).alias("_have")),
+                          "node", "left")
+            .where(F.col("_have").isNull())
+            .select("node", "dist")
+        )
+    )
 
 
 def sssp_oracle_sql(

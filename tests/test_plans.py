@@ -809,3 +809,39 @@ def test_q16_not_in_is_broadcast_anti(audits):
     assert "LeftAnti" in a.raw
     assert a.n_sortmerge_joins == 0
     assert a.n_python_evals == 0
+
+
+def test_lateral_topk_decorrelates_to_window_group_limit(audits):
+    a = audits("sql_lateral_topk_per_group")
+    # The LATERAL per-row subquery must decorrelate: a WindowGroupLimit
+    # (partial top-k before the exchange caps it at k rows/group/mapper)
+    # plus one broadcast join — never a nested-loop re-execution per outer
+    # row, and never a sort-merge of nation against customer.
+    assert "WindowGroupLimit" in a.raw
+    assert a.n_nestedloop_joins == 0
+    assert a.n_sortmerge_joins == 0
+    assert a.n_broadcast_joins == 1
+    assert a.n_python_evals == 0
+
+
+def test_sssp_round_is_equi_join_plus_partial_agg(spark):
+    # The returned label set is localCheckpoint-materialized per round, so
+    # the catalog entry's final plan is a bare RDD scan; audit the ROUND
+    # instead, on the exact production code path (_sssp_improved/_sssp_merge).
+    from fdp_dynamically_controlled_streams_spark.operators.graph import (
+        _sssp_improved,
+        _sssp_merge,
+    )
+
+    sym = spark.createDataFrame(
+        [(1, 2, 5), (2, 1, 5)], "src long, dst long, w long"
+    )
+    dist = spark.createDataFrame([(1, 0)], "node long, dist long")
+    improved = _sssp_improved(dist, sym, dist)
+    a = audit_plan(_sssp_merge(dist, improved))
+    # Bellman-Ford round: relaxation is an equi-join (frontier ⋈ sym on the
+    # node key) feeding a partial-agg min — no nested-loop/cartesian
+    # anywhere, all label arithmetic JVM-side.
+    assert a.n_nestedloop_joins == 0
+    assert a.n_python_evals == 0
+    assert "partial_min" in a.raw
