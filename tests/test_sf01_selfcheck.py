@@ -75,6 +75,9 @@ PRICIEST = [
     "graph_pagerank_suppliers",
     "stream_cms_counters_replay",
     "ts_ols_trend_user_value",
+    # round-9 additions
+    "graph_sssp_supply_costs",
+    "sql_lateral_topk_per_group",
 ]
 
 pytestmark = pytest.mark.skipif(
