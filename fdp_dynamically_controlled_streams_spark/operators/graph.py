@@ -602,3 +602,104 @@ def sssp_oracle_sql(
         + ",\n".join(parts)
         + f"\nSELECT node, dist FROM d_{n_rounds}"
     )
+
+
+def kcore(
+    edges: DataFrame,
+    k: int = 2,
+    n_rounds: int = 4,
+    u_col: str = "u",
+    v_col: str = "v",
+) -> DataFrame:
+    """k-core decomposition by synchronous peeling, ``n_rounds`` rounds:
+    repeatedly delete every node whose CURRENT degree is below ``k``
+    (deleting a node lowers its neighbors' degrees, which is why peeling
+    iterates). Returns (node, deg) for the surviving nodes with their
+    within-subgraph degree — after enough rounds this IS the k-core, the
+    standard cohesion filter (graph-quality gating, spam/core separation,
+    dense-community seeds). Bounded rounds are the 100 TB posture: each
+    round strictly shrinks the node set or the result is already the
+    fixpoint, and a peel that converged early is invariant under further
+    rounds (empty deletions change nothing — mirrored exactly by the
+    oracle's remaining unrolled rounds).
+
+    Scale shape: per round ONE groupBy(endpoint) degree count over the
+    surviving edge list (map-side partial agg) and one semi-join filter of
+    the edges against the surviving nodes — both shuffle on the node key,
+    co-partitioned round to round at 100 TB. The driver sees only the
+    did-anything-change early-stop scalar (bounded control, same class as
+    BFS/SSSP's frontier check). Exact integer degrees → value-hashes
+    against the unrolled CTE twin at any partitioning.
+
+    [ABSENT in reference: SURVEY §2.7 — engine extension.]
+    """
+    live = (
+        edges.select(
+            F.col(u_col).cast("long").alias("a"),
+            F.col(v_col).cast("long").alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .select(F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b"))
+        .distinct()
+        .localCheckpoint()
+    )
+    for _ in range(n_rounds):
+        deg = (
+            live.select(F.col("a").alias("node"))
+            .union(live.select(F.col("b").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+        keep = deg.where(F.col("deg") >= k).select("node").localCheckpoint()
+        pruned = (
+            live.join(keep.select(F.col("node").alias("a")), "a", "left_semi")
+            .join(keep.select(F.col("node").alias("b")), "b", "left_semi")
+            .select("a", "b")
+            .localCheckpoint()
+        )
+        # bounded driver scalar: fixpoint reached -> further rounds no-op
+        if pruned.count() == live.count():
+            live = pruned
+            break
+        live = pruned
+    return (
+        live.select(F.col("a").alias("node"))
+        .union(live.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    )
+
+
+def kcore_oracle_sql(edges_sql: str, k: int = 2, n_rounds: int = 4) -> str:
+    """DuckDB twin of :func:`kcore`: peeling rounds unrolled as CTE chains.
+    ``edges_sql`` must yield (u, v) integer columns."""
+    parts = [
+        f"edges AS ({edges_sql})",
+        "e_0 AS (SELECT DISTINCT least(CAST(u AS BIGINT), CAST(v AS BIGINT))"
+        " AS a, greatest(CAST(u AS BIGINT), CAST(v AS BIGINT)) AS b"
+        " FROM edges WHERE u <> v)",
+    ]
+    for i in range(1, n_rounds + 1):
+        parts.append(
+            f"""d_{i} AS (
+  SELECT node, count(*) AS deg FROM (
+    SELECT a AS node FROM e_{i - 1} UNION ALL SELECT b FROM e_{i - 1}
+  ) GROUP BY node)"""
+        )
+        parts.append(
+            f"k_{i} AS (SELECT node FROM d_{i} WHERE deg >= {k})"
+        )
+        parts.append(
+            f"""e_{i} AS (
+  SELECT e.a, e.b FROM e_{i - 1} e
+  WHERE e.a IN (SELECT node FROM k_{i})
+    AND e.b IN (SELECT node FROM k_{i}))"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+  SELECT a AS node FROM e_{n_rounds} UNION ALL SELECT b FROM e_{n_rounds}
+) GROUP BY node"""
+    )

@@ -2462,6 +2462,24 @@ def graph_sssp_supply_costs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "graph_kcore_cosupplier",
+    gph.kcore_oracle_sql(_COSUPPLIER_EDGES_SQL, k=3, n_rounds=4),
+    tags=("graph", "iterative", "kcore"),
+)
+def graph_kcore_cosupplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-core of the significant co-supplier graph by synchronous peeling
+    (4 rounds): iteratively delete suppliers with fewer than 3 surviving
+    co-supplier ties — the standard cohesion filter separating the densely
+    connected supplier core from tendrils (operators/graph.py::kcore). Per
+    round one degree groupBy (map-side partial agg) + two semi-join edge
+    filters, all on the node key; exact integer degrees hash against the
+    unrolled peeling CTEs at any partitioning. Reuses the shared
+    _cosupplier_edges session fixture with triangles/BFS, so the pair join
+    is still paid once per (session, sf_dir)."""
+    return gph.kcore(_cosupplier_edges(spark, sf_dir), k=3, n_rounds=4)
+
+
+@query(
     "kmeans_document_clusters",
     clu.kmeans_oracle_sql(k=4, n_iter=2),
     tags=("similarity", "clustering", "iterative"),

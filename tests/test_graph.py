@@ -323,3 +323,48 @@ def test_sssp_partition_invariant(spark):
     a = sorted(map(tuple, sssp(e.coalesce(1), s, n_rounds=4).collect()))
     b = sorted(map(tuple, sssp(e.repartition(16), s, n_rounds=4).collect()))
     assert a == b
+
+
+# ---- k-core peeling laws ----
+
+
+def _kcore(spark, edges, k=2, n_rounds=4):
+    from fdp_dynamically_controlled_streams_spark.operators.graph import kcore
+
+    e = spark.createDataFrame(edges, "u long, v long")
+    return {r.node: r.deg for r in kcore(e, k=k, n_rounds=n_rounds).collect()}
+
+
+def test_kcore_triangle_survives_star_dissolves(spark):
+    # triangle = a 2-core; a star has no 2-core (spokes peel, then the hub)
+    tri = [(1, 2), (2, 3), (1, 3)]
+    star = [(10, i) for i in range(11, 16)]
+    got = _kcore(spark, tri + star, k=2)
+    assert got == {1: 2, 2: 2, 3: 2}
+
+
+def test_kcore_chain_peels_inward(spark):
+    # a path graph peels from the endpoints: one round removes both ends;
+    # enough rounds dissolve it entirely under k=2
+    chain = [(i, i + 1) for i in range(1, 6)]
+    assert _kcore(spark, chain, k=2, n_rounds=5) == {}
+    # but k=1 keeps everything with its degree
+    got = _kcore(spark, chain, k=1, n_rounds=2)
+    assert got == {1: 1, 2: 2, 3: 2, 4: 2, 5: 2, 6: 1}
+
+
+def test_kcore_fixpoint_invariant_under_extra_rounds(spark):
+    edges = [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5), (5, 6), (4, 6), (2, 4)]
+    a = _kcore(spark, edges, k=2, n_rounds=3)
+    b = _kcore(spark, edges, k=2, n_rounds=6)
+    assert a == b  # converged peel is a fixpoint
+
+
+def test_kcore_partition_invariant(spark):
+    from fdp_dynamically_controlled_streams_spark.operators.graph import kcore
+
+    edges = [(i, (i * 7) % 23) for i in range(1, 40)]
+    e = spark.createDataFrame(edges, "u long, v long")
+    a = sorted(map(tuple, kcore(e.coalesce(1), k=2).collect()))
+    b = sorted(map(tuple, kcore(e.repartition(16), k=2).collect()))
+    assert a == b
