@@ -606,7 +606,7 @@ def sssp_oracle_sql(
 
 def kcore(
     edges: DataFrame,
-    k: int = 2,
+    k: int | str = 2,
     n_rounds: int = 4,
     u_col: str = "u",
     v_col: str = "v",
@@ -643,6 +643,27 @@ def kcore(
         .distinct()
         .localCheckpoint()
     )
+    if k == "lowcut":
+        # low-tail cut from the INITIAL canonical degree table (one bounded
+        # control-scalar agg on checkpointed data) — exactly
+        # KCORE_LOW_CUT_K's integer arithmetic, so the oracle computes the
+        # identical threshold. Data-dependent k keeps the peel meaningful
+        # on graphs whose density scales with volume (a fixed small k
+        # never peels them; an above-mean cut empties them).
+        row = (
+            live.select(F.col("a").alias("node"))
+            .union(live.select(F.col("b").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .agg(
+                F.min("deg").alias("mn"),
+                F.sum("deg").alias("sm"),
+                F.count(F.lit(1)).alias("cnt"),
+            )
+            .collect()[0]
+        )
+        mn, mean = int(row["mn"]), int(row["sm"]) // int(row["cnt"])
+        k = mn + (mean - mn) * 2 // 5
     for _ in range(n_rounds):
         deg = (
             live.select(F.col("a").alias("node"))
@@ -670,30 +691,65 @@ def kcore(
     )
 
 
-def kcore_oracle_sql(edges_sql: str, k: int = 2, n_rounds: int = 4) -> str:
+#: SQL scalar for the low-tail degree cut, evaluated against the initial
+#: degree table ``d0``: min + (floor-mean − min)·2//5 — exact integers, so
+#: the Spark side (k="lowcut") computes the identical threshold. The 2/5
+#: fraction is the measured sweet spot on graphs whose degree distribution
+#: is tight (the co-supplier graph): an above-mean cut cascades such a
+#: graph to EMPTY (near-regular ⇒ removing the below-mean half drags the
+#: rest under), while this cut peels the low tail and leaves a surviving
+#: core at every SF.
+KCORE_LOW_CUT_K = (
+    "(SELECT min(deg) + (sum(deg) // count(*) - min(deg)) * 2 // 5 FROM d0)"
+)
+
+
+def kcore_oracle_sql(
+    edges_sql: str, k: int | str = 2, n_rounds: int = 4
+) -> str:
     """DuckDB twin of :func:`kcore`: peeling rounds unrolled as CTE chains.
-    ``edges_sql`` must yield (u, v) integer columns."""
+    ``edges_sql`` must yield (u, v) integer columns.
+
+    ``k`` may be an int literal or a SQL scalar expression string evaluated
+    against the canonical edge set ``e_0`` (e.g. the above-mean-degree cut
+    the catalog entry uses — data-dependent k is what keeps the peel
+    meaningful across SFs on graphs whose density scales with volume).
+
+    Every round CTE is MATERIALIZED and the survivor filter is a SEMI JOIN:
+    each e_i is referenced three times downstream (twice by the degree
+    union, once by the next filter), and without the hint DuckDB's inliner
+    re-expanded the whole chain multiplicatively — the unhinted form took
+    >120 s on a 215 k-edge graph where this one takes ~0.2 s."""
     parts = [
-        f"edges AS ({edges_sql})",
-        "e_0 AS (SELECT DISTINCT least(CAST(u AS BIGINT), CAST(v AS BIGINT))"
-        " AS a, greatest(CAST(u AS BIGINT), CAST(v AS BIGINT)) AS b"
+        f"edges AS MATERIALIZED ({edges_sql})",
+        "e_0 AS MATERIALIZED (SELECT DISTINCT"
+        " least(CAST(u AS BIGINT), CAST(v AS BIGINT)) AS a,"
+        " greatest(CAST(u AS BIGINT), CAST(v AS BIGINT)) AS b"
         " FROM edges WHERE u <> v)",
     ]
+    if isinstance(k, str):
+        parts.append(
+            "d0 AS MATERIALIZED (SELECT node, count(*) AS deg FROM ("
+            "SELECT a AS node FROM e_0 UNION ALL SELECT b FROM e_0"
+            ") GROUP BY node)"
+        )
+        parts.append(f"kk AS MATERIALIZED (SELECT {k} AS k)")
+        k = "(SELECT k FROM kk)"
     for i in range(1, n_rounds + 1):
         parts.append(
-            f"""d_{i} AS (
+            f"""d_{i} AS MATERIALIZED (
   SELECT node, count(*) AS deg FROM (
     SELECT a AS node FROM e_{i - 1} UNION ALL SELECT b FROM e_{i - 1}
   ) GROUP BY node)"""
         )
         parts.append(
-            f"k_{i} AS (SELECT node FROM d_{i} WHERE deg >= {k})"
+            f"k_{i} AS MATERIALIZED (SELECT node FROM d_{i} WHERE deg >= {k})"
         )
         parts.append(
-            f"""e_{i} AS (
+            f"""e_{i} AS MATERIALIZED (
   SELECT e.a, e.b FROM e_{i - 1} e
-  WHERE e.a IN (SELECT node FROM k_{i})
-    AND e.b IN (SELECT node FROM k_{i}))"""
+  SEMI JOIN k_{i} ka ON e.a = ka.node
+  SEMI JOIN k_{i} kb ON e.b = kb.node)"""
         )
     return (
         "WITH "

@@ -2463,20 +2463,29 @@ def graph_sssp_supply_costs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "graph_kcore_cosupplier",
-    gph.kcore_oracle_sql(_COSUPPLIER_EDGES_SQL, k=3, n_rounds=4),
+    gph.kcore_oracle_sql(
+        _COSUPPLIER_EDGES_SQL, k=gph.KCORE_LOW_CUT_K, n_rounds=4
+    ),
     tags=("graph", "iterative", "kcore"),
 )
 def graph_kcore_cosupplier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """3-core of the significant co-supplier graph by synchronous peeling
-    (4 rounds): iteratively delete suppliers with fewer than 3 surviving
-    co-supplier ties — the standard cohesion filter separating the densely
-    connected supplier core from tendrils (operators/graph.py::kcore). Per
-    round one degree groupBy (map-side partial agg) + two semi-join edge
-    filters, all on the node key; exact integer degrees hash against the
-    unrolled peeling CTEs at any partitioning. Reuses the shared
-    _cosupplier_edges session fixture with triangles/BFS, so the pair join
-    is still paid once per (session, sf_dir)."""
-    return gph.kcore(_cosupplier_edges(spark, sf_dir), k=3, n_rounds=4)
+    """Core extraction of the significant co-supplier graph by synchronous
+    peeling (4 rounds): iteratively delete suppliers whose surviving
+    co-supplier degree is below the low-tail cut min + (mean−min)·2//5 — the
+    cohesion filter separating the densely connected supplier core from
+    its weak periphery (operators/graph.py::kcore). The threshold is
+    data-dependent (one bounded control-scalar agg, identical integer
+    arithmetic in the twin's KCORE_LOW_CUT_K subselect): a fixed small k
+    never peels a graph whose density grows with volume, and an
+    above-mean cut cascades this near-regular graph to empty — the 2/5
+    low cut peels a real tail while a core survives at every SF
+    (79/100 at sf0.01, 928/1000 at sf0.1 and sf1). Per round one degree
+    groupBy (map-side partial agg) + two semi-join edge filters, all on
+    the node key; exact integer degrees hash against the unrolled
+    MATERIALIZED peeling CTEs at any partitioning. Reuses the shared
+    _cosupplier_edges session fixture with triangles/BFS, so the pair
+    join is still paid once per (session, sf_dir)."""
+    return gph.kcore(_cosupplier_edges(spark, sf_dir), k="lowcut", n_rounds=4)
 
 
 @query(

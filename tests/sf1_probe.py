@@ -99,9 +99,10 @@ PROBE_ENTRIES = [
     # HDR sketch completes the replay family's trend line
     "graph_ppr_purchase_seeds",
     "stream_hdr_quantiles_replay",
-    # round-9: the weighted-SSSP sibling joins BFS/PageRank (iterative =
-    # scale-exposed)
+    # round-9: the weighted-SSSP and k-core siblings join BFS/PageRank
+    # (iterative = scale-exposed)
     "graph_sssp_supply_costs",
+    "graph_kcore_cosupplier",
 ]
 
 _ALPHA = "abcdefghijklmnopqrstuvwxyz"

@@ -78,6 +78,7 @@ PRICIEST = [
     # round-9 additions
     "graph_sssp_supply_costs",
     "sql_lateral_topk_per_group",
+    "graph_kcore_cosupplier",
 ]
 
 pytestmark = pytest.mark.skipif(
