@@ -563,33 +563,37 @@ def sssp_oracle_sql(
     """DuckDB twin of :func:`sssp`: relaxation rounds unrolled as CTE
     chains. ``edges_sql`` must yield (u, v, w) integer columns,
     ``seeds_sql`` a ``node`` integer column."""
+    # Every round CTE is MATERIALIZED: d_i and f_i are each referenced
+    # multiple times downstream, and DuckDB's unhinted inliner re-expands
+    # the chain multiplicatively (measured 56 s -> ~1 s at a 60 k-edge
+    # supply graph — the same hazard kcore_oracle_sql documents).
     parts = [
-        f"edges AS ({edges_sql})",
-        "sym AS (SELECT src, dst, min(w) AS w FROM ("
+        f"edges AS MATERIALIZED ({edges_sql})",
+        "sym AS MATERIALIZED (SELECT src, dst, min(w) AS w FROM ("
         "  SELECT CAST(u AS BIGINT) AS src, CAST(v AS BIGINT) AS dst,"
         "         CAST(w AS BIGINT) AS w FROM edges"
         "  UNION ALL SELECT CAST(v AS BIGINT), CAST(u AS BIGINT),"
         "         CAST(w AS BIGINT) FROM edges)"
         " WHERE src <> dst GROUP BY src, dst)",
-        f"d_0 AS (SELECT DISTINCT CAST(node AS BIGINT) AS node,"
+        f"d_0 AS MATERIALIZED (SELECT DISTINCT CAST(node AS BIGINT) AS node,"
         f" CAST(0 AS BIGINT) AS dist FROM ({seeds_sql}))",
-        "f_0 AS (SELECT node, dist FROM d_0)",
+        "f_0 AS MATERIALIZED (SELECT node, dist FROM d_0)",
     ]
     for i in range(1, n_rounds + 1):
         parts.append(
-            f"""c_{i} AS (
+            f"""c_{i} AS MATERIALIZED (
   SELECT s.dst AS node, min(f.dist + s.w) AS dist
   FROM f_{i - 1} f JOIN sym s ON s.src = f.node
   GROUP BY s.dst)"""
         )
         parts.append(
-            f"""f_{i} AS (
+            f"""f_{i} AS MATERIALIZED (
   SELECT c.node, c.dist
   FROM c_{i} c LEFT JOIN d_{i - 1} d ON d.node = c.node
   WHERE d.node IS NULL OR c.dist < d.dist)"""
         )
         parts.append(
-            f"""d_{i} AS (
+            f"""d_{i} AS MATERIALIZED (
   SELECT d.node, CASE WHEN f.dist IS NOT NULL AND f.dist < d.dist
                       THEN f.dist ELSE d.dist END AS dist
   FROM d_{i - 1} d LEFT JOIN f_{i} f ON f.node = d.node
