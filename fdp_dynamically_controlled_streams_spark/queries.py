@@ -6114,6 +6114,88 @@ def stream_interval_full_join_replay(spark: SparkSession, sf_dir: str) -> DataFr
 
 
 @query(
+    "stream_interval_semi_join_replay",
+    """
+SELECT p.user_id,
+       strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts
+  FROM events p
+ WHERE p.event_type = 'purchase'
+   AND EXISTS (SELECT 1 FROM events c
+                WHERE c.event_type = 'click'
+                  AND c.user_id = p.user_id
+                  AND c.ts >= p.ts AND c.ts <= p.ts + INTERVAL 1 HOUR)
+""",
+    tags=("streaming", "join", "interval", "semi"),
+)
+def stream_interval_semi_join_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI watermarked stream-stream interval join — completes the
+    inner/leftOuter/fullOuter/leftSemi join-type matrix on the streaming
+    runtime: each purchase emits AT MOST ONCE, as soon as any click lands
+    in its 1-hour band, and carries only left-side columns (no click
+    payload, no row multiplication — the streaming form of EXISTS). Unlike
+    the outer entries, emission here is match-driven, not watermark-driven
+    (the watermark only bounds the buffered state), so the oracle is a
+    plain correlated EXISTS with no watermark term — equality proves the
+    emit-once contract: a purchase with three in-band clicks must appear
+    exactly once, which the inner entry's multiplicity would violate."""
+    import tempfile
+
+    from fdp_dynamically_controlled_streams_spark.sources.registry import (
+        cached_fixture,
+        replay_dir,
+        write_replay_chunks_df,
+    )
+    from fdp_dynamically_controlled_streams_spark.streaming.interval_join import (
+        interval_join_streams,
+    )
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    ddl = "user_id long, ts timestamp"
+
+    def _build(p: str) -> None:
+        for side, etype in (("left", "purchase"), ("right", "click")):
+            write_replay_chunks_df(
+                ev.where(F.col("event_type") == etype).select("user_id", "ts"),
+                f"{p}/{side}",
+                n_chunks=2,
+                order_cols=("ts",),
+            )
+
+    # Own cache key for per-entry fixture-build attribution (see the
+    # left-outer entry's note).
+    fix = cached_fixture("stream_interval_semi_join_replay", sf_dir, _build)
+    tmp = tempfile.mkdtemp(prefix="dcs-ivjsm-")
+    joined = interval_join_streams(
+        replay_dir(spark, f"{fix}/left", ddl, files_per_trigger=1),
+        replay_dir(spark, f"{fix}/right", ddl, files_per_trigger=1),
+        "user_id",
+        "ts",
+        "ts",
+        F.expr("INTERVAL 0 SECONDS"),
+        F.expr("INTERVAL 1 HOUR"),
+        watermark="2 hours",
+        how="leftSemi",
+    )
+    shaped = joined.select(
+        F.col("l_user_id").alias("user_id"),
+        F.date_format("l_ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+    )
+    out = f"{tmp}/out"
+    with _replay_conf(spark, partitions=4):
+        q = (
+            shaped.writeStream.outputMode("append")
+            .foreachBatch(lambda bdf, bid: bdf.write.mode("append").parquet(out))
+            .option("checkpointLocation", f"{tmp}/chk")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    return _read_replay_out(
+        spark, "user_id long, purchase_ts string", out
+    ).select("user_id", "purchase_ts")
+
+
+@query(
     "reshape_unpivot_lineitem",
     """
 SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure,

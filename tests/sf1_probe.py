@@ -103,6 +103,9 @@ PROBE_ENTRIES = [
     # (iterative = scale-exposed)
     "graph_sssp_supply_costs",
     "graph_kcore_cosupplier",
+    # the semi variant completes the stream-stream join-type matrix in the
+    # replay family's trend line
+    "stream_interval_semi_join_replay",
 ]
 
 _ALPHA = "abcdefghijklmnopqrstuvwxyz"

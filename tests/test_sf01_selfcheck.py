@@ -79,6 +79,7 @@ PRICIEST = [
     "graph_sssp_supply_costs",
     "sql_lateral_topk_per_group",
     "graph_kcore_cosupplier",
+    "stream_interval_semi_join_replay",
 ]
 
 pytestmark = pytest.mark.skipif(
