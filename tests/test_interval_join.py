@@ -304,3 +304,40 @@ def test_full_outer_nulls_on_both_sides(spark, tmpdir):
     assert sorted(p[2] for p in got_rnulls) == sorted(p[2] for p in want_rnulls)
     total_rows = len(lrows) + len(rrows)
     assert 0 < peak_state < total_rows * 0.75
+
+
+def test_left_semi_emits_once_per_matched_left_row(spark, tmpdir):
+    """LEFT SEMI law: a left row with MANY in-band matches emits exactly
+    once (the streaming form of EXISTS — the inner join's multiplicity
+    would violate this), an unmatched left row never emits, and only
+    left-side columns come out."""
+    t0 = dt.datetime(2024, 3, 1)
+    m = dt.timedelta(minutes=1)
+    left = [(1, t0 + 10 * m, 1.0), (2, t0 + 10 * m, 2.0), (3, t0 + 10 * m, 3.0)]
+    right = (
+        [(1, t0 + (12 + i) * m, 0.0) for i in range(3)]  # 3 in-band clicks
+        + [(3, t0 + 20 * m, 0.0)]                        # 1 in-band click
+        + [(2, t0 + 300 * m, 0.0)]                       # out-of-band only
+        # late tail rows so the watermark advances past every band
+        + [(9, t0 + (400 + i * 30) * m, 0.0) for i in range(4)]
+    )
+    _write(left, f"{tmpdir}/left", chunk_minutes=30)
+    _write(right, f"{tmpdir}/right", chunk_minutes=30)
+    l = replay_dir(spark, f"{tmpdir}/left", DDL, files_per_trigger=1)
+    r = replay_dir(spark, f"{tmpdir}/right", DDL, files_per_trigger=1)
+    joined = interval_join_streams(
+        l, r, "user_id", "ts", "ts", F.expr("INTERVAL 0 SECONDS"),
+        F.expr(BAND), "30 minutes", how="leftSemi",
+    )
+    assert all(c.startswith("l_") for c in joined.columns)  # left side only
+    collected: list = []
+    q = (
+        joined.writeStream.outputMode("append")
+        .foreachBatch(lambda bdf, bid: collected.extend(bdf.collect()))
+        .option("checkpointLocation", f"{tmpdir}/chk")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = sorted((x.l_user_id, x.l_ts) for x in collected)
+    assert got == [(1, t0 + 10 * m), (3, t0 + 10 * m)]  # once each, no user 2
