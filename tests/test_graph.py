@@ -368,3 +368,96 @@ def test_kcore_partition_invariant(spark):
     a = sorted(map(tuple, kcore(e.coalesce(1), k=2).collect()))
     b = sorted(map(tuple, kcore(e.repartition(16), k=2).collect()))
     assert a == b
+
+
+def test_sssp_matches_bruteforce_dijkstra_hypothesis(spark):
+    """Independent-formula cross-check (the PageRank-vs-numpy class): the
+    DataFrame relaxation pipeline must equal a plain-Python dict-based
+    bounded Bellman-Ford (no frontier optimization, no joins, no Spark) on
+    random small weighted graphs — agreement rules out a bug shared by
+    the frontier/merge plumbing."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from fdp_dynamically_controlled_streams_spark.operators.graph import sssp
+
+    def brute(edges, seeds, max_edges):
+        # NB: Dijkstra under a hop cap is wrong (a cheaper path may use
+        # more hops), hence plain synchronous relaxation over dicts.
+        adj = {}
+        for u, v, w in edges:
+            if u != v:
+                adj.setdefault(u, {})[v] = min(w, adj.get(u, {}).get(v, w))
+                adj.setdefault(v, {})[u] = min(w, adj.get(v, {}).get(u, w))
+        dist = {s: 0 for s in seeds}
+        for _ in range(max_edges):
+            nxt = dict(dist)
+            for u, d in dist.items():
+                for v, w in adj.get(u, {}).items():
+                    if d + w < nxt.get(v, float("inf")):
+                        nxt[v] = d + w
+            dist = nxt
+        return dist
+
+    @settings(max_examples=8, deadline=None)
+    @given(
+        edges=st.lists(
+            st.tuples(
+                st.integers(0, 9), st.integers(0, 9), st.integers(1, 20)
+            ),
+            min_size=1,
+            max_size=25,
+        ),
+        rounds=st.integers(1, 4),
+    )
+    def check(edges, rounds):
+        seeds = [0, 5]
+        got = _sssp(spark, edges, seeds, n_rounds=rounds)
+        want = brute(edges, seeds, rounds)
+        # brute keeps unreachable-only-via-self-loop seeds identically:
+        # seeds are always present at 0 in both
+        assert got == {k: v for k, v in want.items()}
+
+    check()
+
+
+def test_kcore_matches_bruteforce_peeling_hypothesis(spark):
+    """Independent-formula cross-check for k-core: plain-Python set-based
+    peeling (no DataFrames, no degree tables) must equal the semi-join
+    pipeline on random small graphs for every k and round count."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    def brute(edges, k, rounds):
+        live = {(min(a, b), max(a, b)) for a, b in edges if a != b}
+        for _ in range(rounds):
+            deg = {}
+            for a, b in live:
+                deg[a] = deg.get(a, 0) + 1
+                deg[b] = deg.get(b, 0) + 1
+            keep = {n for n, d in deg.items() if d >= k}
+            nxt = {(a, b) for a, b in live if a in keep and b in keep}
+            if nxt == live:
+                break
+            live = nxt
+        deg = {}
+        for a, b in live:
+            deg[a] = deg.get(a, 0) + 1
+            deg[b] = deg.get(b, 0) + 1
+        return deg
+
+    @settings(max_examples=8, deadline=None)
+    @given(
+        edges=st.lists(
+            st.tuples(st.integers(0, 11), st.integers(0, 11)),
+            min_size=1,
+            max_size=30,
+        ),
+        k=st.integers(1, 4),
+        rounds=st.integers(1, 4),
+    )
+    def check(edges, k, rounds):
+        got = _kcore(spark, edges, k=k, n_rounds=rounds)
+        assert got == brute(edges, k, rounds)
+
+    check()
