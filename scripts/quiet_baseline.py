@@ -1,0 +1,77 @@
+"""Produce BENCH_QUIET_r{N}.json: the per-entry quiet floor.
+
+Runs the full bench (bench.py, its own min-of-passes protocol) RUNS times
+back-to-back on an idle host and writes the element-wise minimum per entry,
+with each run's loadavg/busy-fraction telemetry attached. This is the
+committed round-over-round attribution baseline: the driver's BENCH_r{N}
+runs on a contended host, and the r8/r9 verdicts both needed a quiet
+per-entry baseline that only survived as a total (SCALE.md, round 9).
+
+Usage:  python scripts/quiet_baseline.py <round> [runs]
+        (waits for 1-min loadavg < 2 before each run; ~10 min per run)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+def main() -> int:
+    rnd = sys.argv[1]
+    runs = int(sys.argv[2]) if len(sys.argv) > 2 else 2
+    details = []
+    for i in range(runs):
+        while os.getloadavg()[0] >= 2.0:
+            print(f"run {i + 1}: waiting for idle host "
+                  f"(loadavg {os.getloadavg()[0]:.2f})...")
+            time.sleep(30)
+        print(f"run {i + 1}/{runs}...")
+        r = subprocess.run(
+            [sys.executable, str(REPO / "bench.py")],
+            cwd=REPO, capture_output=True, text=True,
+        )
+        if r.returncode != 0:
+            print(r.stderr[-2000:], file=sys.stderr)
+            return 1
+        details.append(json.loads((REPO / "BENCH_DETAIL.json").read_text()))
+    qmin = {
+        k: round(min(d["queries"][k] for d in details), 4)
+        for k in details[-1]["queries"]
+    }
+    snap = {
+        "protocol": (
+            f"min_over_{runs}_quiet_runs_of(min_of_passes)/"
+            "session_cached_fixtures/v2"
+        ),
+        "sf": details[-1]["sf"],
+        "passes_per_run": details[-1]["passes"],
+        "runs": runs,
+        "value": round(sum(qmin.values()), 2),
+        "run_totals": [d["value"] for d in details],
+        "run_host_loadavg_per_pass": [
+            d.get("host_loadavg_per_pass") for d in details
+        ],
+        "run_host_busy_frac": [d.get("host_busy_frac") for d in details],
+        "queries": qmin,
+        "note": (
+            "builder-side QUIET per-entry baseline: element-wise min "
+            "across back-to-back full-catalog bench runs on an idle host "
+            "- the noise-resistant per-entry floor for round-over-round "
+            "attribution (see SCALE.md round 9)."
+        ),
+    }
+    out = REPO / f"BENCH_QUIET_r{rnd}.json"
+    out.write_text(json.dumps(snap, indent=1) + "\n")
+    print(f"wrote {out} ({len(qmin)} entries, floor {snap['value']} s)")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
