@@ -669,19 +669,7 @@ def kcore(
         mn, mean = int(row["mn"]), int(row["sm"]) // int(row["cnt"])
         k = mn + (mean - mn) * 2 // 5
     for _ in range(n_rounds):
-        deg = (
-            live.select(F.col("a").alias("node"))
-            .union(live.select(F.col("b").alias("node")))
-            .groupBy("node")
-            .agg(F.count(F.lit(1)).alias("deg"))
-        )
-        keep = deg.where(F.col("deg") >= k).select("node").localCheckpoint()
-        pruned = (
-            live.join(keep.select(F.col("node").alias("a")), "a", "left_semi")
-            .join(keep.select(F.col("node").alias("b")), "b", "left_semi")
-            .select("a", "b")
-            .localCheckpoint()
-        )
+        pruned = _kcore_peel_round(live, k).localCheckpoint()
         # bounded driver scalar: fixpoint reached -> further rounds no-op
         if pruned.count() == live.count():
             live = pruned
@@ -706,6 +694,27 @@ def kcore(
 KCORE_LOW_CUT_K = (
     "(SELECT min(deg) + (sum(deg) // count(*) - min(deg)) * 2 // 5 FROM d0)"
 )
+
+
+def _kcore_peel_round(live: DataFrame, k: int) -> DataFrame:
+    """One synchronous peel (un-checkpointed, so its plan is auditable —
+    tests/test_plans.py asserts the round shape on exactly this code
+    path): degree count with map-side partial agg, the >= k survivor
+    filter, and two LEFT SEMI edge filters. The identical survivor subtree
+    feeds both semi joins; Spark's exchange reuse collapses the duplicate
+    degree aggregation at runtime."""
+    deg = (
+        live.select(F.col("a").alias("node"))
+        .union(live.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    keep = deg.where(F.col("deg") >= k).select("node")
+    return (
+        live.join(keep.select(F.col("node").alias("a")), "a", "left_semi")
+        .join(keep.select(F.col("node").alias("b")), "b", "left_semi")
+        .select("a", "b")
+    )
 
 
 def kcore_oracle_sql(

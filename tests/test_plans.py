@@ -845,3 +845,18 @@ def test_sssp_round_is_equi_join_plus_partial_agg(spark):
     assert a.n_nestedloop_joins == 0
     assert a.n_python_evals == 0
     assert "partial_min" in a.raw
+
+
+def test_kcore_round_is_semi_joins_plus_partial_count(spark):
+    # Same treatment as the SSSP round: the entry's final plan is
+    # checkpoint-hidden, so audit one peel on the production code path.
+    from fdp_dynamically_controlled_streams_spark.operators.graph import (
+        _kcore_peel_round,
+    )
+
+    live = spark.createDataFrame([(1, 2), (2, 3)], "a long, b long")
+    a = audit_plan(_kcore_peel_round(live, 2))
+    assert a.n_nestedloop_joins == 0
+    assert a.n_python_evals == 0
+    assert "partial_count" in a.raw
+    assert "LeftSemi" in a.raw
