@@ -195,12 +195,21 @@ def _coarse_structure(cents: list[list[float]], coarse_k: int | None = None):
     groups = []
     radii = []
     centers = []
+    # Derived ulp-scale inflation (ADVICE r9): the radius is sqrt of a
+    # dim-term positive fold, whose forward relative error is bounded by
+    # (dim+2)·eps (one eps per add, two per squared term) and sqrt adds
+    # ~eps/2 — so (dim+8)·eps relative over-covers the rounding at ANY
+    # operand magnitude. Floored at the old 1e-12 constant so the bound is
+    # never looser than what every checked-in hash was produced with;
+    # inflating a covering radius only widens coverage (scan more cells,
+    # same argmin), never breaks exactness.
+    rs = max(1e-12, (C.shape[1] + 8) * float(np.finfo(np.float64).eps))
     for j in range(K):
         idx = np.nonzero(a == j)[0]
         if idx.size == 0:
             continue  # empty coarse cell covers nothing — drop it
         groups.append(idx)
-        radii.append(float(np.sqrt(d2[idx, j].max())) * (1.0 + 1e-12) + 1e-12)
+        radii.append(float(np.sqrt(d2[idx, j].max())) * (1.0 + rs) + 1e-12)
         centers.append(G[j])
     return np.asarray(centers), groups, np.asarray(radii)
 
@@ -288,10 +297,24 @@ def _assign_two_level_arrow_fn(
 
             for j in range(K):  # phase 1: each point's home coarse cell
                 scan(j, near == j)
+            # Derived pruning slack (ADVICE r9): never-prune-a-winner must
+            # hold at ANY operand magnitude, so the slack is a BOUND, not a
+            # tuned constant. lb = ‖p−G_j‖ − r_j carries absolute rounding
+            # error ≤ c_eps·(‖p−G_j‖ + r_j) with c_eps = (dim+8)·eps (the
+            # dim-term fold + sqrt + subtract); subtracting that magnitude-
+            # scaled term before squaring makes lb² a true lower bound even
+            # for vectors with extreme magnitude ratios. The relative slack
+            # on `best` covers the examined-distance fold the same way and
+            # is floored at the old empirical 1e-9 so pruning only ever gets
+            # WEAKER than what every checked-in hash ran with — extra
+            # scanned cells are exact, so the output is invariant.
+            eps = float(np.finfo(np.float64).eps)
+            c_eps = (C.shape[1] + 8) * eps
+            rel = max(1e-9, 4 * c_eps)
             for j in range(K):  # phase 2: unpruned neighbor cells
-                lb = dG[:, j] - radii[j]
+                lb = dG[:, j] - radii[j] - c_eps * (dG[:, j] + radii[j])
                 np.maximum(lb, 0.0, out=lb)
-                scan(j, (near != j) & (lb * lb <= best * (1 + 1e-9) + 1e-9))
+                scan(j, (near != j) & (lb * lb <= best * (1 + rel) + 1e-9))
             yield pd.DataFrame(
                 {"id": pdf[id_col].to_numpy(), "vec": pdf[vec_col],
                  "cell": besti.astype("int32"),

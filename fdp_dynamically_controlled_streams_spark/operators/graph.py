@@ -666,6 +666,16 @@ def kcore(
             )
             .collect()[0]
         )
+        if int(row["cnt"]) == 0:
+            # empty edge set: the agg row is (null, null, 0) — there is no
+            # degree distribution to cut, and the k-core of an empty graph
+            # is empty at any k, so return the empty (node, deg) frame
+            # directly instead of raising on int(None).
+            return (
+                live.select(F.col("a").alias("node"))
+                .groupBy("node")
+                .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+            )
         mn, mean = int(row["mn"]), int(row["sm"]) // int(row["cnt"])
         k = mn + (mean - mn) * 2 // 5
     for _ in range(n_rounds):

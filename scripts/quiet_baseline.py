@@ -24,8 +24,19 @@ REPO = Path(__file__).resolve().parent.parent
 
 
 def main() -> int:
+    if len(sys.argv) < 2:
+        print("usage: quiet_baseline.py <round> [runs]", file=sys.stderr)
+        return 2
     rnd = sys.argv[1]
     runs = int(sys.argv[2]) if len(sys.argv) > 2 else 2
+    # The child MUST be a full-catalog, default-passes run: a caller env
+    # carrying SPARK_GRAFT_BENCH_ENTRIES would make bench.py write
+    # BENCH_DETAIL_SUBSET.json and we would silently fold a stale
+    # BENCH_DETAIL.json into the committed baseline (ADVICE r9).
+    child_env = {
+        k: v for k, v in os.environ.items()
+        if k not in ("SPARK_GRAFT_BENCH_ENTRIES", "SPARK_GRAFT_BENCH_PASSES")
+    }
     details = []
     for i in range(runs):
         while os.getloadavg()[0] >= 2.0:
@@ -35,7 +46,7 @@ def main() -> int:
         print(f"run {i + 1}/{runs}...")
         r = subprocess.run(
             [sys.executable, str(REPO / "bench.py")],
-            cwd=REPO, capture_output=True, text=True,
+            cwd=REPO, capture_output=True, text=True, env=child_env,
         )
         if r.returncode != 0:
             print(r.stderr[-2000:], file=sys.stderr)

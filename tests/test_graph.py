@@ -360,6 +360,21 @@ def test_kcore_fixpoint_invariant_under_extra_rounds(spark):
     assert a == b  # converged peel is a fixpoint
 
 
+def test_kcore_lowcut_empty_edges(spark):
+    # ADVICE r9: k="lowcut" on an empty edge set used to raise TypeError
+    # (the control-scalar agg returns (null, null, 0)); the k-core of an
+    # empty graph is empty at any k, so the guard returns it directly.
+    from fdp_dynamically_controlled_streams_spark.operators.graph import kcore
+
+    e = spark.createDataFrame([], "u long, v long")
+    out = kcore(e, k="lowcut")
+    assert out.columns == ["node", "deg"]
+    assert out.count() == 0
+    # self-loops-only degenerates to the same empty graph after canonicalize
+    loops = spark.createDataFrame([(7, 7), (9, 9)], "u long, v long")
+    assert kcore(loops, k="lowcut").count() == 0
+
+
 def test_kcore_partition_invariant(spark):
     from fdp_dynamically_controlled_streams_spark.operators.graph import kcore
 

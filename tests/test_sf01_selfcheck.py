@@ -67,7 +67,8 @@ PRICIEST = [
     "stream_hdr_quantiles_replay",
     # round-9 (r8 verdict task 6): sf0.1 ⊇ sf1's PROBE_ENTRIES so every
     # scale-probed entry has hash checks at BOTH tier points and probe
-    # factors stay interpretable (enforced by test_sf01_superset_of_sf1)
+    # factors stay interpretable (enforced by
+    # tests/test_docs.py::test_sf01_tier_superset_of_sf1_probe)
     "ann_ivf_pq_topk",
     "ann_pq_adc_topk",
     "ann_ranking_metrics",
