@@ -78,13 +78,42 @@ def bpe_train(
     text_col: str = "text",
     id_col: str = "doc_id",
     n_merges: int = 16,
+    batch: int = 8,
 ) -> DataFrame:
     """Learn the top ``n_merges`` BPE merges from the corpus. Returns
     (rank, left, right, pair_freq) — rank 1 is the first-learned merge.
-    Stops early if no adjacent pair remains (fully merged vocabulary)."""
+    Stops early if no adjacent pair remains (fully merged vocabulary).
+
+    Batched rounds (r9 verdict task 5): one-collect-per-merge serializes a
+    32k-merge production vocabulary into 32k sequential Spark jobs, so each
+    round collects the top ``batch`` candidates (ONE bounded driver
+    round-trip) and accepts the longest prefix that is PROVABLY the next
+    merges sequential BPE would learn — bit-for-bit, including pair_freq:
+
+      * contiguous prefix of the (pf DESC, l ASC, r ASC) ranking — a
+        skipped conflicting pair could still out-rank everything below it
+        after the merge, so the batch stops at the first rejection;
+      * symbol-disjoint from every earlier accepted pair — merging (a,b)
+        cannot touch an occurrence of (c,d) when {c,d} ∩ {a,b} = ∅, and
+        existing-pair counts NEVER increase under a merge (merges only
+        consume adjacencies), so the candidate's count is exactly its
+        original-table count at its sequential step;
+      * count strictly above every earlier accepted pair's new-pair bound
+        Bound_j = min(pf_j, max(maxIn(l_j), maxOut(r_j))): a pair created
+        by merging (l,r)→lr is (x,lr) or (lr,y) or (lr,lr), and each such
+        occurrence was an occurrence of (x,l) / (r,y) / (r,l) in the
+        original table — so no pair born inside the batch can beat OR TIE
+        (tie-break order on fresh strings is unknowable) an accepted one.
+
+    Acceptance shrinks to 1 only on adversarial corpora (everything shares
+    symbols); natural text accepts several merges per round. Equality with
+    the sequential plain-Python trainer is hypothesis-tested
+    (tests/test_bpe.py::test_bpe_batched_matches_sequential_hypothesis).
+    """
     vocab = word_freq_table(docs, text_col, id_col).localCheckpoint()
     merges: list[tuple[int, str, str, int]] = []
-    for rank in range(1, n_merges + 1):
+    while len(merges) < n_merges:
+        b = min(max(1, batch), n_merges - len(merges))
         pairs = (
             vocab.select(
                 "freq",
@@ -101,18 +130,49 @@ def bpe_train(
             .groupBy("p.l", "p.r")
             .agg(F.sum("freq").alias("pf"))
         )
-        # bounded argmax: ONE row leaves the cluster per round (the
+        # bounded argmax: `batch` rows leave the cluster per round (the
         # k-means-centroid budget); total order = partition-invariant.
-        top = pairs.orderBy(
-            F.desc("pf"), F.asc("l"), F.asc("r")
-        ).limit(1).collect()
-        if not top:
+        # maxIn(s) / maxOut(s) = the adjacency maxima behind Bound_j, read
+        # off the SAME pair table inside the same job.
+        topb = pairs.orderBy(F.desc("pf"), F.asc("l"), F.asc("r")).limit(b)
+        if b > 1:
+            mi = pairs.groupBy(F.col("r").alias("sym")).agg(
+                F.max("pf").alias("max_in")
+            )
+            mo = pairs.groupBy(F.col("l").alias("sym")).agg(
+                F.max("pf").alias("max_out")
+            )
+            topb = (
+                topb.join(mi, topb["l"] == mi["sym"], "left")
+                .drop("sym")
+                .join(mo, topb["r"] == mo["sym"], "left")
+                .drop("sym")
+            )
+        rows = topb.orderBy(F.desc("pf"), F.asc("l"), F.asc("r")).collect()
+        if not rows:
             break
-        left, right, pf = top[0]["l"], top[0]["r"], int(top[0]["pf"])
-        merges.append((rank, left, right, pf))
-        vocab = vocab.select(
-            "word", "freq", _merge_once(F.col("syms"), left, right).alias("syms")
-        ).localCheckpoint()
+        accepted: list[tuple[str, str, int]] = []
+        used: set[str] = set()
+        bounds: list[int] = []
+        for row in rows:
+            left, right, pf = row["l"], row["r"], int(row["pf"])
+            if accepted:
+                if left in used or right in used:
+                    break
+                if any(pf <= bj for bj in bounds):
+                    break
+            accepted.append((left, right, pf))
+            used.update((left, right))
+            if b > 1:
+                bounds.append(
+                    min(pf, max(int(row["max_in"] or 0),
+                                int(row["max_out"] or 0)))
+                )
+        col = F.col("syms")
+        for left, right, pf in accepted:
+            merges.append((len(merges) + 1, left, right, pf))
+            col = _merge_once(col, left, right)
+        vocab = vocab.select("word", "freq", col.alias("syms")).localCheckpoint()
     return docs.sparkSession.createDataFrame(
         merges, "rank int, left string, right string, pair_freq long"
     )

@@ -59,6 +59,45 @@ def test_bpe_matches_python_reference_hypothesis(spark):
     run()
 
 
+def test_bpe_batched_matches_sequential_hypothesis(spark):
+    """r9 verdict task 5: the batched trainer (several merges per driver
+    round-trip, accepted under the contiguous/disjoint/strict-bound rule)
+    must equal the SEQUENTIAL trainer bit-for-bit — ranks, pairs, AND
+    pair_freq — on conflict-heavy corpora (tiny alphabet → accepted
+    prefixes shrink, rejected candidates exercise every break branch)."""
+
+    @settings(max_examples=8, deadline=None)
+    @given(
+        words=st.lists(
+            st.text(alphabet="ab", min_size=1, max_size=8),
+            min_size=1, max_size=20,
+        ),
+        n_merges=st.integers(2, 10),
+        batch=st.sampled_from([2, 4, 16]),
+    )
+    def run(words, n_merges, batch):
+        texts = [" ".join(words)]
+        expected, _, _ = _py_bpe(texts, n_merges)
+        df = spark.createDataFrame([(0, texts[0])], "doc_id long, text string")
+        got = sorted(
+            map(tuple, bpe_train(df, n_merges=n_merges, batch=batch).collect())
+        )
+        assert got == sorted(expected)
+
+    run()
+
+
+def test_bpe_batched_golden_sennrich(spark):
+    # batch sizes 1 (pure sequential) and 6 (whole table in one round-trip)
+    # learn the identical golden table
+    texts = [" ".join(["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3)]
+    df = spark.createDataFrame([(0, texts[0])], "doc_id long, text string")
+    seq = sorted(map(tuple, bpe_train(df, n_merges=6, batch=1).collect()))
+    bat = sorted(map(tuple, bpe_train(df, n_merges=6, batch=6).collect()))
+    assert seq == bat
+    assert seq[0] == (1, "e", "s", 9)
+
+
 def test_bpe_partition_invariance(spark):
     texts = [f"token stream spark merge value table row {i % 7}" for i in range(40)]
     df = spark.createDataFrame(
