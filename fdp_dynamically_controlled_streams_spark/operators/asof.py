@@ -27,20 +27,33 @@ def asof_join(
     left_time: str,
     right_time: str,
     payload: Sequence[str],
+    tiebreak: Sequence[str] = (),
 ) -> DataFrame:
     """For each left row: latest right payload with right_time <= left_time,
     matching on key ``on``. Right rows sort before left rows on time ties
     (the controller's control-before-data rule, SparkStructuredController.scala:69-70).
 
+    ``tiebreak``: right-side columns ordering EXACT right-time ties — the
+    GREATEST tiebreak wins ("latest" resolves to the extremum). Without it,
+    two right rows sharing (key, time) leave the winner to partition-local
+    sort order — nondeterministic across engines and partitionings (found
+    by the full-catalog sf0.1 tier, round 10: same-customer same-date
+    orders exist at sf0.1 but not sf0.01). Any caller whose right side can
+    carry duplicate (key, time) pairs MUST pass one; choosing the payload
+    itself makes the selected VALUE the tie-group maximum, total and
+    engine-portable even when the tiebreak columns themselves tie.
+
     Returns all left columns plus ``payload`` columns (null when no match yet).
     """
     lcols = left.columns
+    extra = [t for t in tiebreak if t not in payload]
     l = left.select(
         F.col(on).alias("__k"),
         F.col(left_time).alias("__t"),
         F.lit(1).alias("__side"),
         F.struct(*lcols).alias("__left"),
         *[F.lit(None).cast(right.schema[p].dataType).alias(p) for p in payload],
+        *[F.lit(None).cast(right.schema[t].dataType).alias(t) for t in extra],
     )
     r = right.select(
         F.col(on).alias("__k"),
@@ -48,10 +61,11 @@ def asof_join(
         F.lit(0).alias("__side"),
         F.lit(None).cast(l.schema["__left"].dataType).alias("__left"),
         *payload,
+        *extra,
     )
     w = (
         Window.partitionBy("__k")
-        .orderBy("__t", "__side")
+        .orderBy("__t", "__side", *tiebreak)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     unioned = r.unionByName(l).select(
@@ -71,6 +85,7 @@ def asof_join_forward(
     left_time: str,
     right_time: str,
     payload: Sequence[str],
+    tiebreak: Sequence[str] = (),
 ) -> DataFrame:
     """Forward (look-ahead) as-of: for each left row, the EARLIEST right
     payload with right_time >= left_time, per key — the mirror of
@@ -78,14 +93,21 @@ def asof_join_forward(
     happened next". Same union + one-window-pass shape, one shuffle on the
     key; the frame looks FORWARD (currentRow..unboundedFollowing) with
     ``first(ignorenulls)``, and left rows sort before right rows on time
-    ties so a simultaneous right row still matches."""
+    ties so a simultaneous right row still matches.
+
+    ``tiebreak``: right-side columns ordering EXACT right-time ties — the
+    LEAST tiebreak wins here (the forward mirror of asof_join's
+    greatest-wins). Required for determinism whenever the right side can
+    carry duplicate (key, time) pairs; see :func:`asof_join`."""
     lcols = left.columns
+    extra = [t for t in tiebreak if t not in payload]
     l = left.select(
         F.col(on).alias("__k"),
         F.col(left_time).alias("__t"),
         F.lit(0).alias("__side"),
         F.struct(*lcols).alias("__left"),
         *[F.lit(None).cast(right.schema[p].dataType).alias(p) for p in payload],
+        *[F.lit(None).cast(right.schema[t].dataType).alias(t) for t in extra],
     )
     r = right.select(
         F.col(on).alias("__k"),
@@ -93,10 +115,11 @@ def asof_join_forward(
         F.lit(1).alias("__side"),
         F.lit(None).cast(l.schema["__left"].dataType).alias("__left"),
         *payload,
+        *extra,
     )
     w = (
         Window.partitionBy("__k")
-        .orderBy("__t", "__side")
+        .orderBy("__t", "__side", *tiebreak)
         .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     )
     unioned = r.unionByName(l).select(

@@ -527,6 +527,136 @@ FROM base b LEFT JOIN per_doc p ON p.id = b.id
 """
 
 
+def exact_substring_spans(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    length: int = 24,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Character-level EXACT repeated-substring extraction — the
+    suffix-array-style ExactSubstr tier of the dedup family ("Deduplicating
+    Training Data Makes Language Models Better", the dedup the paper runs
+    at byte granularity): every char position whose length-``length``
+    window occurs verbatim in >= ``min_docs`` DISTINCT documents is
+    duplicated, and overlapping-or-adjacent duplicated windows merge into
+    maximal spans. Returns one row per span: (id, span_start, span_end,
+    span_len), 1-based inclusive char offsets — exactly the byte ranges a
+    curation pipeline cuts. This is EXACT for repeats of length >= L: a
+    repeated substring of length m >= L is covered by its m-L+1 duplicated
+    windows, which are position-contiguous and merge into the full span
+    (zero-miss law vs a plain-Python brute force in tests/test_docs.py —
+    the same proof shape as simhash's banded blocking).
+
+    Relation to :func:`duplicate_ngram_spans`: that operator scores
+    token-n-gram duplication per doc; this one extracts the literal CHAR
+    span boundaries, the form span REMOVAL needs (cut text[start-1:end]).
+
+    Scale shape: one window explode (codegen transform/substring HOFs, no
+    UDF), ONE groupBy(window) with map-side partial distinct-doc agg, one
+    shuffle join back, one per-doc window + groupBy — never all-pairs,
+    never a driver loop; identical plan skeleton to the n-gram tier. The
+    window key is the literal L-char string for oracle portability; at
+    100 TB it would be a Karp-Rabin rolling hash64 (8 bytes instead of L,
+    one linear pass instead of L× substring materialization) with the
+    identical downstream plan — the hash exists (functions/hashing.py)
+    and false positives are eliminated by one extend-and-verify equi-join
+    on the (rare) colliding windows.
+
+    [ABSENT in reference: SURVEY §2.7 — engine extension.]
+    """
+    base = docs.select(
+        F.col(id_col).alias("id"), F.trim(F.col(text_col)).alias("s")
+    )
+    wins = base.select(
+        "id",
+        F.explode(
+            F.expr(
+                f"CASE WHEN length(s) >= {length} THEN"
+                f" transform(sequence(1, length(s) - {length} + 1),"
+                f"           i -> struct(i AS pos, substring(s, i, {length}) AS w))"
+                f" ELSE CAST(array() AS array<struct<pos:int,w:string>>) END"
+            )
+        ).alias("g"),
+    ).select("id", F.col("g.pos").alias("pos"), F.col("g.w").alias("w"))
+    dup = (
+        wins.groupBy("w")
+        .agg(F.countDistinct("id").alias("nd"))
+        .where(F.col("nd") >= min_docs)
+        .select("w")
+    )
+    pos = wins.join(dup, "w").select(
+        "id", "pos", (F.col("pos") + F.lit(length - 1)).alias("end")
+    )
+    w_ord = Window.partitionBy("id").orderBy("pos")
+    prev_end = F.max("end").over(
+        w_ord.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    marked = pos.withColumn(
+        "ni",
+        F.when(
+            prev_end.isNull() | (F.col("pos") > prev_end + 1), F.lit(1)
+        ).otherwise(F.lit(0)),
+    )
+    islands = marked.withColumn(
+        "isl",
+        F.sum("ni").over(w_ord.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        islands.groupBy("id", "isl")
+        .agg(
+            F.min("pos").cast("long").alias("span_start"),
+            F.max("end").cast("long").alias("span_end"),
+        )
+        .select(
+            F.col("id").alias(id_col),
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + 1).alias("span_len"),
+        )
+    )
+
+
+def exact_substring_spans_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    length: int = 24,
+    min_docs: int = 2,
+) -> str:
+    """DuckDB twin of :func:`exact_substring_spans` (substring(s, i, L) is
+    1-based in both engines; the interval merge replays the same
+    prev-max-end gaps-and-islands)."""
+    return f"""
+WITH d AS (
+  SELECT {id_col} AS id, trim({text_col}) AS s FROM {table}
+), wins AS (
+  SELECT id, i AS pos, substring(s, i, {length}) AS w, i + {length - 1} AS e
+  FROM d, UNNEST(generate_series(1, length(s) - {length} + 1)) AS g(i)
+), dup AS (
+  SELECT w FROM wins GROUP BY w HAVING count(DISTINCT id) >= {min_docs}
+), pos AS (
+  SELECT wins.id, wins.pos, wins.e FROM wins JOIN dup USING (w)
+), marked AS (
+  SELECT id, pos, e,
+         CASE WHEN max(e) OVER pw IS NULL OR pos > max(e) OVER pw + 1
+              THEN 1 ELSE 0 END AS ni
+  FROM pos
+  WINDOW pw AS (PARTITION BY id ORDER BY pos
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+), isl AS (
+  SELECT id, pos, e,
+         sum(ni) OVER (PARTITION BY id ORDER BY pos
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
+  FROM marked
+)
+SELECT id AS {id_col}, CAST(min(pos) AS BIGINT) AS span_start,
+       CAST(max(e) AS BIGINT) AS span_end,
+       CAST(max(e) - min(pos) + 1 AS BIGINT) AS span_len
+FROM isl GROUP BY id, g
+"""
+
+
 def _pair_dot_arrow_fn(lo: float):
     """applyInPandas kernel for semantic_dedup's within-cell pair dots:
     for one cell's (id, normalized-vec) rows sorted by id, emit

@@ -47,6 +47,38 @@ def test_forward_picks_earliest_at_or_after(spark):
     assert out == {"a": 100.0, "b": None, "c": 500.0, "d": None}
 
 
+def test_right_time_ties_resolve_by_tiebreak(spark):
+    # round-10 regression (found by the full-catalog sf0.1 tier): two right
+    # rows sharing (key, time) left the winner to partition-local sort
+    # order. With tiebreak=payload, backward picks the tie-group MAX and
+    # forward the tie-group MIN — deterministic under any partitioning.
+    t = lambda m: dt.datetime(2024, 1, 1, 0, m)  # noqa: E731
+    left = spark.createDataFrame(
+        [(1, t(30), "after"), (1, t(5), "before")],
+        "k int, ts timestamp, tag string",
+    )
+    right = spark.createDataFrame(
+        [(1, t(10), 300.0), (1, t(10), 100.0), (1, t(10), 200.0)],
+        "k int, ts timestamp, price double",
+    )
+    for reps in (1, 7):
+        r = right.repartition(reps)
+        back = {
+            x.tag: x.price
+            for x in asof_join(
+                left, r, "k", "ts", "ts", ["price"], tiebreak=["price"]
+            ).collect()
+        }
+        fwd = {
+            x.tag: x.price
+            for x in asof_join_forward(
+                left, r, "k", "ts", "ts", ["price"], tiebreak=["price"]
+            ).collect()
+        }
+        assert back == {"after": 300.0, "before": None}, reps
+        assert fwd == {"after": None, "before": 100.0}, reps
+
+
 def test_directions_preserve_left_rowcount(spark):
     left, right = _frames(spark)
     assert asof_join(left, right, "k", "ts", "ts", ["price"]).count() == 4

@@ -94,6 +94,93 @@ def test_simhash_hamming_band_blocking_is_complete(spark):
         assert banded == brute, (bits, radius)
 
 
+# -------------------------------------------- exact substring spans
+
+
+def _py_exact_spans(texts, L, min_docs=2):
+    """Plain-Python brute force: set-membership over every L-window, then
+    interval-merge — the independent twin the operator's zero-miss claim
+    is checked against."""
+    from collections import defaultdict
+
+    texts = {i: t.strip() for i, t in texts.items()}
+    owners = defaultdict(set)
+    for i, t in texts.items():
+        for p in range(len(t) - L + 1):
+            owners[t[p : p + L]].add(i)
+    dup = {w for w, s in owners.items() if len(s) >= min_docs}
+    out = []
+    for i, t in texts.items():
+        spans = []
+        for p0 in range(len(t) - L + 1):
+            if t[p0 : p0 + L] not in dup:
+                continue
+            p, e = p0 + 1, p0 + L  # 1-based inclusive
+            if spans and p <= spans[-1][1] + 1:
+                spans[-1][1] = max(spans[-1][1], e)
+            else:
+                spans.append([p, e])
+        out.extend((i, s, e, e - s + 1) for s, e in spans)
+    return sorted(out)
+
+
+def test_exact_substring_spans_golden(spark):
+    # a verbatim 30-char licence block shared by docs 1 and 2 must come
+    # back as one maximal span in each; the unique tails must not
+    from fdp_dynamically_controlled_streams_spark.operators.dedup import (
+        exact_substring_spans,
+    )
+
+    block = "this block is verbatim shared."  # 30 chars
+    docs = spark.createDataFrame(
+        [
+            (1, f"unique preamble one {block} unique tail xxxxx"),
+            (2, f"{block} another completely different ending here"),
+            (3, "no overlap at all in this third document body"),
+        ],
+        "doc_id long, text string",
+    )
+    got = sorted(
+        (r.doc_id, r.span_start, r.span_end, r.span_len)
+        for r in exact_substring_spans(docs, length=24).collect()
+    )
+    # both docs follow the block with a space, so the true shared region
+    # is block + that space = 31 chars — maximality means the operator
+    # must find the extra char, not stop at the "intended" block edge
+    assert got == [(1, 21, 51, 31), (2, 1, 31, 31)]
+
+
+def test_exact_substring_spans_matches_bruteforce_hypothesis(spark):
+    # zero-miss law (same proof shape as simhash's banded blocking): on
+    # repeat-heavy tiny-alphabet corpora the DataFrame pipeline finds
+    # EXACTLY the brute-force span set — boundaries included
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from fdp_dynamically_controlled_streams_spark.operators.dedup import (
+        exact_substring_spans,
+    )
+
+    @settings(max_examples=6, deadline=None)
+    @given(
+        texts=st.lists(
+            st.text(alphabet="ab ", min_size=0, max_size=30),
+            min_size=2, max_size=6,
+        ),
+        L=st.integers(3, 6),
+    )
+    def run(texts, L):
+        rows = list(enumerate(texts))
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = sorted(
+            (r.doc_id, r.span_start, r.span_end, r.span_len)
+            for r in exact_substring_spans(df, length=L).collect()
+        )
+        assert got == _py_exact_spans(dict(rows), L)
+
+    run()
+
+
 # ------------------------------------------------------- semantic dedup
 
 from fdp_dynamically_controlled_streams_spark.operators.dedup import semantic_dedup
