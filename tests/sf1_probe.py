@@ -106,15 +106,28 @@ PROBE_ENTRIES = [
     # the semi variant completes the stream-stream join-type matrix in the
     # replay family's trend line
     "stream_interval_semi_join_replay",
+    # round-10: the character-level ExactSubstr tier (window-explode =
+    # scale-exposed shingle shape) and the streaming incremental degree
+    # count join their families' trend lines in their debut round
+    "dedup_exact_substring_spans",
+    "stream_degree_count_replay",
 ]
 
 _ALPHA = "abcdefghijklmnopqrstuvwxyz"
 
 
 def build_sf1() -> None:
+    build_replication(SF1, COPIES)
+
+
+def build_replication(dest: str, copies: int) -> None:
+    """Shape-preserving ``copies``× replication of sf0.1 into ``dest`` —
+    the sf1 build generalized so the scaling-fit script
+    (scripts/scale_fit.py) can produce INTERMEDIATE volume points and fit
+    wall = C + g·copies on 3+ points instead of eyeballing 2."""
     import duckdb
 
-    Path(SF1).mkdir(parents=True, exist_ok=True)
+    Path(dest).mkdir(parents=True, exist_ok=True)
     con = duckdb.connect()
     con.execute(f"SET threads TO 16")
 
@@ -122,9 +135,11 @@ def build_sf1() -> None:
         return f"'{SF01}/{t}.parquet'"
 
     def copy(sql: str, t: str) -> None:
-        con.execute(f"COPY ({sql}) TO '{SF1}/{t}.parquet' (FORMAT parquet)")
-        n = con.execute(f"SELECT count(*) FROM '{SF1}/{t}.parquet'").fetchone()[0]
+        con.execute(f"COPY ({sql}) TO '{dest}/{t}.parquet' (FORMAT parquet)")
+        n = con.execute(f"SELECT count(*) FROM '{dest}/{t}.parquet'").fetchone()[0]
         print(f"  built {t}: {n} rows")
+
+    SF1, COPIES = dest, copies  # noqa: N806 — shadow for the body below
 
     # dims: unchanged (the facts keep their foreign keys, so every join
     # match multiplicity is preserved exactly)

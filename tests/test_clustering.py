@@ -204,6 +204,55 @@ def test_two_level_kernel_bit_identical_to_flat():
         assert list(flat["dist"]) == list(two["dist"]), coarse_k
 
 
+def test_two_level_kernel_bit_identical_at_extreme_magnitudes():
+    """ADVICE r9: the never-prune-a-winner slack is now a derived
+    dim·ulp bound, not a tuned constant — exercise the regime the advice
+    worried about: vectors with EXTREME magnitude ratios (1e12-scale
+    coordinates next to 1e-12-scale ones, boundary-exact ties at both
+    scales), where a fixed absolute epsilon under- or over-covers."""
+    import random
+
+    import numpy as np
+    import pandas as pd
+
+    from fdp_dynamically_controlled_streams_spark.operators.clustering import (
+        _assign_arrow_fn,
+        _assign_two_level_arrow_fn,
+    )
+
+    random.seed(29)
+    dim = 6
+    cents = []
+    for scale in (1e12, 1.0, 1e-12):
+        for _ in range(24):
+            cents.append(
+                [random.uniform(-1, 1) * scale for _ in range(dim)]
+            )
+    pts = []
+    for i in range(300):
+        c = cents[i % len(cents)]
+        mag = max(abs(v) for v in c) or 1.0
+        pts.append([v + random.uniform(-0.05, 0.05) * mag for v in c])
+    pts += [list(c) for c in cents[::7]]  # dist-0 ties at every scale
+    for j in range(0, 12, 2):  # midpoint ties between huge-scale cells
+        pts.append([(a + b) / 2 for a, b in zip(cents[j], cents[j + 1])])
+    pdf = pd.DataFrame(
+        {
+            "vec_id": np.arange(len(pts), dtype="int64"),
+            "embedding": [np.asarray(p, dtype="float64") for p in pts],
+        }
+    )
+    flat = next(_assign_arrow_fn(cents, "vec_id", "embedding")(iter([pdf])))
+    for coarse_k in (None, 4, 24, 72):
+        two = next(
+            _assign_two_level_arrow_fn(
+                cents, "vec_id", "embedding", coarse_k=coarse_k
+            )(iter([pdf]))
+        )
+        assert list(flat["cell"]) == list(two["cell"]), coarse_k
+        assert list(flat["dist"]) == list(two["dist"]), coarse_k
+
+
 def test_two_level_threshold_engages_and_matches_sql(spark):
     """End-to-end: at k >= TWO_LEVEL_K the arrow engine routes through the
     two-level kernel (verified by monkeypatch-free structural check on the

@@ -50,14 +50,17 @@ def test_selfcheck_artifact_covers_catalog_exactly():
     assert not stale, f"{art.name} has stale entries: {sorted(stale)}"
 
 
-def test_sf01_tier_artifact_covers_priciest_exactly():
-    from tests.test_sf01_selfcheck import PRICIEST
+def test_sf01_tier_artifact_covers_full_catalog_exactly():
+    """r9 verdict task 1: the sf0.1 tier is the FULL catalog as of round
+    10 — the newest sf0.1 artifact must cover every entry and be green,
+    the same law the sf0.01 artifact has carried since r4."""
+    from tests.test_sf01_selfcheck import TIER
 
     arts = sorted(REPO.glob("CORRECTNESS_SELF_r[0-9][0-9]_sf01.json"))
     assert arts, "no sf0.1-tier artifact checked in"
     records = json.loads(arts[-1].read_text())
-    missing = set(PRICIEST) - set(records)
-    stale = set(records) - set(PRICIEST)
+    missing = set(TIER) - set(records)
+    stale = set(records) - set(TIER)
     assert not missing, f"{arts[-1].name} missing tier entries: {sorted(missing)}"
     assert not stale, f"{arts[-1].name} stale tier entries: {sorted(stale)}"
     bad = {
@@ -103,7 +106,7 @@ def test_sf01_tier_superset_of_sf1_probe():
     hash-verified numerator AND denominator. Ungated pure-list check (the
     tier runs themselves stay env-gated)."""
     from tests.sf1_probe import PROBE_ENTRIES
-    from tests.test_sf01_selfcheck import PRICIEST
+    from tests.test_sf01_selfcheck import TIER
 
-    missing = sorted(set(PROBE_ENTRIES) - set(PRICIEST))
+    missing = sorted(set(PROBE_ENTRIES) - set(TIER))
     assert not missing, f"sf1-probed entries absent from sf0.1 tier: {missing}"
