@@ -391,6 +391,29 @@ def ngram_jaccard_pairs(
     )
 
 
+def _multi_doc_keys(rows: DataFrame, key_col: str, min_docs: int) -> DataFrame:
+    """Keys of ``rows`` occurring in >= ``min_docs`` DISTINCT ``id``s.
+    min_docs=2 (the whole dedup family's production setting) uses the
+    min(id) != max(id) equivalence: two fixed 8-byte agg cells with full
+    map-side combine, instead of countDistinct's per-key id set — the agg
+    state no longer grows with a boilerplate shingle's document frequency,
+    which is exactly the skewed key a 100 TB corpus guarantees (r9 verdict
+    task 2's shingle-join fan-out bound). Identical output by construction."""
+    if min_docs == 2:
+        return (
+            rows.groupBy(key_col)
+            .agg(F.min("id").alias("__mn"), F.max("id").alias("__mx"))
+            .where(F.col("__mn") != F.col("__mx"))
+            .select(key_col)
+        )
+    return (
+        rows.groupBy(key_col)
+        .agg(F.countDistinct("id").alias("__nd"))
+        .where(F.col("__nd") >= min_docs)
+        .select(key_col)
+    )
+
+
 def duplicate_ngram_spans(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -439,12 +462,7 @@ def duplicate_ngram_spans(
             )
         ).alias("g"),
     ).select("id", F.col("g.pos").alias("pos"), F.col("g.ngram").alias("ngram"))
-    dup_ngrams = (
-        grams.groupBy("ngram")
-        .agg(F.countDistinct("id").alias("ndocs"))
-        .where(F.col("ndocs") >= min_docs)
-        .select("ngram")
-    )
+    dup_ngrams = _multi_doc_keys(grams, "ngram", min_docs)
     dup = grams.join(dup_ngrams, "ngram").select("id", "pos")
     w = Window.partitionBy("id").orderBy("pos")
     runs = dup.withColumn("grp", F.col("pos") - F.row_number().over(w))
@@ -579,12 +597,7 @@ def exact_substring_spans(
             )
         ).alias("g"),
     ).select("id", F.col("g.pos").alias("pos"), F.col("g.w").alias("w"))
-    dup = (
-        wins.groupBy("w")
-        .agg(F.countDistinct("id").alias("nd"))
-        .where(F.col("nd") >= min_docs)
-        .select("w")
-    )
+    dup = _multi_doc_keys(wins, "w", min_docs)
     pos = wins.join(dup, "w").select(
         "id", "pos", (F.col("pos") + F.lit(length - 1)).alias("end")
     )
