@@ -8,10 +8,11 @@ training operates on the WORD-FREQUENCY TABLE, never the corpus. One
 corpus tokenize pass builds (word, freq) — vocabulary-sized, ~10^6-10^7
 rows for a 100 TB web corpus — and every merge round then touches only
 that table: one explode of adjacent symbol pairs weighted by freq, one
-map-side-combinable groupBy(pair), one bounded argmax (a single collected
-row — the same bounded-control-scalar budget as the k-means centroids and
-IVF cells), and one vocab-sized merge rewrite. Corpus cost is paid once;
-rounds cost O(vocab).
+map-side-combinable groupBy(pair), one bounded argmax (a `batch`-row
+collect — the same bounded-control-scalar budget as the k-means centroids
+and IVF cells; the batched acceptance rule in :func:`bpe_train` keeps the
+learned table PROVABLY identical to one-merge-at-a-time training), and one
+vocab-sized merge rewrite. Corpus cost is paid once; rounds cost O(vocab).
 
 Determinism: the argmax tie-breaks by (freq DESC, left ASC, right ASC) —
 total order, so the learned merge sequence is partition-invariant and

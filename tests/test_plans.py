@@ -824,6 +824,40 @@ def test_lateral_topk_decorrelates_to_window_group_limit(audits):
     assert a.n_python_evals == 0
 
 
+def test_exact_substring_spans_plan_shape(audits):
+    a = audits("dedup_exact_substring_spans")
+    # window explode + multi-doc detector + join back + interval-merge
+    # window: ONE equi-join on the window key (shuffle hash or, at this
+    # SF, broadcast — never nested-loop), all codegen HOFs, no Python,
+    # and the documents scan pruned to (doc_id, text).
+    assert a.joins == 1
+    assert a.n_nestedloop_joins == 0
+    assert a.n_python_evals == 0
+    assert_pruned(a, ["lang", "source", "n_chars"])
+
+
+def test_stream_degree_count_batch_shape(spark):
+    # The streaming entry's per-batch plan is dropDuplicates state +
+    # count agg; audit its BATCH twin (the oracle shape the snapshot must
+    # equal): one distinct exchange + one count exchange, no Python.
+    from pyspark.sql import functions as F
+
+    from fdp_dynamically_controlled_streams_spark.schemas import load_table
+
+    e = load_table(spark, SF_DIR, "events")
+    deg = (
+        e.select("user_id", "event_type")
+        .dropDuplicates(["user_id", "event_type"])
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    a = audit_plan(deg)
+    assert a.n_python_evals == 0
+    assert a.joins == 0
+    assert a.n_exchanges <= 2
+    assert_pruned(a, ["props", "value", "ts"])
+
+
 def test_sssp_round_is_equi_join_plus_partial_agg(spark):
     # The returned label set is localCheckpoint-materialized per round, so
     # the catalog entry's final plan is a bare RDD scan; audit the ROUND
