@@ -597,6 +597,16 @@ def exact_substring_spans(
             )
         ).alias("g"),
     ).select("id", F.col("g.pos").alias("pos"), F.col("g.w").alias("w"))
+    # Measured A/B (round 10, one session, warm): an exact two-phase
+    # variant — xxhash64 bucket multi-doc prefilter + literal-string
+    # verify on the surviving 15% — ran ~12% SLOWER here (8.7-8.9 s vs
+    # 7.4-7.9 s at sf0.1): the cost is the window explode computed for
+    # both the detector agg and the probe side, not the string shuffle
+    # (map-side combine already collapses it to distinct windows). So the
+    # single literal pipeline stays; at 100 TB, where shuffle bytes beat
+    # recompute, the documented upgrade is the rolling-hash64 KEY (one
+    # linear pass, no L x substring materialization at all), not a hash
+    # prefilter bolted onto literal windows.
     dup = _multi_doc_keys(wins, "w", min_docs)
     pos = wins.join(dup, "w").select(
         "id", "pos", (F.col("pos") + F.lit(length - 1)).alias("end")
