@@ -327,31 +327,44 @@ def bfs_hops(
         .distinct()
         .localCheckpoint()
     )
-    visited = (
+    state = (
         seeds.select(F.col(seed_col).cast("long").alias("node"))
         .distinct()
-        .select("node", F.lit(0).cast("int").alias("hop"))
+        .select(
+            "node",
+            F.lit(0).cast("int").alias("hop"),
+            F.lit(True).alias("chg"),
+        )
         .localCheckpoint()
     )
-    frontier = visited.select("node")
     for i in range(1, max_hops + 1):
+        frontier = state.where("chg").select("node")
         cand = (
             frontier.join(sym, frontier.node == sym.src)
             .select(F.col("dst").alias("node"))
             .distinct()
         )
-        new = (
-            cand.join(visited, "node", "left_anti")
-            .select("node", F.lit(i).cast("int").alias("hop"))
+        # ONE checkpoint per level (round 10, same treatment as the SSSP
+        # round): a FULL OUTER join of the visited set against the
+        # candidate frontier — already-visited nodes keep their hop
+        # (chg=False), first-seen nodes take hop=i (chg=True) — so the
+        # whole level materializes in a single job and the next frontier
+        # is a filter on the checkpointed state. Same labels, same hashes.
+        state = (
+            state.select("node", "hop")
+            .join(cand, "node", "full")
+            .select(
+                "node",
+                F.coalesce("hop", F.lit(i).cast("int")).alias("hop"),
+                F.col("hop").isNull().alias("chg"),
+            )
             .localCheckpoint()
         )
-        visited = visited.union(new).localCheckpoint()
-        frontier = new.select("node")
         # bounded driver scalar: stop early once the frontier drains (the
         # unrolled oracle is invariant to this — empty levels add nothing)
-        if new.isEmpty():
+        if state.where("chg").isEmpty():
             break
-    return visited
+    return state.select("node", "hop")
 
 
 def bfs_hops_oracle_sql(
