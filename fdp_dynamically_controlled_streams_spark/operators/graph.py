@@ -697,13 +697,18 @@ def kcore(
             )
         mn, mean = int(row["mn"]), int(row["sm"]) // int(row["cnt"])
         k = mn + (mean - mn) * 2 // 5
+    n_live = live.count()
     for _ in range(n_rounds):
         pruned = _kcore_peel_round(live, k).localCheckpoint()
-        # bounded driver scalar: fixpoint reached -> further rounds no-op
-        if pruned.count() == live.count():
-            live = pruned
-            break
+        # bounded driver scalar: fixpoint reached -> further rounds no-op.
+        # One count job per round: the survivor count carries over as the
+        # next round's baseline instead of re-counting the checkpointed
+        # input (round 10 — was two count jobs per round).
+        n_pruned = pruned.count()
         live = pruned
+        if n_pruned == n_live:
+            break
+        n_live = n_pruned
     return (
         live.select(F.col("a").alias("node"))
         .union(live.select(F.col("b").alias("node")))

@@ -1787,6 +1787,57 @@ def dedup_exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_exact_substring_removal",
+    f"""
+WITH spans AS ({dedup_ops.exact_substring_spans_sql("documents", length=24, min_docs=2)}),
+per AS (
+  SELECT doc_id, CAST(sum(span_len) AS BIGINT) AS dup_chars
+  FROM spans GROUP BY doc_id
+)
+SELECT d.doc_id, CAST(length(trim(d.text)) AS BIGINT) AS n_chars,
+       CAST(COALESCE(p.dup_chars, 0) AS BIGINT) AS dup_chars,
+       CAST(length(trim(d.text)) - COALESCE(p.dup_chars, 0) AS BIGINT) AS kept_chars,
+       CASE WHEN length(trim(d.text)) > 0
+            THEN round(COALESCE(p.dup_chars, 0) / length(trim(d.text)), 6)
+            ELSE 0.0 END AS dup_fraction
+FROM documents d LEFT JOIN per p USING (doc_id)
+""",
+    tags=("dedup", "substring", "span", "curation"),
+)
+def dedup_exact_substring_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REMOVAL rollup over the exact-substring spans: per document,
+    total chars, verbatim-duplicated chars (the maximal spans are disjoint
+    by construction, so their length-sum IS the coverage), what survives
+    the cut, and the duplicated fraction — the budget report a curation
+    run reads before committing a corpus-wide ExactSubstr cut (and the
+    quality gate for choosing L). Docs with no duplicated span keep
+    everything (LEFT join, zero-filled). One spans pipeline + one per-doc
+    sum + one broadcast-able join back to the corpus projection."""
+    d = _t(spark, sf_dir, "documents")
+    spans = dedup_ops.exact_substring_spans(d, length=24, min_docs=2)
+    per = spans.groupBy("doc_id").agg(
+        F.sum("span_len").cast("long").alias("dup_chars")
+    )
+    base = d.select(
+        "doc_id", F.length(F.trim("text")).cast("long").alias("n_chars")
+    )
+    return base.join(per, "doc_id", "left").select(
+        "doc_id",
+        "n_chars",
+        F.coalesce("dup_chars", F.lit(0)).cast("long").alias("dup_chars"),
+        (F.col("n_chars") - F.coalesce("dup_chars", F.lit(0)))
+        .cast("long")
+        .alias("kept_chars"),
+        F.when(
+            F.col("n_chars") > 0,
+            F.round(F.coalesce("dup_chars", F.lit(0)) / F.col("n_chars"), 6),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("dup_fraction"),
+    )
+
+
+@query(
     "dedup_embedding_near",
     f"""
 WITH b AS (
