@@ -110,6 +110,7 @@ PROBE_ENTRIES = [
     # scale-exposed shingle shape) and the streaming incremental degree
     # count join their families' trend lines in their debut round
     "dedup_exact_substring_spans",
+    "dedup_exact_substring_removal",
     "stream_degree_count_replay",
 ]
 
