@@ -593,24 +593,28 @@ def exact_substring_spans(
     base = docs.select(
         F.col(id_col).alias("id"), F.trim(F.col(text_col)).alias("s")
     )
-    # Generation shape measured at sf1 (13.7M windows): exploding INTEGER
-    # positions and slicing afterwards runs ~25% faster than
-    # explode(transform(... struct(pos, substring))) — the latter
-    # materializes a per-doc array of structs carrying all L-char slices
-    # before the explode, the former keeps the substring inside the
-    # post-explode codegen stage and allocates only an int array per doc.
-    # Same (id, pos, w) relation bit-for-bit.
+    # Generation shape measured BOTH ways at sf1 (13.7M windows, round
+    # 10): int-position explode + post-explode substring wins in isolation
+    # (gen 13 s vs 17 s; gen+agg 28 s vs 34 s) but LOSES in the full
+    # two-consumer pipeline (71-76 s vs 83-85 s), where the detector agg
+    # and the join probe each re-evaluate the generation subtree — the
+    # struct-array form computes every slice once per consumer pass while
+    # the int form re-runs substring per consumer per row downstream of a
+    # wider (id, s, pos) intermediate. Entry-level wall time is what
+    # ships, so the struct form stays (the n-gram tier measured the
+    # OPPOSITE at entry level — see duplicate_ngram_spans — which is why
+    # both records are written down instead of one "rule").
     wins = base.select(
         "id",
-        "s",
         F.explode(
             F.expr(
-                f"CASE WHEN length(s) >= {length}"
-                f" THEN sequence(1, length(s) - {length} + 1)"
-                f" ELSE CAST(array() AS array<int>) END"
+                f"CASE WHEN length(s) >= {length} THEN"
+                f" transform(sequence(1, length(s) - {length} + 1),"
+                f"           i -> struct(i AS pos, substring(s, i, {length}) AS w))"
+                f" ELSE CAST(array() AS array<struct<pos:int,w:string>>) END"
             )
-        ).alias("pos"),
-    ).select("id", "pos", F.expr(f"substring(s, pos, {length})").alias("w"))
+        ).alias("g"),
+    ).select("id", F.col("g.pos").alias("pos"), F.col("g.w").alias("w"))
     # Measured A/B (round 10, one session, warm): an exact two-phase
     # variant — xxhash64 bucket multi-doc prefilter + literal-string
     # verify on the surviving 15% — ran ~12% SLOWER here (8.7-8.9 s vs
