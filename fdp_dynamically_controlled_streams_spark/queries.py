@@ -128,14 +128,22 @@ def _read_replay_out(spark: SparkSession, ddl: str, path: str) -> DataFrame:
 
 # Decimal-exact money aggregation (see module docstring).
 def _dsum(col, scale: int = 2):
-    return F.round(F.sum(col.cast("decimal(18,4)")).cast("double"), scale)
+    # Round the exact DECIMAL, cast to double AFTER (round 10, found by the
+    # full-catalog sf1 trial): rounding a double at a .xx5 boundary is
+    # ENGINE-DIVERGENT — Spark's round goes through the shortest decimal
+    # string (sees .435 -> HALF_UP .44) while DuckDB's multiplies by 10^s
+    # (sees .43499999... -> .43). Rounding the decimal sum is exact and
+    # identical in both engines at any row count; the final cast of a
+    # 2-decimal value to double is bit-deterministic. The SQL twins
+    # (_DSUM and every inline oracle) carry the same shape.
+    return F.round(F.sum(col.cast("decimal(18,4)")), scale).cast("double")
 
 
 def _davg(col, cnt, scale: int = 6):
     return F.round(F.sum(col.cast("decimal(18,4)")).cast("double") / cnt, scale)
 
 
-_DSUM = "round(CAST(sum(CAST({x} AS DECIMAL(18,4))) AS DOUBLE), 2)"
+_DSUM = "CAST(round(sum(CAST({x} AS DECIMAL(18,4))), 2) AS DOUBLE)"
 _DAVG = "round(CAST(sum(CAST({x} AS DECIMAL(18,4))) AS DOUBLE) / count(*), 6)"
 
 
@@ -167,7 +175,7 @@ def controller_emit_on_change(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT l_returnflag, l_linestatus,
        {_DSUM.format(x='l_quantity')} AS sum_qty,
        {_DSUM.format(x='l_extendedprice')} AS sum_base_price,
-       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_disc_price,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_disc_price,
        {_DAVG.format(x='l_quantity')} AS avg_qty,
        {_DAVG.format(x='l_discount')} AS avg_disc,
        count(*) AS count_order
@@ -192,9 +200,9 @@ def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum(
                     F.col("l_extendedprice").cast("decimal(18,4)")
                     * (F.lit(1) - F.col("l_discount")).cast("decimal(18,4)")
-                ).cast("double"),
+                ),
                 2,
-            ).alias("sum_disc_price"),
+            ).cast("double").alias("sum_disc_price"),
             _davg(F.col("l_quantity"), cnt).alias("avg_qty"),
             _davg(F.col("l_discount"), cnt).alias("avg_disc"),
             cnt.alias("count_order"),
@@ -207,7 +215,7 @@ def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 SELECT n_name, c_mktsegment,
        count(*) AS n_customers,
-       round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE), 2) AS total_acctbal
+       CAST(round(sum(CAST(c_acctbal AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_acctbal
   FROM customer JOIN nation ON c_nationkey = n_nationkey
  GROUP BY ROLLUP (n_name, c_mktsegment)
 """,
@@ -232,7 +240,7 @@ def agg_rollup_nation_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 SELECT l_returnflag, l_linestatus,
        count(*) AS n_items,
-       round(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_qty
+       CAST(round(sum(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_qty
   FROM lineitem
  GROUP BY CUBE (l_returnflag, l_linestatus)
 """,
@@ -273,7 +281,7 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT o_orderstatus,
        count(DISTINCT o_custkey) AS n_customers,
        count(*) AS n_orders,
-       round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 2) AS revenue
+       CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
   FROM orders GROUP BY o_orderstatus
 """,
     tags=("agg", "distinct"),
@@ -460,7 +468,7 @@ def agg_spearman_spend_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join_shipping_priority",
     f"""
 SELECT l_orderkey,
-       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(18,4))) AS DOUBLE), 2) AS revenue,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue,
        strftime(o_orderdate, '%Y-%m-%d') AS orderdate
   FROM customer JOIN orders ON c_custkey = o_custkey
        JOIN lineitem ON l_orderkey = o_orderkey
@@ -486,9 +494,9 @@ def join_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum(
                     F.col("l_extendedprice").cast("decimal(18,4)")
                     * (F.lit(1) - F.col("l_discount")).cast("decimal(18,4)")
-                ).cast("double"),
+                ),
                 2,
-            ).alias("revenue")
+            ).cast("double").alias("revenue")
         )
         .select(
             "l_orderkey",
@@ -504,7 +512,7 @@ def join_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join_local_supplier_volume",
     """
 SELECT n_name,
-       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(18,4))) AS DOUBLE), 2) AS revenue
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
   FROM lineitem
        JOIN orders   ON l_orderkey = o_orderkey
        JOIN customer ON o_custkey = c_custkey
@@ -539,9 +547,9 @@ def join_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum(
                     F.col("l_extendedprice").cast("decimal(18,4)")
                     * (F.lit(1) - F.col("l_discount")).cast("decimal(18,4)")
-                ).cast("double"),
+                ),
                 2,
-            ).alias("revenue")
+            ).cast("double").alias("revenue")
         )
     )
 
@@ -659,7 +667,7 @@ def join_waiting_sole_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     "subquery_acctbal_opportunity",
     """
 SELECT cntrycode, count(*) AS numcust,
-       round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE), 2)
+       CAST(round(sum(CAST(c_acctbal AS DECIMAL(18,4))), 2) AS DOUBLE)
          AS totacctbal
 FROM (
   SELECT c_nationkey % 10 AS cntrycode, c_acctbal
@@ -709,7 +717,7 @@ def subquery_acctbal_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
        CAST(year(l_shipdate) AS BIGINT) AS l_year,
-       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(18,4))) AS DOUBLE), 2) AS revenue
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
   FROM lineitem
        JOIN orders   ON o_orderkey = l_orderkey
        JOIN customer ON c_custkey = o_custkey
@@ -762,9 +770,9 @@ def join_volume_shipping_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum(
                     F.col("l_extendedprice").cast("decimal(18,4)")
                     * (F.lit(1) - F.col("l_discount")).cast("decimal(18,4)")
-                ).cast("double"),
+                ),
                 2,
-            ).alias("revenue")
+            ).cast("double").alias("revenue")
         )
     )
 
@@ -773,7 +781,7 @@ def join_volume_shipping_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join_product_profit_q9",
     """
 SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
-       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_profit
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_profit
   FROM lineitem
        JOIN part     ON p_partkey = l_partkey
        JOIN supplier ON s_suppkey = l_suppkey
@@ -811,9 +819,9 @@ def join_product_profit_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum(
                     F.col("l_extendedprice").cast("decimal(18,4)")
                     * (F.lit(1) - F.col("l_discount")).cast("decimal(18,4)")
-                ).cast("double"),
+                ),
                 2,
-            ).alias("sum_profit")
+            ).cast("double").alias("sum_profit")
         )
     )
 
@@ -922,7 +930,7 @@ def subquery_small_qty_revenue_q17(spark: SparkSession, sf_dir: str) -> DataFram
     "join_disjunctive_quantity_q19",
     """
 SELECT p_brand,
-       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(18,4))) AS DOUBLE), 2) AS revenue,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue,
        count(*) AS n_lines
   FROM lineitem JOIN part ON p_partkey = l_partkey
  WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1  AND 20)
@@ -967,9 +975,9 @@ def join_disjunctive_quantity_q19(spark: SparkSession, sf_dir: str) -> DataFrame
                 F.sum(
                     F.col("l_extendedprice").cast("decimal(18,4)")
                     * (F.lit(1) - F.col("l_discount")).cast("decimal(18,4)")
-                ).cast("double"),
+                ),
                 2,
-            ).alias("revenue"),
+            ).cast("double").alias("revenue"),
             F.count(F.lit(1)).alias("n_lines"),
         )
     )
@@ -1061,9 +1069,9 @@ def window_topk_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFra
     "window_running_revenue",
     """
 SELECT o_custkey, o_orderkey,
-       round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) OVER
+       CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))) OVER
              (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 2) AS running_revenue
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS DOUBLE) AS running_revenue
   FROM orders
 """,
     tags=("window", "frame"),
@@ -1078,7 +1086,7 @@ def window_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.select(
         "o_custkey",
         "o_orderkey",
-        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,4)")).over(w).cast("double"), 2).alias(
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,4)")).over(w), 2).cast("double").alias(
             "running_revenue"
         ),
     )
@@ -1251,7 +1259,7 @@ def scalar_function_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
        event_type,
        count(*) AS n_events,
-       round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 2) AS total_value
+       CAST(round(sum(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_value
   FROM events
  GROUP BY date_trunc('hour', ts), event_type
 """,
@@ -1287,7 +1295,7 @@ WITH grid AS (
 SELECT strftime(w_start, '%Y-%m-%d %H:%M:%S') AS window_start,
        event_type,
        count(*) AS n_events,
-       round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 2) AS total_value
+       CAST(round(sum(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_value
   FROM grid
  GROUP BY w_start, event_type
 """,
@@ -4299,7 +4307,7 @@ def layout_zorder_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 SELECT event_type, count(*) AS n,
        CAST(count(v2) AS BIGINT) AS n_with_v2,
-       round(CAST(sum(CAST(COALESCE(v2, 0.0) AS DECIMAL(18,4))) AS DOUBLE), 2)
+       CAST(round(sum(CAST(COALESCE(v2, 0.0) AS DECIMAL(18,4))), 2) AS DOUBLE)
          AS total_v2
   FROM (
     SELECT event_type, CAST(NULL AS DOUBLE) AS v2
@@ -4347,7 +4355,7 @@ def source_schema_evolution_merge(spark: SparkSession, sf_dir: str) -> DataFrame
     "layout_partitioned_pruned_read",
     """
 SELECT event_type, count(*) AS n,
-       round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 2) AS total_value
+       CAST(round(sum(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_value
   FROM events
  WHERE event_type IN ('click', 'purchase')
  GROUP BY event_type
@@ -4387,7 +4395,7 @@ def layout_partitioned_pruned_read(spark: SparkSession, sf_dir: str) -> DataFram
     """
 SELECT l_returnflag,
        count(*) AS n_lines,
-       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE), 2)
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE)
          AS total_price
   FROM lineitem GROUP BY l_returnflag
 """,
@@ -4445,8 +4453,8 @@ def layout_compacted_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     "layout_sorted_minmax_pruned_read",
     """
 SELECT count(*) AS n_lines,
-       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
-                      * CAST(1 - l_discount AS DECIMAL(18,4))) AS DOUBLE), 2)
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                      * CAST(1 - l_discount AS DECIMAL(18,4))), 2) AS DOUBLE)
          AS revenue
   FROM lineitem
  WHERE l_shipdate >= DATE '1997-03-01' AND l_shipdate < DATE '1997-06-01'
@@ -4491,9 +4499,9 @@ def layout_sorted_minmax_pruned_read(spark: SparkSession, sf_dir: str) -> DataFr
             F.sum(
                 F.col("l_extendedprice").cast("decimal(18,4)")
                 * (F.lit(1) - F.col("l_discount")).cast("decimal(18,4)")
-            ).cast("double"),
+            ),
             2,
-        ).alias("revenue"),
+        ).cast("double").alias("revenue"),
     )
 
 
@@ -5352,7 +5360,7 @@ reach AS (
 comp AS (SELECT id, min(lbl) AS cluster_id FROM reach GROUP BY id)
 SELECT c.cluster_id, count(*) AS n_members,
        min(CASE WHEN c.id = c.cluster_id THEN pt.p_name END) AS canonical_name,
-       round(CAST(sum(CAST(pt.p_retailprice AS DECIMAL(18,4))) AS DOUBLE), 2)
+       CAST(round(sum(CAST(pt.p_retailprice AS DECIMAL(18,4))), 2) AS DOUBLE)
          AS total_retail
   FROM comp c JOIN part pt ON pt.p_partkey = c.id
  GROUP BY c.cluster_id
@@ -5389,7 +5397,7 @@ def er_golden_part_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 SELECT strftime(o_orderdate, '%Y-%m') AS month, o_orderpriority,
        count(*) AS n_orders,
-       round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 2) AS revenue,
+       CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue,
        round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) / count(*), 6) AS avg_price
   FROM orders
  GROUP BY strftime(o_orderdate, '%Y-%m'), o_orderpriority
@@ -5431,7 +5439,7 @@ def mv_incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         "month",
         "o_orderpriority",
         "n_orders",
-        F.round(F.col("s").cast("double"), 2).alias("revenue"),
+        F.round(F.col("s"), 2).cast("double").alias("revenue"),
         F.round(F.col("s").cast("double") / F.col("n_orders"), 6).alias(
             "avg_price"
         ),
@@ -5442,7 +5450,7 @@ def mv_incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     "stream_mv_agg_replay",
     """
 SELECT event_type, count(*) AS n_events,
-       round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 2) AS total_value
+       CAST(round(sum(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_value
   FROM events GROUP BY event_type
 """,
     tags=("streaming", "incremental", "materialized_view"),
@@ -5510,7 +5518,7 @@ def stream_mv_agg_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snap.select(
         "event_type",
         "n_events",
-        F.round(F.col("_sum").cast("double"), 2).alias("total_value"),
+        F.round(F.col("_sum"), 2).cast("double").alias("total_value"),
     )
 
 
@@ -5653,7 +5661,7 @@ WITH mx AS (SELECT max(ts) AS m FROM events)
 SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
        event_type,
        count(*) AS n_events,
-       round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 2) AS total_value
+       CAST(round(sum(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_value
   FROM events, mx
  WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR <= mx.m - INTERVAL 30 MINUTE
  GROUP BY date_trunc('hour', ts), event_type
@@ -5940,7 +5948,7 @@ grid AS (
 SELECT strftime(w_start, '%Y-%m-%d %H:%M:%S') AS window_start,
        event_type,
        count(*) AS n_events,
-       round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 2) AS total_value
+       CAST(round(sum(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_value
   FROM grid, mx
  WHERE w_start + INTERVAL 1 HOUR <= mx.m - INTERVAL 30 MINUTE
  GROUP BY w_start, event_type
@@ -6679,7 +6687,7 @@ SELECT event_type, day,
        min(value) AS low,
        max(CASE WHEN rn_d = 1 THEN value END) AS close,
        count(*) AS n_events,
-       round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 2) AS volume
+       CAST(round(sum(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS volume
   FROM r GROUP BY event_type, day
 """,
     tags=("timeseries", "agg", "ohlc"),
@@ -7469,10 +7477,10 @@ def window_distribution_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     "window_range_frame_ties",
     """
 SELECT o_custkey, o_orderkey,
-       round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4)))
+       CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4)))
              OVER (PARTITION BY o_custkey ORDER BY o_orderdate
                    RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-             AS DOUBLE), 2) AS running_incl_ties
+            , 2) AS DOUBLE) AS running_incl_ties
   FROM orders
 """,
     tags=("window", "range_frame"),
@@ -7491,9 +7499,9 @@ def window_range_frame_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey",
         "o_orderkey",
         F.round(
-            F.sum(F.col("o_totalprice").cast("decimal(18,4)")).over(w).cast("double"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)")).over(w),
             2,
-        ).alias("running_incl_ties"),
+        ).cast("double").alias("running_incl_ties"),
     )
 
 
@@ -8167,8 +8175,8 @@ def subquery_late_order_priority_q4(spark: SparkSession, sf_dir: str) -> DataFra
 @query(
     "agg_discount_revenue_q6",
     """
-SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
-                     * CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE), 2)
+SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                     * CAST(l_discount AS DECIMAL(18,4))), 2) AS DOUBLE)
          AS revenue,
        count(*) AS n_lines
   FROM lineitem
@@ -8196,9 +8204,9 @@ def agg_discount_revenue_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(
                 F.col("l_extendedprice").cast("decimal(18,4)")
                 * F.col("l_discount").cast("decimal(18,4)")
-            ).cast("double"),
+            ),
             2,
-        ).alias("revenue"),
+        ).cast("double").alias("revenue"),
         F.count(F.lit(1)).alias("n_lines"),
     )
 
@@ -8285,8 +8293,8 @@ def join_market_share_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join_returned_revenue_q10",
     """
 SELECT c_custkey, c_name, n_name,
-       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
-                      * CAST(1 - l_discount AS DECIMAL(18,4))) AS DOUBLE), 2)
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                      * CAST(1 - l_discount AS DECIMAL(18,4))), 2) AS DOUBLE)
          AS revenue
   FROM lineitem
   JOIN orders   ON l_orderkey = o_orderkey
@@ -8322,9 +8330,9 @@ def join_returned_revenue_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum(
                     F.col("l_extendedprice").cast("decimal(18,4)")
                     * (F.lit(1) - F.col("l_discount")).cast("decimal(18,4)")
-                ).cast("double"),
+                ),
                 2,
-            ).alias("revenue")
+            ).cast("double").alias("revenue")
         )
         .orderBy(F.desc("revenue"), F.asc("c_custkey"))
         .limit(20)
@@ -8345,7 +8353,7 @@ WITH val AS (
    GROUP BY l_partkey
 ),
 tot AS (SELECT sum(part_value) AS total FROM val)
-SELECT l_partkey, round(CAST(part_value AS DOUBLE), 2) AS part_value
+SELECT l_partkey, CAST(round(part_value, 2) AS DOUBLE) AS part_value
   FROM val CROSS JOIN tot
  WHERE part_value * 1000 > total
 """,
@@ -8381,7 +8389,7 @@ def subquery_important_part_value_q11(spark: SparkSession, sf_dir: str) -> DataF
         .where(F.col("part_value") * 1000 > F.col("total"))
         .select(
             "l_partkey",
-            F.round(F.col("part_value").cast("double"), 2).alias("part_value"),
+            F.round(F.col("part_value"), 2).cast("double").alias("part_value"),
         )
     )
 
@@ -8496,7 +8504,7 @@ WITH rev AS (
    WHERE l_shipdate >= DATE '1997-01-01' AND l_shipdate < DATE '1997-04-01'
    GROUP BY l_suppkey
 )
-SELECT s_suppkey, s_name, round(CAST(total_rev AS DOUBLE), 2) AS total_rev
+SELECT s_suppkey, s_name, CAST(round(total_rev, 2) AS DOUBLE) AS total_rev
   FROM rev JOIN supplier ON s_suppkey = l_suppkey
  WHERE total_rev = (SELECT max(total_rev) FROM rev)
 """,
@@ -8528,7 +8536,7 @@ def subquery_top_supplier_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "s_suppkey",
             "s_name",
-            F.round(F.col("total_rev").cast("double"), 2).alias("total_rev"),
+            F.round(F.col("total_rev"), 2).cast("double").alias("total_rev"),
         )
     )
 
@@ -8575,7 +8583,7 @@ def join_supplier_part_counts_q16(spark: SparkSession, sf_dir: str) -> DataFrame
     """
 SELECT n.n_name,
        count(*) AS n_events,
-       round(CAST(sum(CAST(e.value AS DECIMAL(18,4))) AS DOUBLE), 2) AS total_value
+       CAST(round(sum(CAST(e.value AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_value
   FROM events e
   JOIN customer c ON e.user_id = c.c_custkey
   JOIN nation n ON c.c_nationkey = n.n_nationkey
@@ -8615,7 +8623,7 @@ _HOTKEY_EXPR_SQL = "CASE WHEN event_id % 2 = 0 THEN 0 ELSE event_id % 97 END"
     "skewagg_hotkey_stress",
     f"""
 SELECT {_HOTKEY_EXPR_SQL} AS hot_key,
-       round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_value,
+       CAST(round(sum(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_value,
        count(*) AS n_rows
   FROM events
  GROUP BY hot_key
@@ -8636,7 +8644,7 @@ def skewagg_hotkey_stress(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = salted_sum_count(ev, ["hot_key"], "v", n_salts=16)
     return out.select(
         "hot_key",
-        F.round(F.col("sum_value").cast("double"), 2).alias("sum_value"),
+        F.round(F.col("sum_value"), 2).cast("double").alias("sum_value"),
         "n_rows",
     )
 
@@ -8646,7 +8654,7 @@ def skewagg_hotkey_stress(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
 SELECT n.n_name,
        count(*) AS n_rows,
-       round(CAST(sum(CAST(e.value AS DECIMAL(18,4))) AS DOUBLE), 2) AS total_value
+       CAST(round(sum(CAST(e.value AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_value
   FROM (SELECT {_HOTKEY_EXPR_SQL} AS hot_key, value FROM events) e
   JOIN nation n ON n.n_nationkey = e.hot_key % 25
  GROUP BY n.n_name
@@ -8751,7 +8759,7 @@ def multimodal_payload_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "source_format_roundtrip",
     """
 SELECT fmt, event_type, count(*) AS n,
-       round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 2) AS total_value
+       CAST(round(sum(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_value
   FROM events CROSS JOIN (SELECT unnest(['csv', 'json', 'orc', 'text']) AS fmt)
  GROUP BY fmt, event_type
 """,
@@ -8806,7 +8814,7 @@ def source_format_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     "source_xml_roundtrip",
     """
 SELECT event_type, count(*) AS n,
-       round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 2) AS total_value,
+       CAST(round(sum(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_value,
        count(DISTINCT user_id) AS n_users
   FROM events
  GROUP BY event_type
