@@ -23,6 +23,10 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from fdp_dynamically_controlled_streams_spark.functions.exactround import (
+    dratio,
+    dratio_sql,
+)
 from fdp_dynamically_controlled_streams_spark.functions.hashing import (
     MINHASH_COEFFS,
     affine_hash,
@@ -385,7 +389,7 @@ def ngram_jaccard_pairs(
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            F.round(inter / uni, 6).alias("jaccard"),
+            dratio(inter, uni, 6).alias("jaccard"),
         )
         .where(F.col("jaccard") >= threshold)
     )
@@ -497,9 +501,7 @@ def duplicate_ngram_spans(
             .alias("max_dup_span_tokens"),
             F.when(
                 F.col("n_ngrams") > 0,
-                F.round(
-                    F.coalesce("n_dup_ngrams", F.lit(0)) / F.col("n_ngrams"), 6
-                ),
+                dratio(F.coalesce("n_dup_ngrams", F.lit(0)), F.col("n_ngrams"), 6),
             )
             .otherwise(F.lit(0.0))
             .alias("dup_fraction"),
@@ -546,7 +548,7 @@ SELECT b.id AS {id_col}, b.n_ngrams,
        CAST(COALESCE(p.n_dup_ngrams, 0) AS BIGINT) AS n_dup_ngrams,
        CAST(COALESCE(p.max_dup_span_tokens, 0) AS BIGINT) AS max_dup_span_tokens,
        CASE WHEN b.n_ngrams > 0
-            THEN round(COALESCE(p.n_dup_ngrams, 0) / b.n_ngrams, 6)
+            THEN {dratio_sql("COALESCE(p.n_dup_ngrams, 0)", "b.n_ngrams", 6)}
             ELSE 0.0 END AS dup_fraction
 FROM base b LEFT JOIN per_doc p ON p.id = b.id
 """

@@ -32,6 +32,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from fdp_dynamically_controlled_streams_spark.functions.exactround import dratio
+
 
 def funnel_steps(
     df: DataFrame,
@@ -108,7 +110,7 @@ def funnel_counts(
             "n1",
         )
         .withColumn(
-            "conversion", F.round(F.col("users_reached") / F.col("n1"), 6)
+            "conversion", dratio(F.col("users_reached"), F.col("n1"), 6)
         )
         .drop("n1")
     )
@@ -151,9 +153,9 @@ def retention_cohorts(
     base = Window.partitionBy("cohort")
     return cells.withColumn(
         "retention",
-        F.round(
-            F.col("n_users")
-            / F.max(F.when(F.col("offset") == 0, F.col("n_users"))).over(base),
+        dratio(
+            F.col("n_users"),
+            F.max(F.when(F.col("offset") == 0, F.col("n_users"))).over(base),
             6,
         ),
     )

@@ -27,6 +27,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from fdp_dynamically_controlled_streams_spark.functions.exactround import dratio, dratio_sql
+
 #: total rank mass in micro-units (1e12 => 6 significant decimals per node
 #: at N ~ 1e6 nodes; bigint headroom: 85 * 1e12 << 2^63).
 TOTAL_MASS = 1_000_000_000_000
@@ -271,9 +273,10 @@ def triangles(
             F.coalesce("n_triangles", F.lit(0)).cast("long").alias("n_triangles"),
             F.when(
                 F.col("deg") >= 2,
-                F.round(
-                    (2.0 * F.coalesce("n_triangles", F.lit(0)))
-                    / (F.col("deg") * (F.col("deg") - F.lit(1))),
+                dratio(
+                    F.lit(2) * F.coalesce("n_triangles", F.lit(0)),
+                    F.col("deg").cast("decimal(38,0)")
+                    * (F.col("deg") - F.lit(1)),
                     6,
                 ),
             )
@@ -449,11 +452,13 @@ per_node AS (
 SELECT d.node, d.deg,
        CAST(COALESCE(p.n_triangles, 0) AS BIGINT) AS n_triangles,
        CASE WHEN d.deg >= 2
-            THEN round(2.0 * COALESCE(p.n_triangles, 0)
-                       / (d.deg * (d.deg - 1)), 6)
+            THEN <CC>
             ELSE 0.0 END AS clustering_coeff
 FROM deg d LEFT JOIN per_node p ON p.node = d.node
-"""
+""".replace(
+    "<CC>",
+    dratio_sql("2 * COALESCE(p.n_triangles, 0)", "d.deg * (d.deg - 1)", 6),
+)
 
 
 def sssp(

@@ -32,6 +32,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from fdp_dynamically_controlled_streams_spark.functions.exactround import dratio
+
 
 def frequent_pairs(
     df: DataFrame,
@@ -132,12 +134,10 @@ def association_rules(
             F.col("n_baskets").alias("n_both"),
             "sup_a",
             "sup_b",
-            F.round(F.col("n_baskets").cast("double") / F.col("sup_a"), 6).alias(
-                "confidence"
-            ),
-            F.round(
-                (F.col("n_baskets") * F.col("n_total")).cast("double")
-                / (F.col("sup_a") * F.col("sup_b")),
+            dratio(F.col("n_baskets"), F.col("sup_a"), 6).alias("confidence"),
+            dratio(
+                F.col("n_baskets").cast("decimal(38,0)") * F.col("n_total"),
+                F.col("sup_a").cast("decimal(38,0)") * F.col("sup_b"),
                 6,
             ).alias("lift"),
         )

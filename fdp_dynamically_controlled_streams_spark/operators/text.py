@@ -10,6 +10,13 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from fdp_dynamically_controlled_streams_spark.functions.exactround import (
+    dratio,
+    dratio_sql,
+    dratio_unscaled,
+    dratio_unscaled_sql,
+)
+
 #: Tiny per-language marker lexicons for the n-gram/stopword language-ID
 #: heuristic. The testdata 'text' is synthetic word soup; markers chosen from
 #: common function words so the heuristic is well-defined on any corpus.
@@ -77,14 +84,14 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     nchar = F.length(c)
     npunct = F.size(F.regexp_extract_all(c, F.lit(r"[^\w\s]"), 0))
     nstop = marker_hits(c, STOPWORDS)
-    mean_tok_len = (nchar - (ntok - 1)) / ntok  # chars net of single separators
     return df.select(
         "doc_id",
         ntok.alias("n_tokens"),
         nchar.alias("n_chars2"),
-        F.round(npunct / F.greatest(nchar, F.lit(1)), 6).alias("punct_ratio"),
-        F.round(nstop / F.greatest(ntok, F.lit(1)), 6).alias("stopword_ratio"),
-        F.round(mean_tok_len, 6).alias("mean_token_len"),
+        dratio(npunct, F.greatest(nchar, F.lit(1)), 6).alias("punct_ratio"),
+        dratio(nstop, F.greatest(ntok, F.lit(1)), 6).alias("stopword_ratio"),
+        # chars net of single separators; exact integer ratio
+        dratio(nchar - (ntok - F.lit(1)), ntok, 6).alias("mean_token_len"),
     )
 
 
@@ -100,8 +107,9 @@ def bigram_lm_score(
     Deliberately probability-mean rather than log-likelihood: quotients of
     integers are IEEE-exact and identical across engines, while ln() differs
     between libm implementations — so the entry stays value-hash-checkable
-    against the DuckDB twin. Each term is rounded to 1e-9 and summed as
-    DECIMAL (order-independent, exact).
+    against the DuckDB twin. Each term is kept as its exact HALF_UP scale-9
+    integer numerator (functions/exactround.py) and summed exactly; no
+    double is ever rounded (round-11 .xx5-class sweep).
 
     Plan shape: one explode, two hash aggregations over the bigram stream
     (map-side partial), two shuffle joins back on (w1[,w2]) — the count
@@ -135,23 +143,25 @@ def bigram_lm_score(
     c2 = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
     c1 = big.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
     vocab = toks.agg(F.countDistinct("tok").alias("vocab"))
+    # each term is the exact HALF_UP scale-9 numerator r9 =
+    # round((c2+1)/(c1+V), 9)*1e9 — an integer, summed exactly; the final
+    # mean is one more exact ratio (round-11 .xx5-class sweep: no double
+    # is ever rounded)
     scored = (
         big.join(c2, ["w1", "w2"])
         .join(c1, ["w1"])
         .crossJoin(F.broadcast(vocab))
         .select(
             "doc_id",
-            F.round(
-                (F.col("c2") + F.lit(1)) / (F.col("c1") + F.col("vocab")), 9
-            )
-            .cast("decimal(18,9)")
-            .alias("p"),
+            dratio_unscaled(
+                F.col("c2") + F.lit(1), F.col("c1") + F.col("vocab"), 9
+            ).alias("r9"),
         )
     )
     return scored.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_bigrams"),
-        F.round(
-            F.sum("p").cast("double") / F.count(F.lit(1)), 6
+        dratio(
+            F.sum("r9"), F.count(F.lit(1)).cast("decimal(38,0)") * F.lit(1000), 6
         ).alias("avg_transition_p"),
     )
 

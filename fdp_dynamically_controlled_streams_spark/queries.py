@@ -37,6 +37,12 @@ from fdp_dynamically_controlled_streams_spark.functions.vectors import (
     cosine_sql,
     sign_bucket_sql,
 )
+from fdp_dynamically_controlled_streams_spark.functions.exactround import (
+    DRATIO as _DRATIO,
+    dratio as _dratio,
+    dratio_sql as _dratio_sql,
+    dratio_unscaled_sql as _dratio_unscaled_sql,
+)
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -140,11 +146,19 @@ def _dsum(col, scale: int = 2):
 
 
 def _davg(col, cnt, scale: int = 6):
-    return F.round(F.sum(col.cast("decimal(18,4)")).cast("double") / cnt, scale)
+    # exact decimal average: unscale the DECIMAL(18,4) sum to an integer
+    # (x10^4) and ratio-round against cnt*10^4 — same HALF_UP-in-exact-
+    # arithmetic contract as _dratio / the SQL _DAVG twin.
+    num = (F.sum(col.cast("decimal(18,4)")) * F.lit(10000)).cast("decimal(38,0)")
+    return _dratio(num, cnt.cast("decimal(38,0)") * F.lit(10000), scale)
 
 
 _DSUM = "CAST(round(sum(CAST({x} AS DECIMAL(18,4))), 2) AS DOUBLE)"
-_DAVG = "round(CAST(sum(CAST({x} AS DECIMAL(18,4))) AS DOUBLE) / count(*), 6)"
+_DAVG = _DRATIO.format(
+    n="CAST(sum(CAST({x} AS DECIMAL(18,4))) * 10000 AS HUGEINT)",
+    d="count(*) * 10000",
+    p=10**6,
+)
 
 
 # =========================================================================
@@ -403,14 +417,20 @@ ranked AS (
     FROM per_cust
 )
 SELECT nation, count(*) AS n,
-       round(1.0 - (6.0 * CAST(sum((rx - ry) * (rx - ry)) AS DOUBLE))
-                   / (CAST(count(*) AS DOUBLE)
-                      * (CAST(count(*) AS DOUBLE) * count(*) - 1)), 6)
+       <RHO>
          AS spearman_rho
   FROM ranked
  GROUP BY nation
 HAVING count(*) > 1
-""",
+""".replace(
+        "<RHO>",
+        _dratio_signed_sql(
+            "CAST(count(*) AS HUGEINT) * (count(*) * count(*) - 1)"
+            " - 6 * CAST(sum((rx - ry) * (rx - ry)) AS HUGEINT)",
+            "CAST(count(*) AS HUGEINT) * (count(*) * count(*) - 1)",
+            6,
+        ),
+    ),
     tags=("agg", "stats", "window"),
 )
 def agg_spearman_spend_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -445,15 +465,14 @@ def agg_spearman_spend_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     d2 = (F.col("rx") - F.col("ry")) * (F.col("rx") - F.col("ry"))
     n = F.count(F.lit(1))
+    nd = n.cast("decimal(38,0)")
+    denom = nd * (n * n - F.lit(1))
     return (
         ranked.groupBy("nation")
         .agg(
             n.alias("n"),
-            F.round(
-                F.lit(1.0)
-                - (F.lit(6.0) * F.sum(d2).cast("double"))
-                / (n.cast("double") * (n.cast("double") * n - F.lit(1))),
-                6,
+            _dratio_signed(
+                denom - F.lit(6) * F.sum(d2).cast("decimal(38,0)"), denom, 6
             ).alias("spearman_rho"),
         )
         .where(F.col("n") > 1)
@@ -828,14 +847,15 @@ def join_product_profit_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "agg_promo_revenue_q14",
-    """
-SELECT round(100.0 * promo / total, 6) AS promo_pct,
-       round(promo, 2) AS promo_revenue, round(total, 2) AS total_revenue
+    f"""
+SELECT {_dratio_sql("CAST(promo * 100000000 AS HUGEINT) * 100", "CAST(total * 100000000 AS HUGEINT)", 6)} AS promo_pct,
+       CAST(round(promo, 2) AS DOUBLE) AS promo_revenue,
+       CAST(round(total, 2) AS DOUBLE) AS total_revenue
 FROM (
-  SELECT CAST(sum(CASE WHEN p_type = 'PROMO'
-                       THEN CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(18,4))
-                       ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) AS promo,
-         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(18,4))) AS DOUBLE) AS total
+  SELECT sum(CASE WHEN p_type = 'PROMO'
+                  THEN CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(18,4))
+                  ELSE CAST(0 AS DECIMAL(18,4)) END) AS promo,
+         sum(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(18,4))) AS total
     FROM lineitem JOIN part ON p_partkey = l_partkey
    WHERE l_shipdate >= DATE '1997-09-01' AND l_shipdate < DATE '1997-10-01'
 )
@@ -865,23 +885,25 @@ def agg_promo_revenue_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.when(F.col("p_type") == "PROMO", rev).otherwise(
                     F.lit(0).cast("decimal(18,4)")
                 )
-            )
-            .cast("double")
-            .alias("promo"),
-            F.sum(rev).cast("double").alias("total"),
+            ).alias("promo"),
+            F.sum(rev).alias("total"),
         )
     )
+    # ratio of two exact DECIMAL(.,8) sums — unscale both to integers and
+    # HALF_UP-round the exact rational (round-11 .xx5-class sweep)
+    np_ = (F.col("promo") * F.lit(10**8)).cast("decimal(38,0)")
+    nt_ = (F.col("total") * F.lit(10**8)).cast("decimal(38,0)")
     return agg.select(
-        F.round(F.lit(100.0) * F.col("promo") / F.col("total"), 6).alias("promo_pct"),
-        F.round("promo", 2).alias("promo_revenue"),
-        F.round("total", 2).alias("total_revenue"),
+        _dratio(np_ * F.lit(100), nt_, 6).alias("promo_pct"),
+        F.round("promo", 2).cast("double").alias("promo_revenue"),
+        F.round("total", 2).cast("double").alias("total_revenue"),
     )
 
 
 @query(
     "subquery_small_qty_revenue_q17",
-    """
-SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / 7.0, 2) AS avg_yearly
+    f"""
+SELECT {_dratio_sql("CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) * 10000 AS HUGEINT)", "7 * 10000", 2)} AS avg_yearly
   FROM lineitem
        JOIN part ON p_partkey = l_partkey
        JOIN (SELECT l_partkey AS a_partkey,
@@ -917,9 +939,10 @@ def subquery_small_qty_revenue_q17(spark: SparkSession, sf_dir: str) -> DataFram
         .join(per_part, li.l_partkey == F.col("a_partkey"))
         .where(F.col("l_quantity") < F.col("qty_threshold"))
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice").cast("decimal(18,4)")).cast("double")
-                / F.lit(7.0),
+            _dratio(
+                (F.sum(F.col("l_extendedprice").cast("decimal(18,4)")) * F.lit(10**4))
+                .cast("decimal(38,0)"),
+                F.lit(7 * 10**4).cast("decimal(38,0)"),
                 2,
             ).alias("avg_yearly")
         )
@@ -1745,7 +1768,7 @@ pairs AS (
          len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles)) AS uni
     FROM anch a JOIN anch b ON a.anchor = b.anchor AND a.id < b.id
 )
-SELECT id_a, id_b, round(inter / CAST(uni AS DOUBLE), 6) AS jaccard
+SELECT id_a, id_b, {_dratio_sql("inter", "uni", 6)} AS jaccard
   FROM pairs WHERE inter / CAST(uni AS DOUBLE) >= 0.30
 """,
     tags=("dedup", "ngram"),
@@ -1806,7 +1829,7 @@ SELECT d.doc_id, CAST(length(trim(d.text)) AS BIGINT) AS n_chars,
        CAST(COALESCE(p.dup_chars, 0) AS BIGINT) AS dup_chars,
        CAST(length(trim(d.text)) - COALESCE(p.dup_chars, 0) AS BIGINT) AS kept_chars,
        CASE WHEN length(trim(d.text)) > 0
-            THEN round(COALESCE(p.dup_chars, 0) / length(trim(d.text)), 6)
+            THEN {_dratio_sql("COALESCE(p.dup_chars, 0)", "length(trim(d.text))", 6)}
             ELSE 0.0 END AS dup_fraction
 FROM documents d LEFT JOIN per p USING (doc_id)
 """,
@@ -1838,7 +1861,7 @@ def dedup_exact_substring_removal(spark: SparkSession, sf_dir: str) -> DataFrame
         .alias("kept_chars"),
         F.when(
             F.col("n_chars") > 0,
-            F.round(F.coalesce("dup_chars", F.lit(0)) / F.col("n_chars"), 6),
+            _dratio(F.coalesce("dup_chars", F.lit(0)), F.col("n_chars"), 6),
         )
         .otherwise(F.lit(0.0))
         .alias("dup_fraction"),
@@ -2701,9 +2724,9 @@ WITH feat AS (
     FROM documents
 )
 SELECT doc_id, n_tokens, n_chars2,
-       round(n_punct / greatest(n_chars2, 1), 6) AS punct_ratio,
-       round(n_stop / greatest(n_tokens, 1), 6) AS stopword_ratio,
-       round((n_chars2 - (n_tokens - 1)) / n_tokens, 6) AS mean_token_len
+       {_dratio_sql("n_punct", "greatest(n_chars2, 1)", 6)} AS punct_ratio,
+       {_dratio_sql("n_stop", "greatest(n_tokens, 1)", 6)} AS stopword_ratio,
+       {_dratio_sql("n_chars2 - (n_tokens - 1)", "n_tokens", 6)} AS mean_token_len
   FROM feat
 """,
     tags=("text", "quality"),
@@ -2779,17 +2802,18 @@ c1 AS (SELECT w1, count(*) AS n1 FROM big GROUP BY w1),
 v AS (SELECT count(DISTINCT tok) AS vocab FROM toks),
 scored AS (
   SELECT b.doc_id,
-         CAST(round((c2.n2 + 1) / CAST(c1.n1 + v.vocab AS DOUBLE), 9)
-              AS DECIMAL(18,9)) AS p
+         <R9> AS r9
     FROM big b
     JOIN c2 ON b.w1 = c2.w1 AND b.w2 = c2.w2
     JOIN c1 ON b.w1 = c1.w1
     CROSS JOIN v
 )
 SELECT doc_id, count(*) AS n_bigrams,
-       round(CAST(sum(p) AS DOUBLE) / count(*), 6) AS avg_transition_p
+       <AVG6> AS avg_transition_p
   FROM scored GROUP BY doc_id
-""",
+""".replace("<R9>", _dratio_unscaled_sql("c2.n2 + 1", "c1.n1 + v.vocab", 9)).replace(
+        "<AVG6>", _dratio_sql("sum(r9)", "count(*) * 1000", 6)
+    ),
     tags=("text", "lm"),
 )
 def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4603,11 +4627,11 @@ th AS (
     FROM cents GROUP BY event_type
 )
 SELECT c.event_type, count(*) AS n_kept,
-       round((CAST(sum(c.vc) AS DOUBLE) / count(*)) / 100.0, 6) AS trimmed_mean
+       <RATIO> AS trimmed_mean
   FROM cents c JOIN th t ON c.event_type = t.event_type
  WHERE c.vc >= t.lo AND c.vc <= t.hi
  GROUP BY c.event_type
-""",
+""".replace("<RATIO>", _dratio_sql("sum(c.vc)", "count(*) * 100", 6)),
     tags=("quality", "stats", "robust"),
 )
 def quality_trimmed_mean_value(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4632,8 +4656,8 @@ def quality_trimmed_mean_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("n_kept"),
-            F.round(
-                (F.sum("vc").cast("double") / F.count(F.lit(1))) / F.lit(100.0), 6
+            _dratio(
+                F.sum("vc"), F.count(F.lit(1)).cast("decimal(38,0)") * F.lit(100), 6
             ).alias("trimmed_mean"),
         )
     )
@@ -4653,10 +4677,10 @@ g AS (
 )
 SELECT pc.o_orderkey, pc.o_orderpriority,
        CASE WHEN g.n > 1
-            THEN round(CAST(g.s - pc.cents AS DOUBLE) / (g.n - 1) / 100.0, 6)
+            THEN <RATIO>
        END AS loo_mean_price
   FROM pc JOIN g ON g.o_orderpriority IS NOT DISTINCT FROM pc.o_orderpriority
-""",
+""".replace("<RATIO>", _dratio_sql("g.s - pc.cents", "(g.n - 1) * 100", 6)),
     tags=("feature", "encoding", "leakage"),
 )
 def feature_target_encoding_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4690,10 +4714,9 @@ def feature_target_encoding_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderpriority",
         F.when(
             F.col("n") > 1,
-            F.round(
-                (F.col("s") - F.col("cents")).cast("double")
-                / (F.col("n") - 1)
-                / F.lit(100.0),
+            _dratio(
+                F.col("s") - F.col("cents"),
+                (F.col("n") - F.lit(1)).cast("decimal(38,0)") * F.lit(100),
                 6,
             ),
         ).alias("loo_mean_price"),
@@ -4818,12 +4841,16 @@ def ts_ols_trend_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: Python and inlined as the same literal into both engines — the
 #: transcendental never evaluates inside either engine (the bigram-LM
 #: discipline: no cross-libm log in the query path).
-# NOTE: wrapped in CAST(... AS DOUBLE): Spark parses bare decimal literals
-# as DECIMAL where DuckDB parses DOUBLE; the cast round-trips exactly
-# (repr() emits the shortest digits that reproduce the double).
-_BENFORD_CASE = "CAST(CASE digit " + " ".join(
-    f"WHEN '{d}' THEN {__import__('math').log10(1 + 1 / d)!r}" for d in range(1, 10)
-) + " END AS DOUBLE)"
+#: Expected share per digit as an INTEGER count of micro-units (1e-6):
+#: the only transcendental evaluates once here in Python; both engines do
+#: pure integer arithmetic afterwards (round-11 .xx5-class sweep — the
+#: observed ratio and the deviation are exact integer expressions).
+_BENFORD_E6 = {
+    d: round(__import__("math").log10(1 + 1 / d) * 10**6) for d in range(1, 10)
+}
+_BENFORD_E6_CASE = "CAST(CASE digit " + " ".join(
+    f"WHEN '{d}' THEN {e6}" for d, e6 in _BENFORD_E6.items()
+) + " END AS BIGINT)"
 
 @query(
     "quality_benford_first_digit",
@@ -4834,12 +4861,15 @@ WITH digits AS (
     FROM orders WHERE o_totalprice > 0
 ),
 c AS (SELECT digit, count(*) AS n FROM digits GROUP BY digit),
-t AS (SELECT sum(n) AS total FROM c)
+t AS (SELECT sum(n) AS total FROM c),
+r AS (SELECT digit, n, {_dratio_unscaled_sql("n", "total", 6)} AS o6,
+             {_BENFORD_E6_CASE} AS e6
+        FROM c CROSS JOIN t)
 SELECT digit, n,
-       round(CAST(n AS DOUBLE) / total, 6) AS observed,
-       round({_BENFORD_CASE}, 6) AS expected,
-       round(abs(CAST(n AS DOUBLE) / total - {_BENFORD_CASE}), 6) AS deviation
-  FROM c CROSS JOIN t
+       CAST(o6 AS DOUBLE) / 1000000.0 AS observed,
+       CAST(e6 AS DOUBLE) / 1000000.0 AS expected,
+       CAST(abs(o6 - e6) AS DOUBLE) / 1000000.0 AS deviation
+  FROM r
 """,
     tags=("quality", "audit", "benford"),
 )
@@ -4863,15 +4893,18 @@ def quality_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     c = digits.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
     t = c.agg(F.sum("n").alias("total"))
-    expected = F.expr(_BENFORD_CASE)
+    from fdp_dynamically_controlled_streams_spark.functions.exactround import (
+        dratio_unscaled,
+    )
+
+    e6 = F.expr(_BENFORD_E6_CASE).cast("decimal(38,0)")
+    o6 = dratio_unscaled(F.col("n"), F.col("total"), 6)
     return c.crossJoin(F.broadcast(t)).select(
         "digit",
         "n",
-        F.round(F.col("n").cast("double") / F.col("total"), 6).alias("observed"),
-        F.round(expected, 6).alias("expected"),
-        F.round(
-            F.abs(F.col("n").cast("double") / F.col("total") - expected), 6
-        ).alias("deviation"),
+        (o6.cast("double") / F.lit(1000000.0)).alias("observed"),
+        (e6.cast("double") / F.lit(1000000.0)).alias("expected"),
+        (F.abs(o6 - e6).cast("double") / F.lit(1000000.0)).alias("deviation"),
     )
 
 
@@ -5314,13 +5347,15 @@ directed AS (
   SELECT item_b, item_a, n_both FROM pairs
 )
 SELECT d.antecedent, d.consequent, d.n_both, sa.sup AS sup_a, sb.sup AS sup_b,
-       round(CAST(d.n_both AS DOUBLE) / sa.sup, 6) AS confidence,
-       round(CAST(d.n_both * n.n_total AS DOUBLE) / (sa.sup * sb.sup), 6) AS lift
+       <CONF> AS confidence,
+       <LIFT> AS lift
   FROM directed d
   JOIN sup sa ON sa.it = d.antecedent
   JOIN sup sb ON sb.it = d.consequent
   CROSS JOIN n
-""",
+""".replace("<CONF>", _dratio_sql("d.n_both", "sa.sup", 6)).replace(
+        "<LIFT>", _dratio_sql("d.n_both * n.n_total", "sa.sup * sb.sup", 6)
+    ),
     tags=("mining", "basket", "rules"),
 )
 def mining_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5394,11 +5429,11 @@ def er_golden_part_records(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "mv_incremental_agg_merge",
-    """
+    f"""
 SELECT strftime(o_orderdate, '%Y-%m') AS month, o_orderpriority,
        count(*) AS n_orders,
        CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue,
-       round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) / count(*), 6) AS avg_price
+       {_DAVG.format(x="o_totalprice")} AS avg_price
   FROM orders
  GROUP BY strftime(o_orderdate, '%Y-%m'), o_orderpriority
 """,
@@ -5440,9 +5475,11 @@ def mv_incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderpriority",
         "n_orders",
         F.round(F.col("s"), 2).cast("double").alias("revenue"),
-        F.round(F.col("s").cast("double") / F.col("n_orders"), 6).alias(
-            "avg_price"
-        ),
+        _dratio(
+            (F.col("s") * F.lit(10000)).cast("decimal(38,0)"),
+            F.col("n_orders").cast("decimal(38,0)") * F.lit(10000),
+            6,
+        ).alias("avg_price"),
     )
 
 
@@ -5624,7 +5661,7 @@ SELECT CASE WHEN GROUPING(t_hour) = 0 THEN 'hour'
                      ELSE t_month END, '%Y-%m-%d %H:%M:%S') AS bucket_start,
        event_type,
        count(*) AS n_events,
-       round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 4)
+       CAST(round(sum(CAST(value AS DECIMAL(18,4))), 4) AS DOUBLE)
          AS total_value
   FROM base
  GROUP BY GROUPING SETS ((t_hour, event_type), (t_day, event_type),
@@ -5644,8 +5681,8 @@ def rollup_time_hierarchy_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         {
             "n_events": F.count(F.lit(1)),
             "total_value": F.round(
-                F.sum(F.col("value").cast("decimal(18,4)")).cast("double"), 4
-            ),
+                F.sum(F.col("value").cast("decimal(18,4)")), 4
+            ).cast("double"),
         },
         keys=["event_type"],
     )
@@ -7442,32 +7479,45 @@ def quality_equidepth_extendedprice(spark: SparkSession, sf_dir: str) -> DataFra
     """
 WITH ranked AS (
   SELECT o_orderkey, o_orderstatus,
-         round(percent_rank() OVER w, 6) AS pct_rank,
-         round(cume_dist() OVER w, 6) AS cume,
          ntile(4) OVER w AS quartile,
-         row_number() OVER w AS rn
+         row_number() OVER w AS rn,
+         count(*) OVER (PARTITION BY o_orderstatus) AS n
     FROM orders
   WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
 )
-SELECT * FROM ranked WHERE o_orderkey % 20 = 0
-""",
+SELECT o_orderkey, o_orderstatus,
+       CASE WHEN n > 1 THEN <PCT> ELSE 0.0 END AS pct_rank,
+       <CUME> AS cume,
+       quartile, rn
+  FROM ranked WHERE o_orderkey % 20 = 0
+""".replace("<PCT>", _dratio_sql("rn - 1", "n - 1", 6)).replace(
+        "<CUME>", _dratio_sql("rn", "n", 6)
+    ),
     tags=("window", "distribution"),
 )
 def window_distribution_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution window functions (percent_rank/cume_dist/ntile) over a
     per-status partition with a full tie-break (totalprice, orderkey) so
     ntile — which is order-sensitive under ties — is deterministic. The
-    output filter sits ABOVE the window (windows see whole partitions)."""
+    output filter sits ABOVE the window (windows see whole partitions).
+    The tie-break makes the order TOTAL, so percent_rank == (rn-1)/(n-1)
+    and cume_dist == rn/n — emitted as exact integer ratios instead of
+    rounding the engines' internal doubles (round-11 .xx5-class sweep;
+    the two forms are identical because no peer groups exist)."""
     o = _t(spark, sf_dir, "orders")
     w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    rn = F.row_number().over(w)
+    n = F.count(F.lit(1)).over(Window.partitionBy("o_orderstatus"))
     return (
         o.select(
             "o_orderkey",
             "o_orderstatus",
-            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-            F.round(F.cume_dist().over(w), 6).alias("cume"),
+            F.when(n > 1, _dratio(rn - F.lit(1), n - F.lit(1), 6))
+            .otherwise(F.lit(0.0))
+            .alias("pct_rank"),
+            _dratio(rn, n, 6).alias("cume"),
             F.ntile(4).over(w).alias("quartile"),
-            F.row_number().over(w).alias("rn"),
+            rn.alias("rn"),
         )
         .where(F.col("o_orderkey") % 20 == 0)
     )
@@ -7856,12 +7906,14 @@ WITH s1 AS (
     FROM per_user
 )
 SELECT 1 AS step, 'view' AS step_name, n1 AS users_reached,
-       round(CAST(n1 AS DOUBLE) / n1, 6) AS conversion FROM c
+       <R1> AS conversion FROM c
 UNION ALL
-SELECT 2, 'click', n2, round(CAST(n2 AS DOUBLE) / n1, 6) FROM c
+SELECT 2, 'click', n2, <R2> FROM c
 UNION ALL
-SELECT 3, 'purchase', n3, round(CAST(n3 AS DOUBLE) / n1, 6) FROM c
-""",
+SELECT 3, 'purchase', n3, <R3> FROM c
+""".replace("<R1>", _dratio_sql("n1", "n1", 6)).replace(
+        "<R2>", _dratio_sql("n2", "n1", 6)
+    ).replace("<R3>", _dratio_sql("n3", "n1", 6)),
     tags=("analytics", "funnel"),
 )
 def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7936,11 +7988,17 @@ WITH act AS (
 )
 SELECT strftime(cohort, '%Y-%m-%d') AS cohort,
        CAST(day_offset AS INT) AS day_offset, n_users,
-       round(CAST(n_users AS DOUBLE)
-             / max(CASE WHEN day_offset = 0 THEN n_users END)
-                 OVER (PARTITION BY cohort), 6) AS retention
+       <RET> AS retention
   FROM cells
-""",
+""".replace(
+        "<RET>",
+        _dratio_sql(
+            "n_users",
+            "max(CASE WHEN day_offset = 0 THEN n_users END)"
+            " OVER (PARTITION BY cohort)",
+            6,
+        ),
+    ),
     tags=("analytics", "retention", "cohort"),
 )
 def retention_daily_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
