@@ -3,9 +3,13 @@
 
 The full-catalog sf1 trial (round 10, SCALE.md) proved that
 ``round(CAST(<exact decimal> AS DOUBLE), s)`` is ENGINE-DIVERGENT at exact
-.xx5 decimal boundaries: Spark's round goes through the double's shortest
-decimal string (sees .435 -> HALF_UP -> .44) while DuckDB multiplies by
-10^s (sees .43499999... -> .43).  Round 10 fixed the decimal-SUM sites by
+.xx5 decimal boundaries whose nearest double sits BELOW the boundary:
+Spark's round goes through the double's shortest decimal string (sees
+"0.145" -> HALF_UP -> 0.15) while DuckDB rounds the numeric double
+(sees 0.1449999... -> 0.14).  Empirically confirmed members: 0.145,
+0.285 at scale 2 (tests/test_oracle_parity.py::
+test_raw_double_round_divergence_premise); boundaries whose nearest
+double sits above (e.g. 0.435) agree.  Round 10 fixed the decimal-SUM sites by
 rounding the DECIMAL before the cast; this module closes the remaining
 half of the class — RATIOS of exactly-representable integers (counts,
 cents, unscaled decimal sums), where the quotient can terminate with a 5

@@ -74,6 +74,44 @@ def word_freq_table(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
     return wf.select("word", "freq", chars.alias("syms"))
 
 
+def _accept_batch(
+    rows: list[tuple[str, str, int, int, int]],
+    created: set[str],
+    bounded: bool = True,
+) -> list[tuple[str, str, int]]:
+    """The driver-side batched-acceptance rule of :func:`bpe_train`,
+    factored pure so every clause — including the symbol-collision stop,
+    which no random corpus has been observed to reach — is directly
+    unit-testable (tests/test_bpe.py::test_accept_batch_*).
+
+    ``rows`` are (l, r, pf, max_in(l), max_out(r)) in (pf DESC, l ASC,
+    r ASC) rank order; ``created`` is the multi-char symbol universe so
+    far and is UPDATED in place with each accepted concatenation."""
+    accepted: list[tuple[str, str, int]] = []
+    used: set[str] = set()
+    bounds: list[int] = []
+    for left, right, pf, max_in, max_out in rows:
+        if accepted:
+            if left in used or right in used:
+                break
+            if any(pf <= bj for bj in bounds):
+                break
+        accepted.append((left, right, pf))
+        used.update((left, right))
+        if bounded:
+            bounds.append(min(pf, max(max_in, max_out)))
+        collided = left + right in created
+        created.add(left + right)
+        if collided:
+            # symbol-string collision (r10 ADVICE): occurrences of the
+            # pre-existing 'lr' symbol become indistinguishable from the
+            # new ones, so pairs involving it GAIN occurrences and later
+            # candidates' counts may be stale — end the batch here (this
+            # accept itself was proven against the pre-merge table).
+            break
+    return accepted
+
+
 def bpe_train(
     docs: DataFrame,
     text_col: str = "text",
@@ -104,15 +142,31 @@ def bpe_train(
         by merging (l,r)→lr is (x,lr) or (lr,y) or (lr,lr), and each such
         occurrence was an occurrence of (x,l) / (r,y) / (r,l) in the
         original table — so no pair born inside the batch can beat OR TIE
-        (tie-break order on fresh strings is unknowable) an accepted one.
+        (tie-break order on fresh strings is unknowable) an accepted one;
+      * the batch STOPS (accepts nothing after) when an accepted pair's
+        concatenation l+r is string-identical to an ALREADY-EXISTING
+        symbol (r10 ADVICE): string symbols make the old and new 'lr'
+        indistinguishable, so pairs involving that symbol GAIN
+        occurrences mid-batch and the never-increase premise above no
+        longer holds for later candidates.  The check is exact and free
+        on the driver — initial symbols are single characters, so the
+        multi-char symbol universe is precisely {l+r} of the accepted
+        merges so far.
 
     Acceptance shrinks to 1 only on adversarial corpora (everything shares
     symbols); natural text accepts several merges per round. Equality with
     the sequential plain-Python trainer is hypothesis-tested
-    (tests/test_bpe.py::test_bpe_batched_matches_sequential_hypothesis).
+    (tests/test_bpe.py::test_bpe_batched_matches_sequential_hypothesis);
+    the collision stop is unit-tested on the factored-out pure rule
+    (tests/test_bpe.py::test_accept_batch_symbol_collision) — a 50k-corpus
+    random search found no natural corpus reaching it, consistent with the
+    structural argument that an adjacency between two OLD symbols never
+    forms anew (new adjacencies always involve the freshly created
+    symbol), but the guard keeps the proof airtight either way.
     """
     vocab = word_freq_table(docs, text_col, id_col).localCheckpoint()
     merges: list[tuple[int, str, str, int]] = []
+    created: set[str] = set()  # every multi-char symbol ever introduced
     while len(merges) < n_merges:
         b = min(max(1, batch), n_merges - len(merges))
         pairs = (
@@ -152,23 +206,20 @@ def bpe_train(
         rows = topb.orderBy(F.desc("pf"), F.asc("l"), F.asc("r")).collect()
         if not rows:
             break
-        accepted: list[tuple[str, str, int]] = []
-        used: set[str] = set()
-        bounds: list[int] = []
-        for row in rows:
-            left, right, pf = row["l"], row["r"], int(row["pf"])
-            if accepted:
-                if left in used or right in used:
-                    break
-                if any(pf <= bj for bj in bounds):
-                    break
-            accepted.append((left, right, pf))
-            used.update((left, right))
-            if b > 1:
-                bounds.append(
-                    min(pf, max(int(row["max_in"] or 0),
-                                int(row["max_out"] or 0)))
+        accepted = _accept_batch(
+            [
+                (
+                    row["l"],
+                    row["r"],
+                    int(row["pf"]),
+                    int(row["max_in"] or 0) if b > 1 else 0,
+                    int(row["max_out"] or 0) if b > 1 else 0,
                 )
+                for row in rows
+            ],
+            created,
+            bounded=b > 1,
+        )
         col = F.col("syms")
         for left, right, pf in accepted:
             merges.append((len(merges) + 1, left, right, pf))

@@ -554,12 +554,102 @@ FROM base b LEFT JOIN per_doc p ON p.id = b.id
 """
 
 
+#: Karp-Rabin base for the rolling-hash window key: odd (hence invertible
+#: mod 2^64, which the vectorized kernel exploits) and large so short
+#: windows spread. Collisions are possible in principle (mod-2^64 hashing
+#: is not adversarially safe) and are ELIMINATED by the extend-and-verify
+#: literal check in :func:`exact_substring_spans` — the hash only gates
+#: which windows pay for verification.
+_KR_BASE = 0x9E3779B97F4A7C15 | 1  # odd 64-bit multiplier (golden-ratio)
+
+
+def _rolling_window_hashes(base: DataFrame, length: int) -> DataFrame:
+    """(id, s) -> one row per char position: (id, pos, h) where ``h`` is
+    the Karp-Rabin hash64 of ``substring(s, pos, length)`` — the 100 TB
+    window key of :func:`exact_substring_spans`: ONE linear pass per
+    document and an 8-byte key, instead of materializing an L-char string
+    per position (L× the corpus through the explode and the shuffle).
+
+    Arrow-vectorized mapInPandas kernel, no per-row Python: each batch is
+    concatenated into ONE uint32 char array and hashed with wraparound
+    uint64 arithmetic.  The position-free canonical form uses B odd =>
+    invertible mod 2^64:  with prefix S(i) = Σ_{j<=i} c[j]·B^{-j},
+    h(window at i, 0-based) = B^{i+L-1}·(S(i+L-1) − S(i−1))
+                            = Σ_k c[i+k]·B^{L-1-k}   (the classic KR hash),
+    so equal windows hash equal regardless of where they sit.  Windows
+    crossing a document boundary are masked out.  `pos` is 1-based to
+    match ``substring``.
+    """
+    import pandas as pd  # noqa: F401 — mapInPandas contract
+
+    B = _KR_BASE
+
+    def kernel(batches):
+        import numpy as np
+        import pandas as pd
+
+        binv = pow(B, -1, 1 << 64)
+        empty = pd.DataFrame(
+            {
+                "id": pd.Series([], dtype="int64"),
+                "pos": pd.Series([], dtype="int32"),
+                "h": pd.Series([], dtype="int64"),
+            }
+        )
+        for pdf in batches:
+            if not len(pdf):
+                yield empty
+                continue
+            texts = pdf["s"].astype(str)
+            lens = texts.str.len().to_numpy(dtype=np.int64)
+            total = int(lens.sum())
+            if total < length:
+                yield empty
+                continue
+            cat = np.frombuffer(
+                "".join(texts).encode("utf-32-le"), dtype=np.uint32
+            ).astype(np.uint64)
+            # powers B^j and B^-j, j = 0..total-1 (uint64 wraparound)
+            bp = np.full(total, B, dtype=np.uint64)
+            bp[0] = 1
+            np.cumprod(bp, out=bp)
+            ip = np.full(total, binv, dtype=np.uint64)
+            ip[0] = 1
+            np.cumprod(ip, out=ip)
+            S = np.cumsum(cat * ip, dtype=np.uint64)
+            # h for window starting at global 0-based i:
+            h = (S[length - 1 :] - np.concatenate(
+                (np.zeros(1, dtype=np.uint64), S[: total - length])
+            )) * bp[length - 1 :]
+            # validity: window must not cross a doc boundary
+            doc_idx = np.repeat(np.arange(len(lens)), lens)
+            starts = np.repeat(np.cumsum(lens) - lens, lens)
+            n_win = total - length + 1
+            valid = doc_idx[:n_win] == doc_idx[length - 1 :]
+            ids = pdf["id"].to_numpy(dtype=np.int64)[doc_idx[:n_win][valid]]
+            pos = (
+                np.arange(n_win, dtype=np.int64)[valid]
+                - starts[:n_win][valid]
+                + 1
+            )
+            yield pd.DataFrame(
+                {
+                    "id": ids,
+                    "pos": pos.astype(np.int32),
+                    "h": h[valid].view(np.int64),
+                }
+            )
+
+    return base.mapInPandas(kernel, "id long, pos int, h long")
+
+
 def exact_substring_spans(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     length: int = 24,
     min_docs: int = 2,
+    key: str = "hash64",
 ) -> DataFrame:
     """Character-level EXACT repeated-substring extraction — the
     suffix-array-style ExactSubstr tier of the dedup family ("Deduplicating
@@ -579,58 +669,81 @@ def exact_substring_spans(
     token-n-gram duplication per doc; this one extracts the literal CHAR
     span boundaries, the form span REMOVAL needs (cut text[start-1:end]).
 
-    Scale shape: one window explode (codegen transform/substring HOFs, no
-    UDF), ONE groupBy(window) with map-side partial distinct-doc agg, one
-    shuffle join back, one per-doc window + groupBy — never all-pairs,
-    never a driver loop; identical plan skeleton to the n-gram tier. The
-    window key is the literal L-char string for oracle portability; at
-    100 TB it would be a Karp-Rabin rolling hash64 (8 bytes instead of L,
-    one linear pass instead of L× substring materialization) with the
-    identical downstream plan — the hash exists (functions/hashing.py)
-    and false positives are eliminated by one extend-and-verify equi-join
-    on the (rare) colliding windows.
+    Scale shape (``key="hash64"``, the default since round 11): ONE
+    Arrow-vectorized linear pass per document emits (id, pos, hash64 of
+    the L-char window) — 8-byte keys, no L× substring materialization —
+    then one groupBy(h) with the bounded min!=max detector, and an
+    EXTEND-AND-VERIFY literal check confined to the candidate positions
+    (hash-dup windows re-sliced via one join back to the text and
+    re-detected on the literal string), so hash collisions are
+    IMPOSSIBLE in the output, not just unlikely.  The candidate set is
+    the true duplicates plus the (rare) colliding windows, so the
+    verify join touches a small fraction of the corpus.  Then the same
+    join-back + interval merge as before.  Never all-pairs, never a
+    driver loop.
+
+    ``key="literal"`` keeps the round-10 literal-string window key
+    (codegen window explode, no Python boundary) — the
+    oracle-portability tier the DuckDB twin mirrors and the A/B
+    baseline.  Both keys return identical rows by the verify step's
+    construction (law-tested in tests/test_dedup_clusters.py).
 
     [ABSENT in reference: SURVEY §2.7 — engine extension.]
     """
     base = docs.select(
         F.col(id_col).alias("id"), F.trim(F.col(text_col)).alias("s")
     )
-    # Generation shape measured BOTH ways at sf1 (13.7M windows, round
-    # 10): int-position explode + post-explode substring wins in isolation
-    # (gen 13 s vs 17 s; gen+agg 28 s vs 34 s) but LOSES in the full
-    # two-consumer pipeline (71-76 s vs 83-85 s), where the detector agg
-    # and the join probe each re-evaluate the generation subtree — the
-    # struct-array form computes every slice once per consumer pass while
-    # the int form re-runs substring per consumer per row downstream of a
-    # wider (id, s, pos) intermediate. Entry-level wall time is what
-    # ships, so the struct form stays (the n-gram tier measured the
-    # OPPOSITE at entry level — see duplicate_ngram_spans — which is why
-    # both records are written down instead of one "rule").
-    wins = base.select(
-        "id",
-        F.explode(
-            F.expr(
-                f"CASE WHEN length(s) >= {length} THEN"
-                f" transform(sequence(1, length(s) - {length} + 1),"
-                f"           i -> struct(i AS pos, substring(s, i, {length}) AS w))"
-                f" ELSE CAST(array() AS array<struct<pos:int,w:string>>) END"
-            )
-        ).alias("g"),
-    ).select("id", F.col("g.pos").alias("pos"), F.col("g.w").alias("w"))
-    # Measured A/B (round 10, one session, warm): an exact two-phase
-    # variant — xxhash64 bucket multi-doc prefilter + literal-string
-    # verify on the surviving 15% — ran ~12% SLOWER here (8.7-8.9 s vs
-    # 7.4-7.9 s at sf0.1): the cost is the window explode computed for
-    # both the detector agg and the probe side, not the string shuffle
-    # (map-side combine already collapses it to distinct windows). So the
-    # single literal pipeline stays; at 100 TB, where shuffle bytes beat
-    # recompute, the documented upgrade is the rolling-hash64 KEY (one
-    # linear pass, no L x substring materialization at all), not a hash
-    # prefilter bolted onto literal windows.
-    dup = _multi_doc_keys(wins, "w", min_docs)
-    pos = wins.join(dup, "w").select(
-        "id", "pos", (F.col("pos") + F.lit(length - 1)).alias("end")
-    )
+    if key == "hash64":
+        winh = _rolling_window_hashes(base, length)
+        dup_h = _multi_doc_keys(winh, "h", min_docs)
+        cand = winh.join(dup_h, "h").select("id", "pos")
+        ver = cand.join(base, "id").select(
+            "id",
+            "pos",
+            F.expr(f"substring(s, pos, {length})").alias("w"),
+        )
+        vdup = _multi_doc_keys(ver, "w", min_docs)
+        pos = ver.join(vdup, "w").select(
+            "id", "pos", (F.col("pos") + F.lit(length - 1)).alias("end")
+        )
+    else:
+        # Generation shape measured BOTH ways at sf1 (13.7M windows, round
+        # 10): int-position explode + post-explode substring wins in
+        # isolation (gen 13 s vs 17 s; gen+agg 28 s vs 34 s) but LOSES in
+        # the full two-consumer pipeline (71-76 s vs 83-85 s), where the
+        # detector agg and the join probe each re-evaluate the generation
+        # subtree — the struct-array form computes every slice once per
+        # consumer pass while the int form re-runs substring per consumer
+        # per row downstream of a wider (id, s, pos) intermediate.
+        # Entry-level wall time is what ships (the n-gram tier measured
+        # the OPPOSITE at entry level — see duplicate_ngram_spans — which
+        # is why both records are written down instead of one "rule").
+        # A round-10 A/B also rejected an xxhash64-bucket PREFILTER on
+        # literal windows (~12% slower: the explode dominates, not the
+        # string shuffle) — which is exactly why the hash64 tier above
+        # replaces the GENERATION, not just the key.
+        wins = base.select(
+            "id",
+            F.explode(
+                F.expr(
+                    f"CASE WHEN length(s) >= {length} THEN"
+                    f" transform(sequence(1, length(s) - {length} + 1),"
+                    f"           i -> struct(i AS pos, substring(s, i, {length}) AS w))"
+                    f" ELSE CAST(array() AS array<struct<pos:int,w:string>>) END"
+                )
+            ).alias("g"),
+        ).select("id", F.col("g.pos").alias("pos"), F.col("g.w").alias("w"))
+        dup = _multi_doc_keys(wins, "w", min_docs)
+        pos = wins.join(dup, "w").select(
+            "id", "pos", (F.col("pos") + F.lit(length - 1)).alias("end")
+        )
+    return _merge_position_spans(pos, id_col)
+
+
+def _merge_position_spans(pos: DataFrame, id_col: str) -> DataFrame:
+    """Merge duplicated window positions (id, pos, end) into maximal
+    spans: the prev-max-end gaps-and-islands interval merge shared by
+    the full and incremental ExactSubstr tiers."""
     w_ord = Window.partitionBy("id").orderBy("pos")
     prev_end = F.max("end").over(
         w_ord.rowsBetween(Window.unboundedPreceding, -1)
@@ -660,6 +773,100 @@ def exact_substring_spans(
     )
 
 
+def exact_substring_incremental(
+    corpus: DataFrame,
+    batch: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    length: int = 24,
+    key: str = "hash64",
+) -> DataFrame:
+    """Incremental ExactSubstr — the daily-crawl shape of
+    :func:`exact_substring_spans` (round-10 verdict task 4): for each NEW
+    (batch) document, the maximal char spans whose every ``length``-char
+    window occurs VERBATIM somewhere in the EXISTING corpus.  An A×B
+    join against the corpus window index, never a self-join: the corpus
+    side reduces to its DISTINCT window keys (in production the
+    persisted/bucketed index a daily batch joins shuffle-free, exactly
+    like the MinHash incremental twin's band table), and span merging
+    runs batch-side only — the corpus is never re-span-merged.
+
+    Batch-internal repeats deliberately do NOT count (two new docs
+    quoting each other surface on the next day's corpus, or via the full
+    :func:`exact_substring_spans` run) — same contract as
+    :func:`minhash_incremental_decisions`.
+
+    ``key="hash64"`` (default): both sides key on the Karp-Rabin rolling
+    hash64 (:func:`_rolling_window_hashes`), and candidates are
+    extend-and-verified literally — batch candidate positions re-slice
+    their window, corpus candidate keys re-slice ONE witness window each
+    (the verify join only touches hash-matched positions), and only
+    literal equality survives, so hash collisions are impossible in the
+    output.  ``key="literal"`` is the oracle-portability tier (and the
+    DuckDB twin's form): literal L-char window keys end to end.
+
+    Returns (id_col, span_start, span_end, span_len), batch docs only.
+    [ABSENT in reference: SURVEY §2.7 — engine extension.]
+    """
+    cbase = corpus.select(
+        F.col(id_col).alias("id"), F.trim(F.col(text_col)).alias("s")
+    )
+    bbase = batch.select(
+        F.col(id_col).alias("id"), F.trim(F.col(text_col)).alias("s")
+    )
+    if key == "hash64":
+        ch = _rolling_window_hashes(cbase, length)
+        bh = _rolling_window_hashes(bbase, length)
+        # candidate batch positions: hash present in the corpus index
+        cand = bh.join(ch.select("h").distinct(), "h")
+        # literal verify, candidates only: every DISTINCT corpus window
+        # string behind a candidate hash (not one witness — if two
+        # different corpus strings collide on h, a batch window equal to
+        # either must still match), sliced via a join back to the text
+        cw = (
+            ch.join(cand.select("h").distinct(), "h")
+            .join(cbase, "id")
+            .select("h", F.expr(f"substring(s, pos, {length})").alias("cw"))
+            .distinct()
+        )
+        bver = cand.join(bbase, "id").select(
+            "id",
+            "pos",
+            "h",
+            F.expr(f"substring(s, pos, {length})").alias("bw"),
+        )
+        pos = (
+            bver.join(cw, "h")
+            .where(F.col("bw") == F.col("cw"))
+            .select(
+                "id", "pos", (F.col("pos") + F.lit(length - 1)).alias("end")
+            )
+        )
+    else:
+
+        def lit_wins(b: DataFrame) -> DataFrame:
+            return b.select(
+                "id",
+                F.explode(
+                    F.expr(
+                        f"CASE WHEN length(s) >= {length} THEN"
+                        f" transform(sequence(1, length(s) - {length} + 1),"
+                        f"           i -> struct(i AS pos, substring(s, i, {length}) AS w))"
+                        f" ELSE CAST(array() AS array<struct<pos:int,w:string>>) END"
+                    )
+                ).alias("g"),
+            ).select("id", F.col("g.pos").alias("pos"), F.col("g.w").alias("w"))
+
+        pos = (
+            lit_wins(bbase)
+            .join(lit_wins(cbase).select("w").distinct(), "w")
+            .select(
+                "id", "pos", (F.col("pos") + F.lit(length - 1)).alias("end")
+            )
+        )
+    return _merge_position_spans(pos, id_col)
+
+
 def exact_substring_spans_sql(
     table: str = "documents",
     id_col: str = "doc_id",
@@ -680,6 +887,49 @@ WITH d AS (
   SELECT w FROM wins GROUP BY w HAVING count(DISTINCT id) >= {min_docs}
 ), pos AS (
   SELECT wins.id, wins.pos, wins.e FROM wins JOIN dup USING (w)
+), marked AS (
+  SELECT id, pos, e,
+         CASE WHEN max(e) OVER pw IS NULL OR pos > max(e) OVER pw + 1
+              THEN 1 ELSE 0 END AS ni
+  FROM pos
+  WINDOW pw AS (PARTITION BY id ORDER BY pos
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+), isl AS (
+  SELECT id, pos, e,
+         sum(ni) OVER (PARTITION BY id ORDER BY pos
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
+  FROM marked
+)
+SELECT id AS {id_col}, CAST(min(pos) AS BIGINT) AS span_start,
+       CAST(max(e) AS BIGINT) AS span_end,
+       CAST(max(e) - min(pos) + 1 AS BIGINT) AS span_len
+FROM isl GROUP BY id, g
+"""
+
+
+def exact_substring_incremental_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    length: int = 24,
+    batch_pred: str = "doc_id % 5 = 0",
+) -> str:
+    """DuckDB twin of :func:`exact_substring_incremental`: batch windows
+    semi-joined against the corpus's DISTINCT literal windows, then the
+    same batch-side interval merge."""
+    return f"""
+WITH cb AS (
+  SELECT trim({text_col}) AS s FROM {table} WHERE NOT ({batch_pred})
+), bb AS (
+  SELECT {id_col} AS id, trim({text_col}) AS s FROM {table} WHERE {batch_pred}
+), cw AS (
+  SELECT DISTINCT substring(s, i, {length}) AS w
+  FROM cb, UNNEST(generate_series(1, length(s) - {length} + 1)) AS g(i)
+), bw AS (
+  SELECT id, i AS pos, substring(s, i, {length}) AS w, i + {length - 1} AS e
+  FROM bb, UNNEST(generate_series(1, length(s) - {length} + 1)) AS g(i)
+), pos AS (
+  SELECT bw.id, bw.pos, bw.e FROM bw JOIN cw USING (w)
 ), marked AS (
   SELECT id, pos, e,
          CASE WHEN max(e) OVER pw IS NULL OR pos > max(e) OVER pw + 1

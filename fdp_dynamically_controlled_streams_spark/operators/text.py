@@ -161,7 +161,9 @@ def bigram_lm_score(
     return scored.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_bigrams"),
         dratio(
-            F.sum("r9"), F.count(F.lit(1)).cast("decimal(38,0)") * F.lit(1000), 6
+            F.sum("r9"),
+            F.count(F.lit(1)).cast("decimal(38,0)") * F.lit(1_000_000_000),
+            6,
         ).alias("avg_transition_p"),
     )
 

@@ -40,6 +40,8 @@ from fdp_dynamically_controlled_streams_spark.functions.vectors import (
 from fdp_dynamically_controlled_streams_spark.functions.exactround import (
     DRATIO as _DRATIO,
     dratio as _dratio,
+    dratio_signed as _dratio_signed,
+    dratio_signed_sql as _dratio_signed_sql,
     dratio_sql as _dratio_sql,
     dratio_unscaled_sql as _dratio_unscaled_sql,
 )
@@ -1808,11 +1810,13 @@ def dedup_exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     documents — the literal byte ranges span removal cuts, completing the
     dedup family (exact full-doc / MinHash / SimHash / n-gram score /
     semantic / THIS). Exact for all repeats of length >= 24 by window
-    coverage (zero-miss law vs plain-Python brute force,
-    tests/test_docs.py). One codegen window explode, one
-    groupBy(window) map-side-partial distinct, one join back, one
-    interval-merge window (operators/dedup.py::exact_substring_spans);
-    at 100 TB the key becomes a rolling hash64 with the same plan."""
+    coverage (zero-miss law vs plain-Python brute force, both keys,
+    tests/test_dedup_clusters.py). Round 11: the window key is now the
+    Karp-Rabin rolling hash64 by default — one Arrow-vectorized linear
+    pass per doc, 8-byte keys, literal extend-and-verify on candidates
+    so collisions cannot reach the output; the literal-string key
+    remains as the oracle-portability tier the DuckDB twin mirrors
+    (operators/dedup.py::exact_substring_spans)."""
     d = _t(spark, sf_dir, "documents")
     return dedup_ops.exact_substring_spans(d, length=24, min_docs=2)
 
@@ -1865,6 +1869,31 @@ def dedup_exact_substring_removal(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .otherwise(F.lit(0.0))
         .alias("dup_fraction"),
+    )
+
+
+@query(
+    "dedup_exact_substring_incremental",
+    dedup_ops.exact_substring_incremental_sql(
+        "documents", length=24, batch_pred="doc_id % 5 = 0"
+    ),
+    tags=("dedup", "substring", "span", "incremental"),
+)
+def dedup_exact_substring_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ExactSubstr — the daily-crawl twin of
+    dedup_exact_substring_spans (mirroring dedup_incremental_batch's
+    corpus/batch split): for each NEW doc (doc_id % 5 == 0, ~20%), the
+    maximal char spans whose every 24-char window repeats the EXISTING
+    corpus verbatim, computed as an A×B join of the batch's rolling-hash
+    window keys against the corpus window index (persisted in
+    production) with literal extend-and-verify — the corpus side is
+    never re-span-merged and never self-joined
+    (operators/dedup.py::exact_substring_incremental)."""
+    d = _t(spark, sf_dir, "documents")
+    return dedup_ops.exact_substring_incremental(
+        d.where(F.col("doc_id") % 5 != 0),
+        d.where(F.col("doc_id") % 5 == 0),
+        length=24,
     )
 
 
@@ -2812,7 +2841,7 @@ SELECT doc_id, count(*) AS n_bigrams,
        <AVG6> AS avg_transition_p
   FROM scored GROUP BY doc_id
 """.replace("<R9>", _dratio_unscaled_sql("c2.n2 + 1", "c1.n1 + v.vocab", 9)).replace(
-        "<AVG6>", _dratio_sql("sum(r9)", "count(*) * 1000", 6)
+        "<AVG6>", _dratio_sql("sum(r9)", "count(*) * 1000000000", 6)
     ),
     tags=("text", "lm"),
 )

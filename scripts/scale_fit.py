@@ -92,7 +92,11 @@ def main() -> int:
             "residual_sec": resid,
             "worst_residual_frac_of_max": round(rel, 4),
             "factor_2pt": round(walls[10] / walls[1], 2),
-            "factor_growth_only": round((g * 10) / max(g, 1e-9), 2),
+            # the 10x factor the fit PREDICTS once the fixed constant is
+            # included — how far below the 2-pt factor the constant pulls
+            # the trend (r10 ADVICE: the old formula cancelled g and
+            # always printed 10.0)
+            "factor_fit_10x": round((C + g * 10) / max(C + g, 1e-9), 2),
             "linear_fit_ok": rel <= 0.10,
         }
         print(f"  {name}: walls={walls} C={C:.2f}s g={g:.2f}s/copy "

@@ -207,3 +207,79 @@ def test_bpe_apply_sql_matches_python_on_duckdb():
                 syms = _fold_merge(syms, l, r)
             n_sym += len(syms)
         assert got[i] == (n_sym, sum(len(w) for w in words)), i
+
+
+def test_accept_batch_symbol_collision():
+    """The r10-ADVICE collision stop on the factored pure rule: when an
+    accepted pair's concatenation equals an already-existing symbol, the
+    batch must accept that pair and NOTHING after it (later candidates'
+    counts may be stale once old and new 'lr' merge indistinguishably)."""
+    from fdp_dynamically_controlled_streams_spark.operators.bpe import (
+        _accept_batch,
+    )
+
+    # 'abc' already exists (e.g. created by ('ab','c') in a prior round);
+    # the top candidate ('a','bc') re-creates it -> stop after accepting.
+    created = {"ab", "bc", "abc"}
+    rows = [
+        ("a", "bc", 90, 10, 10),   # collides with existing 'abc'
+        ("x", "y", 80, 5, 5),      # symbol-disjoint, high count: would
+        ("q", "z", 70, 5, 5),      # otherwise be accepted
+    ]
+    got = _accept_batch(rows, created)
+    assert got == [("a", "bc", 90)]
+    assert "abc" in created and "xy" not in created
+
+    # collision on the SECOND accept: first survives, second accepted,
+    # third (disjoint, above-bound) rejected by the stop.
+    created = {"cd"}
+    rows = [
+        ("a", "b", 90, 0, 0),
+        ("c", "d", 80, 0, 0),      # re-creates 'cd'
+        ("e", "f", 70, 0, 0),
+    ]
+    got = _accept_batch(rows, created)
+    assert got == [("a", "b", 90), ("c", "d", 80)]
+
+    # no collision -> all three accepted (disjoint, strictly above bounds)
+    created = set()
+    rows = [
+        ("a", "b", 90, 10, 10),
+        ("c", "d", 80, 10, 10),
+        ("e", "f", 70, 10, 10),
+    ]
+    assert _accept_batch(rows, created) == [
+        ("a", "b", 90),
+        ("c", "d", 80),
+        ("e", "f", 70),
+    ]
+    assert created == {"ab", "cd", "ef"}
+
+
+def test_accept_batch_bound_and_overlap_clauses():
+    """The pre-existing premises on the pure rule: symbol overlap with an
+    earlier accept stops the batch, as does a count at-or-below an earlier
+    accept's new-pair bound (ties lose: tie-break order on fresh symbol
+    strings is unknowable driver-side)."""
+    from fdp_dynamically_controlled_streams_spark.operators.bpe import (
+        _accept_batch,
+    )
+
+    # overlap: second candidate reuses 'b'
+    got = _accept_batch(
+        [("a", "b", 90, 0, 0), ("b", "c", 80, 0, 0)], set()
+    )
+    assert got == [("a", "b", 90)]
+
+    # bound: first accept's bound = min(90, max(85, 0)) = 85; the second
+    # candidate's 85 TIES the bound -> rejected.
+    got = _accept_batch(
+        [("a", "b", 90, 85, 0), ("c", "d", 85, 0, 0)], set()
+    )
+    assert got == [("a", "b", 90)]
+
+    # strictly above the bound -> accepted.
+    got = _accept_batch(
+        [("a", "b", 90, 85, 0), ("c", "d", 86, 0, 0)], set()
+    )
+    assert got == [("a", "b", 90), ("c", "d", 86)]

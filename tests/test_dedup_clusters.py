@@ -172,13 +172,127 @@ def test_exact_substring_spans_matches_bruteforce_hypothesis(spark):
     def run(texts, L):
         rows = list(enumerate(texts))
         df = spark.createDataFrame(rows, "doc_id long, text string")
-        got = sorted(
-            (r.doc_id, r.span_start, r.span_end, r.span_len)
-            for r in exact_substring_spans(df, length=L).collect()
-        )
-        assert got == _py_exact_spans(dict(rows), L)
+        expect = _py_exact_spans(dict(rows), L)
+        for key in ("hash64", "literal"):
+            got = sorted(
+                (r.doc_id, r.span_start, r.span_end, r.span_len)
+                for r in exact_substring_spans(df, length=L, key=key).collect()
+            )
+            assert got == expect, key
 
     run()
+
+
+def _py_exact_incremental(corpus, batch, L):
+    """Brute-force incremental twin: corpus window set, batch membership,
+    batch-side interval merge."""
+    cw = set()
+    for t in corpus.values():
+        t = t.strip()
+        for p in range(len(t) - L + 1):
+            cw.add(t[p : p + L])
+    out = []
+    for i, t in batch.items():
+        t = t.strip()
+        spans = []
+        for p0 in range(len(t) - L + 1):
+            if t[p0 : p0 + L] not in cw:
+                continue
+            p, e = p0 + 1, p0 + L
+            if spans and p <= spans[-1][1] + 1:
+                spans[-1][1] = max(spans[-1][1], e)
+            else:
+                spans.append([p, e])
+        out.extend((i, s, e, e - s + 1) for s, e in spans)
+    return sorted(out)
+
+
+def test_exact_substring_incremental_matches_bruteforce_hypothesis(spark):
+    """Brute-force equivalence law for the incremental tier, BOTH keys:
+    batch spans = membership of every window in the corpus window set —
+    and batch-internal repeats must NOT count."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from fdp_dynamically_controlled_streams_spark.operators.dedup import (
+        exact_substring_incremental,
+    )
+
+    @settings(max_examples=5, deadline=None)
+    @given(
+        texts=st.lists(
+            st.text(alphabet="ab ", min_size=0, max_size=30),
+            min_size=3, max_size=7,
+        ),
+        L=st.integers(3, 6),
+    )
+    def run(texts, L):
+        rows = list(enumerate(texts))
+        corpus = {i: t for i, t in rows if i % 2}
+        batch = {i: t for i, t in rows if not i % 2}
+        cdf = spark.createDataFrame(
+            list(corpus.items()) or [(None, None)], "doc_id long, text string"
+        ).where("doc_id IS NOT NULL")
+        bdf = spark.createDataFrame(
+            list(batch.items()) or [(None, None)], "doc_id long, text string"
+        ).where("doc_id IS NOT NULL")
+        expect = _py_exact_incremental(corpus, batch, L)
+        for key in ("hash64", "literal"):
+            got = sorted(
+                (r.doc_id, r.span_start, r.span_end, r.span_len)
+                for r in exact_substring_incremental(
+                    cdf, bdf, length=L, key=key
+                ).collect()
+            )
+            assert got == expect, key
+
+    run()
+
+
+def test_exact_substring_incremental_batch_internal_excluded(spark):
+    # two batch docs sharing a block that is absent from the corpus: no rows
+    from fdp_dynamically_controlled_streams_spark.operators.dedup import (
+        exact_substring_incremental,
+    )
+
+    block = "this exact block is shared by two batch docs"
+    corpus = spark.createDataFrame(
+        [(1, "corpus body with nothing in common here")],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [(2, f"pre {block}"), (4, f"{block} post")],
+        "doc_id long, text string",
+    )
+    assert exact_substring_incremental(corpus, batch, length=10).count() == 0
+
+
+def test_exact_substring_keys_agree_unicode(spark):
+    """hash64-vs-literal key equivalence on NON-ASCII text: the rolling
+    kernel hashes UTF-32 code points, so char positions must line up with
+    substring()'s char semantics even for multi-byte chars."""
+    from fdp_dynamically_controlled_streams_spark.operators.dedup import (
+        exact_substring_spans,
+    )
+
+    shared = "héllо wörld — ünïcode blöck"  # 27 chars incl. cyrillic 'о'
+    docs = spark.createDataFrame(
+        [
+            (1, f"pre {shared} tail one"),
+            (2, f"{shared} other ending"),
+            (3, "ascii only body with no repeats at all"),
+        ],
+        "doc_id long, text string",
+    )
+    want = sorted(
+        (r.doc_id, r.span_start, r.span_end, r.span_len)
+        for r in exact_substring_spans(docs, length=10, key="literal").collect()
+    )
+    got = sorted(
+        (r.doc_id, r.span_start, r.span_end, r.span_len)
+        for r in exact_substring_spans(docs, length=10, key="hash64").collect()
+    )
+    assert got == want and len(want) == 2
 
 
 # ------------------------------------------------------- semantic dedup
