@@ -118,6 +118,7 @@ def bpe_train(
     id_col: str = "doc_id",
     n_merges: int = 16,
     batch: int = 8,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Learn the top ``n_merges`` BPE merges from the corpus. Returns
     (rank, left, right, pair_freq) — rank 1 is the first-learned merge.
@@ -224,6 +225,10 @@ def bpe_train(
         for left, right, pf in accepted:
             merges.append((len(merges) + 1, left, right, pf))
             col = _merge_once(col, left, right)
+        if stats is not None:
+            # optional telemetry for scale measurement: per-round accepted
+            # count -> realized acceptance factor = merges / driver rounds
+            stats.setdefault("accepted_per_round", []).append(len(accepted))
         vocab = vocab.select("word", "freq", col.alias("syms")).localCheckpoint()
     return docs.sparkSession.createDataFrame(
         merges, "rank int, left string, right string, pair_freq long"
