@@ -70,7 +70,11 @@ def test_sf01_tier_artifact_covers_full_catalog_exactly():
     assert not bad, f"{arts[-1].name} non-green: {sorted(bad)}"
 
 
-def test_sf1_tier_artifact_covers_fixed_set_exactly():
+def test_sf1_tier_artifact_covers_full_catalog_exactly():
+    """r10 verdict task 1: the sf1 tier is the FULL catalog as of round
+    11 (minus the documented SF1_EXCLUSIONS, currently none) — the newest
+    sf1 artifact must cover every tier entry and be green, the same law
+    the sf0.01 and sf0.1 artifacts carry."""
     from tests.test_sf1_selfcheck import SF1_ENTRIES
 
     arts = sorted(REPO.glob("CORRECTNESS_SELF_r[0-9][0-9]_sf1.json"))

@@ -1,16 +1,20 @@
-"""sf1 correctness tier (r5 verdict task 1): timing is probed at sf1
-(SF1_PROBE.json) but hash-correctness was only proven to sf0.1 — this
-closes that gap by oracle-checking the priciest entries against the
-``.sfscale/sf1`` shape-preserving 10x replication (~6 M lineitem rows,
-1 M events). Float-association and threshold-straddle bugs surface with
-scale (the sf0.1 tier caught the cusum 200.0 boundary, SCALE.md), so this
-is the cheapest way to harden the 100 TB claim.
+"""sf1 correctness tier — FULL CATALOG (r10 verdict task 1).
 
-Slow by construction (several minutes of Spark + DuckDB at sf1), so it is
+History: r5 introduced this tier for the priciest entries (the timing
+probe's fixed set, 48 by r10); the r10 full-catalog TRIAL immediately
+caught the engine-divergent .xx5 rounding class that sf0.01/sf0.1
+structurally could not (the boundary needs ~10^6 addends), proving the
+remaining unproven-at-sf1 entries carried real residual risk. Round 11
+closes it: the sf1 tier is the ENTIRE catalog against the ``.sfscale/sf1``
+shape-preserving 10x replication (~6 M lineitem rows, 1 M events, 500 k
+docs), minus individually justified exclusions (currently none).
+
+Slow by construction (an hour+ of Spark + DuckDB at sf1), so it is
 gated:  SPARK_GRAFT_SF1_CHECK=1 python -m pytest tests/test_sf1_selfcheck.py
-If the replication is absent, build it first:  python tests/sf1_probe.py
-(the checked-in CORRECTNESS_SELF_r06_sf1.json artifact is produced by
-tests/oracle_harness.py --json against the same dir).
+The checked-in CORRECTNESS_SELF_r{N}_sf1.json artifact is produced by
+scripts/sf1_full_check.py (resumable, per-entry flush) against the same
+dir; the artifact-coverage law in tests/test_docs.py pins it to this
+module's SF1_ENTRIES.
 """
 
 from __future__ import annotations
@@ -21,11 +25,20 @@ from pathlib import Path
 import pytest
 
 from tests.oracle_harness import compare, duck_con
-from tests.sf1_probe import PROBE_ENTRIES, SF1
+from tests.sf1_probe import SF1
 
-#: The probe's fixed entry set (includes the whole replay family, r5
-#: verdict task 7) — correctness tier and timing probe cover the same set.
-SF1_ENTRIES = list(PROBE_ENTRIES)
+#: Entries excluded from the sf1 tier, each with a one-line justification
+#: (the coverage law treats these as documented carve-outs, not gaps).
+SF1_EXCLUSIONS: dict[str, str] = {}
+
+
+def _sf1_entries() -> list[str]:
+    from fdp_dynamically_controlled_streams_spark.queries import catalog
+
+    return [n for n in sorted(catalog()) if n not in SF1_EXCLUSIONS]
+
+
+SF1_ENTRIES = _sf1_entries()
 
 pytestmark = pytest.mark.skipif(
     not os.environ.get("SPARK_GRAFT_SF1_CHECK"),
