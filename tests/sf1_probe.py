@@ -112,6 +112,9 @@ PROBE_ENTRIES = [
     "dedup_exact_substring_spans",
     "dedup_exact_substring_removal",
     "stream_degree_count_replay",
+    # round-11: the incremental ExactSubstr tier joins its family's trend
+    # line in its debut round (A×B window-index join = scale-exposed)
+    "dedup_exact_substring_incremental",
 ]
 
 _ALPHA = "abcdefghijklmnopqrstuvwxyz"
