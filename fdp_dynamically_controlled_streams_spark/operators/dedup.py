@@ -907,6 +907,136 @@ FROM isl GROUP BY id, g
 """
 
 
+def exact_substring_cut(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    length: int = 24,
+    min_docs: int = 2,
+    key: str = "hash64",
+) -> DataFrame:
+    """APPLY the ExactSubstr cut — the terminal operation of the family
+    (spans -> removal budget -> THIS): rebuild each document's text with
+    every duplicated maximal span removed, returning (id_col, kept_text,
+    kept_chars).  Docs with no duplicated span keep their (trimmed) text
+    verbatim; a doc covered entirely by spans keeps ''.
+
+    Plan shape: the spans pipeline, then per-doc segment assembly — the
+    kept segments fall out of ONE lag() window over the sorted disjoint
+    spans (head = before the first span, gaps = between consecutive
+    spans, tail = after the last) plus one ordered-concat aggregation
+    (collect_list + array_sort + array_join, the deterministic
+    string-agg pattern used repo-wide), one join back to the corpus for
+    the untouched docs.  Everything after the spans is proportional to
+    the SPAN count, not the corpus; kept_chars here must equal the
+    removal rollup's kept_chars by construction (cross-entry law,
+    tests/test_dedup_clusters.py).
+
+    [ABSENT in reference: SURVEY §2.7 — engine extension.]
+    """
+    base = docs.select(
+        F.col(id_col).alias("id"), F.trim(F.col(text_col)).alias("s")
+    )
+    spans = exact_substring_spans(docs, id_col, text_col, length, min_docs, key)
+    w = Window.partitionBy(id_col).orderBy("span_start")
+    mid = spans.select(
+        F.col(id_col).alias("id"),
+        (F.coalesce(F.lag("span_end").over(w), F.lit(0)) + 1).alias("seg_start"),
+        (F.col("span_start") - 1).alias("seg_end"),
+    )
+    tail = (
+        spans.groupBy(F.col(id_col).alias("id"))
+        .agg((F.max("span_end") + 1).alias("seg_start"))
+        .join(base, "id")
+        .select("id", "seg_start", F.length("s").cast("long").alias("seg_end"))
+    )
+    segs = (
+        mid.unionByName(tail)
+        .where(F.col("seg_end") >= F.col("seg_start"))
+        .join(base, "id")
+        .select(
+            "id",
+            "seg_start",
+            F.expr("substring(s, seg_start, seg_end - seg_start + 1)").alias(
+                "seg"
+            ),
+        )
+    )
+    kept = segs.groupBy("id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("seg_start", "seg"))),
+                lambda x: x["seg"],
+            ),
+            "",
+        ).alias("kept_text")
+    )
+    has_spans = spans.select(F.col(id_col).alias("id")).distinct().select(
+        "id", F.lit(True).alias("has_spans")
+    )
+    return (
+        base.join(has_spans, "id", "left")
+        .join(kept, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.when(F.col("has_spans").isNull(), F.col("s"))
+            .otherwise(F.coalesce("kept_text", F.lit("")))
+            .alias("kept_text"),
+        )
+        .withColumn("kept_chars", F.length("kept_text").cast("long"))
+    )
+
+
+def exact_substring_cut_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    length: int = 24,
+    min_docs: int = 2,
+) -> str:
+    """DuckDB twin of :func:`exact_substring_cut`: the same lag-window
+    segment assembly over the spans CTE, ordered string_agg."""
+    spans = exact_substring_spans_sql(table, id_col, text_col, length, min_docs)
+    return f"""
+WITH spans AS ({spans}),
+d AS (SELECT {id_col} AS id, trim({text_col}) AS s FROM {table}),
+mid AS (
+  SELECT {id_col} AS id,
+         COALESCE(lag(span_end) OVER (PARTITION BY {id_col}
+                                      ORDER BY span_start), 0) + 1 AS seg_start,
+         span_start - 1 AS seg_end
+  FROM spans
+),
+tl AS (
+  SELECT sp.{id_col} AS id, max(sp.span_end) + 1 AS seg_start,
+         CAST(length(any_value(d.s)) AS BIGINT) AS seg_end
+  FROM spans sp JOIN d ON d.id = sp.{id_col}
+  GROUP BY sp.{id_col}
+),
+segs AS (
+  SELECT * FROM mid UNION ALL SELECT * FROM tl
+),
+kept AS (
+  SELECT g.id,
+         string_agg(substring(d.s, CAST(g.seg_start AS INT),
+                              CAST(g.seg_end - g.seg_start + 1 AS INT)),
+                    '' ORDER BY g.seg_start) AS kept_text
+  FROM (SELECT * FROM segs WHERE seg_end >= seg_start) g
+       JOIN d ON d.id = g.id
+  GROUP BY g.id
+),
+hs AS (SELECT DISTINCT {id_col} AS id FROM spans)
+SELECT d.id AS {id_col},
+       CASE WHEN hs.id IS NULL THEN d.s
+            ELSE COALESCE(k.kept_text, '') END AS kept_text,
+       CAST(length(CASE WHEN hs.id IS NULL THEN d.s
+                        ELSE COALESCE(k.kept_text, '') END) AS BIGINT)
+         AS kept_chars
+FROM d LEFT JOIN hs ON hs.id = d.id
+       LEFT JOIN kept k ON k.id = d.id
+"""
+
+
 def exact_substring_incremental_sql(
     table: str = "documents",
     id_col: str = "doc_id",

@@ -1873,6 +1873,23 @@ def dedup_exact_substring_removal(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @query(
+    "dedup_exact_substring_cut",
+    dedup_ops.exact_substring_cut_sql("documents", length=24, min_docs=2),
+    tags=("dedup", "substring", "span", "curation"),
+)
+def dedup_exact_substring_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPLY the ExactSubstr cut — the terminal op of the family (spans
+    -> budget -> CUT): per document, the text with every duplicated
+    maximal span removed (and its length) — the actual cleaned corpus a
+    curation run writes back. Segment assembly is one lag() window over
+    the disjoint spans + one ordered concat; untouched docs pass through
+    verbatim. kept_chars ≡ the removal rollup's kept_chars by
+    construction (operators/dedup.py::exact_substring_cut)."""
+    d = _t(spark, sf_dir, "documents")
+    return dedup_ops.exact_substring_cut(d, length=24, min_docs=2)
+
+
+@query(
     "dedup_exact_substring_incremental",
     dedup_ops.exact_substring_incremental_sql(
         "documents", length=24, batch_pred="doc_id % 5 = 0"

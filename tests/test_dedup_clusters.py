@@ -183,6 +183,85 @@ def test_exact_substring_spans_matches_bruteforce_hypothesis(spark):
     run()
 
 
+def _py_cut(texts, L, min_docs=2):
+    """Brute-force cut twin: remove every duplicated-span char."""
+    spans = _py_exact_spans(texts, L, min_docs)
+    by_doc = {}
+    for i, s, e, _ in spans:
+        by_doc.setdefault(i, []).append((s, e))
+    out = {}
+    for i, t in texts.items():
+        t = t.strip()
+        cut = set()
+        for s, e in by_doc.get(i, []):
+            cut.update(range(s, e + 1))  # 1-based inclusive
+        out[i] = "".join(c for p, c in enumerate(t, 1) if p not in cut)
+    return out
+
+
+def test_exact_substring_cut_matches_bruteforce_hypothesis(spark):
+    """The terminal CUT op: kept_text = the doc minus every duplicated
+    span char, verbatim — including full-coverage docs (kept '') and
+    untouched docs (kept = trimmed text)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from fdp_dynamically_controlled_streams_spark.operators.dedup import (
+        exact_substring_cut,
+    )
+
+    @settings(max_examples=5, deadline=None)
+    @given(
+        texts=st.lists(
+            st.text(alphabet="ab ", min_size=0, max_size=30),
+            min_size=2, max_size=6,
+        ),
+        L=st.integers(3, 6),
+    )
+    def run(texts, L):
+        rows = list(enumerate(texts))
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        expect = _py_cut(dict(rows), L)
+        got = {
+            r.doc_id: (r.kept_text, r.kept_chars)
+            for r in exact_substring_cut(df, length=L).collect()
+        }
+        assert set(got) == set(expect)
+        for i, want in expect.items():
+            assert got[i] == (want, len(want)), i
+
+    run()
+
+
+def test_exact_substring_cut_full_coverage_doc(spark):
+    # two identical docs: every window duplicated, kept_text must be ''
+    from fdp_dynamically_controlled_streams_spark.operators.dedup import (
+        exact_substring_cut,
+    )
+
+    t = "entirely duplicated body"
+    df = spark.createDataFrame(
+        [(1, t), (2, t), (3, "a unique third document body here")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.kept_text for r in exact_substring_cut(df, length=8).collect()}
+    assert got[1] == "" and got[2] == ""
+    assert got[3] == "a unique third document body here"
+
+
+def test_exact_substring_cut_kept_chars_matches_removal(spark):
+    """Cross-entry law: the CUT's kept_chars equals the removal rollup's
+    kept_chars for every doc (both compose the same spans)."""
+    from fdp_dynamically_controlled_streams_spark.queries import catalog
+
+    sf = "/root/testdata/sf0.001"
+    r = catalog()["dedup_exact_substring_removal"].fn(spark, sf).toPandas()
+    c = catalog()["dedup_exact_substring_cut"].fn(spark, sf).toPandas()
+    m = r.merge(c, on="doc_id", suffixes=("_r", "_c"))
+    assert len(m) == len(r) == len(c)
+    assert (m.kept_chars_r == m.kept_chars_c).all()
+
+
 def _py_exact_incremental(corpus, batch, L):
     """Brute-force incremental twin: corpus window set, batch membership,
     batch-side interval merge."""
