@@ -112,9 +112,11 @@ PROBE_ENTRIES = [
     "dedup_exact_substring_spans",
     "dedup_exact_substring_removal",
     "stream_degree_count_replay",
-    # round-11: the incremental ExactSubstr tier joins its family's trend
-    # line in its debut round (A×B window-index join = scale-exposed)
+    # round-11: the incremental ExactSubstr tier and the CUT application
+    # join their family's trend line in their debut round (A×B
+    # window-index join / segment assembly = scale-exposed)
     "dedup_exact_substring_incremental",
+    "dedup_exact_substring_cut",
 ]
 
 _ALPHA = "abcdefghijklmnopqrstuvwxyz"

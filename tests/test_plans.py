@@ -824,16 +824,31 @@ def test_lateral_topk_decorrelates_to_window_group_limit(audits):
     assert a.n_python_evals == 0
 
 
-def test_exact_substring_spans_plan_shape(audits):
+def test_exact_substring_spans_plan_shape(audits, spark):
+    # hash64 default (round 11): the rolling-hash kernel is the DECLARED
+    # Arrow boundary (MapInPandas appears once per consumer pass of the
+    # window-hash table — generation, probe, verify slice), plus the
+    # probe join and the literal extend-and-verify join: equi-joins
+    # only, never nested-loop, and the documents scan still pruned.
     a = audits("dedup_exact_substring_spans")
-    # window explode + multi-doc detector + join back + interval-merge
-    # window: ONE equi-join on the window key (shuffle hash or, at this
-    # SF, broadcast — never nested-loop), all codegen HOFs, no Python,
-    # and the documents scan pruned to (doc_id, text).
-    assert a.joins == 1
     assert a.n_nestedloop_joins == 0
-    assert a.n_python_evals == 0
+    assert a.joins >= 2  # hash probe + literal verify (+ verify slice)
+    assert a.n_python_evals > 0  # the declared rolling-hash kernel
     assert_pruned(a, ["lang", "source", "n_chars"])
+
+    # literal oracle-portability tier keeps the round-10 contract:
+    # ONE equi-join on the window key, all codegen HOFs, zero Python.
+    from fdp_dynamically_controlled_streams_spark.operators.dedup import (
+        exact_substring_spans,
+    )
+    from fdp_dynamically_controlled_streams_spark.plans.audit import audit_plan
+    from fdp_dynamically_controlled_streams_spark.schemas import load_table
+
+    d = load_table(spark, SF_DIR, "documents")
+    lit = audit_plan(exact_substring_spans(d, length=24, key="literal"))
+    assert lit.joins == 1
+    assert lit.n_nestedloop_joins == 0
+    assert lit.n_python_evals == 0
 
 
 def test_stream_degree_count_batch_shape(spark):
