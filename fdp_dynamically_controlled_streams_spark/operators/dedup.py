@@ -815,32 +815,8 @@ def exact_substring_incremental(
         F.col(id_col).alias("id"), F.trim(F.col(text_col)).alias("s")
     )
     if key == "hash64":
-        ch = _rolling_window_hashes(cbase, length)
-        bh = _rolling_window_hashes(bbase, length)
-        # candidate batch positions: hash present in the corpus index
-        cand = bh.join(ch.select("h").distinct(), "h")
-        # literal verify, candidates only: every DISTINCT corpus window
-        # string behind a candidate hash (not one witness — if two
-        # different corpus strings collide on h, a batch window equal to
-        # either must still match), sliced via a join back to the text
-        cw = (
-            ch.join(cand.select("h").distinct(), "h")
-            .join(cbase, "id")
-            .select("h", F.expr(f"substring(s, pos, {length})").alias("cw"))
-            .distinct()
-        )
-        bver = cand.join(bbase, "id").select(
-            "id",
-            "pos",
-            "h",
-            F.expr(f"substring(s, pos, {length})").alias("bw"),
-        )
-        pos = (
-            bver.join(cw, "h")
-            .where(F.col("bw") == F.col("cw"))
-            .select(
-                "id", "pos", (F.col("pos") + F.lit(length - 1)).alias("end")
-            )
+        pos = _incremental_positions_hash64(
+            bbase, cbase, _rolling_window_hashes(cbase, length), length
         )
     else:
 
@@ -865,6 +841,76 @@ def exact_substring_incremental(
             )
         )
     return _merge_position_spans(pos, id_col)
+
+
+def exact_substring_index(
+    corpus: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    length: int = 24,
+) -> tuple[DataFrame, DataFrame]:
+    """Build the REUSABLE corpus window index of the incremental
+    ExactSubstr tier: (cbase, ch) = the trimmed corpus projection and its
+    rolling-hash window table (id, pos, h).  In production this pair is
+    the persisted/bucketed table a daily batch joins; the streaming twin
+    localCheckpoints it once and reuses it across micro-batches."""
+    cbase = corpus.select(
+        F.col(id_col).alias("id"), F.trim(F.col(text_col)).alias("s")
+    )
+    return cbase, _rolling_window_hashes(cbase, length)
+
+
+def exact_substring_incremental_against_index(
+    batch: DataFrame,
+    cbase: DataFrame,
+    ch: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    length: int = 24,
+) -> DataFrame:
+    """:func:`exact_substring_incremental` against a PREBUILT
+    :func:`exact_substring_index` — the per-micro-batch body of the
+    streaming twin (each document is one row, so any batch partitioning
+    of the docs yields exactly the batch operator's spans)."""
+    bbase = batch.select(
+        F.col(id_col).alias("id"), F.trim(F.col(text_col)).alias("s")
+    )
+    pos = _incremental_positions_hash64(bbase, cbase, ch, length)
+    return _merge_position_spans(pos, id_col)
+
+
+def _incremental_positions_hash64(
+    bbase: DataFrame, cbase: DataFrame, ch: DataFrame, length: int
+) -> DataFrame:
+    """The batch-vs-corpus-index join of
+    :func:`exact_substring_incremental` (hash64 key), factored so the
+    corpus index ``ch`` — (id, pos, h) rolling-window hashes, the
+    persisted table in production — can be built ONCE and reused across
+    micro-batches by the streaming twin."""
+    bh = _rolling_window_hashes(bbase, length)
+    # candidate batch positions: hash present in the corpus index
+    cand = bh.join(ch.select("h").distinct(), "h")
+    # literal verify, candidates only: every DISTINCT corpus window
+    # string behind a candidate hash (not one witness — if two different
+    # corpus strings collide on h, a batch window equal to either must
+    # still match), sliced via a join back to the text
+    cw = (
+        ch.join(cand.select("h").distinct(), "h")
+        .join(cbase, "id")
+        .select("h", F.expr(f"substring(s, pos, {length})").alias("cw"))
+        .distinct()
+    )
+    bver = cand.join(bbase, "id").select(
+        "id",
+        "pos",
+        "h",
+        F.expr(f"substring(s, pos, {length})").alias("bw"),
+    )
+    return (
+        bver.join(cw, "h")
+        .where(F.col("bw") == F.col("cw"))
+        .select("id", "pos", (F.col("pos") + F.lit(length - 1)).alias("end"))
+    )
 
 
 def exact_substring_spans_sql(

@@ -1915,6 +1915,78 @@ def dedup_exact_substring_incremental(spark: SparkSession, sf_dir: str) -> DataF
 
 
 @query(
+    "stream_exact_substring_incremental_replay",
+    dedup_ops.exact_substring_incremental_sql(
+        "documents", length=24, batch_pred="doc_id % 5 = 0"
+    ),
+    tags=("dedup", "substring", "span", "incremental", "streaming", "replay"),
+)
+def stream_exact_substring_incremental_replay(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The daily crawl as an ACTUAL STREAM: new documents replayed in
+    micro-batches, each screened against the corpus window index for
+    verbatim-repeated char spans — the streaming twin of
+    dedup_exact_substring_incremental, tying the ExactSubstr family to
+    the streaming runtime. The index (corpus projection + rolling-hash
+    window table) is built ONCE and reused across micro-batches
+    (operators/dedup.py::exact_substring_index — the persisted table in
+    production); each micro-batch runs the batch-side joins + span merge
+    (exact_substring_incremental_against_index), EXACT under any doc
+    chunking since a document is one row. Append-mode parquet sink; the
+    replay's union must equal the one-shot batch operator, which is the
+    oracle."""
+    import tempfile
+
+    from fdp_dynamically_controlled_streams_spark.sources.registry import (
+        cached_fixture,
+        replay_dir,
+        write_replay_chunks_df,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    cbase, ch = dedup_ops.exact_substring_index(
+        d.where(F.col("doc_id") % 5 != 0), length=24
+    )
+    cbase, ch = cbase.localCheckpoint(), ch.localCheckpoint()
+    fix = cached_fixture(
+        "exact_substr_incr_replay",
+        sf_dir,
+        lambda p: write_replay_chunks_df(
+            d.where(F.col("doc_id") % 5 == 0).select("doc_id", "text"),
+            f"{p}/data",
+            n_chunks=2,
+            order_cols=("doc_id",),
+        ),
+    )
+    tmp = tempfile.mkdtemp(prefix="dcs-xsincr-")
+    stream = replay_dir(
+        spark, f"{fix}/data", "doc_id long, text string", files_per_trigger=1
+    )
+    out = f"{tmp}/out"
+
+    def _proc(bdf: DataFrame, _bid: int) -> None:
+        dedup_ops.exact_substring_incremental_against_index(
+            bdf, cbase, ch, length=24
+        ).write.mode("append").parquet(out)
+
+    with _replay_conf(spark, partitions=8):
+        q = (
+            stream.writeStream.outputMode("append")
+            .foreachBatch(_proc)
+            .option("checkpointLocation", f"{tmp}/chk")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    return _read_replay_out(
+        spark,
+        "doc_id long, span_start long, span_end long, span_len long",
+        out,
+    )
+
+
+@query(
     "dedup_embedding_near",
     f"""
 WITH b AS (

@@ -117,6 +117,7 @@ PROBE_ENTRIES = [
     # window-index join / segment assembly = scale-exposed)
     "dedup_exact_substring_incremental",
     "dedup_exact_substring_cut",
+    "stream_exact_substring_incremental_replay",
 ]
 
 _ALPHA = "abcdefghijklmnopqrstuvwxyz"
