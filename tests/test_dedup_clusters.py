@@ -346,6 +346,36 @@ def test_exact_substring_incremental_batch_internal_excluded(spark):
     assert exact_substring_incremental(corpus, batch, length=10).count() == 0
 
 
+def test_exact_substring_hash64_multi_arrow_batch(spark):
+    """Force the rolling-hash kernel through MANY tiny Arrow batches
+    (maxRecordsPerBatch=2): per-batch concatenation and power tables must
+    not leak state across batch boundaries — results equal the literal
+    key regardless of batching."""
+    from fdp_dynamically_controlled_streams_spark.operators.dedup import (
+        exact_substring_spans,
+    )
+
+    block = "a verbatim shared licence block"
+    rows = [(i, f"doc {i} body {block} tail {i}") for i in range(9)]
+    rows.append((99, "short"))
+    rows.append((100, ""))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    prev = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "2")
+    try:
+        got = sorted(
+            (r.doc_id, r.span_start, r.span_end, r.span_len)
+            for r in exact_substring_spans(df, length=12, key="hash64").collect()
+        )
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)
+    want = sorted(
+        (r.doc_id, r.span_start, r.span_end, r.span_len)
+        for r in exact_substring_spans(df, length=12, key="literal").collect()
+    )
+    assert got == want and len(want) == 9
+
+
 def test_exact_substring_keys_agree_unicode(spark):
     """hash64-vs-literal key equivalence on NON-ASCII text: the rolling
     kernel hashes UTF-32 code points, so char positions must line up with
