@@ -101,14 +101,21 @@ def main() -> int:
         }
         print(f"  {name}: walls={walls} C={C:.2f}s g={g:.2f}s/copy "
               f"resid={resid} linear={'OK' if rel <= 0.10 else 'POOR'}")
+    # merge into the existing artifact: a subset run must not clobber
+    # fits measured for other entries (round-11 fix — it did)
+    art = REPO / "SCALE_FIT.json"
+    if art.exists():
+        prior = json.loads(art.read_text()).get("entries", {})
+        prior.update(out)
+        out = prior
     payload = {
         "protocol": "min_of_2_passes/one_session/noop_sink/3_volume_points",
         "points_copies": [c for c, _ in points],
         "loadavg_at_start": os.getloadavg(),
         "entries": out,
     }
-    (REPO / "SCALE_FIT.json").write_text(json.dumps(payload, indent=1) + "\n")
-    print("wrote SCALE_FIT.json")
+    art.write_text(json.dumps(payload, indent=1) + "\n")
+    print(f"wrote SCALE_FIT.json ({len(out)} entries)")
     return 0
 
 
