@@ -600,7 +600,13 @@ def _rolling_window_hashes(base: DataFrame, length: int) -> DataFrame:
             if not len(pdf):
                 yield empty
                 continue
-            texts = pdf["s"].astype(str)
+            # NULL text -> zero windows (r11 ADVICE: .astype(str) alone
+            # would turn SQL NULL into the literal 'None', hashing it and
+            # emitting spurious candidates two null docs "share"; the
+            # literal-key tier yields no windows for NULL, so mask here
+            # to keep both key tiers symmetric at the source, not saved
+            # downstream by the verify join's null-substring semantics)
+            texts = pdf["s"].fillna("").astype(str)
             lens = texts.str.len().to_numpy(dtype=np.int64)
             total = int(lens.sum())
             if total < length:
@@ -799,10 +805,13 @@ def exact_substring_incremental(
     ``key="hash64"`` (default): both sides key on the Karp-Rabin rolling
     hash64 (:func:`_rolling_window_hashes`), and candidates are
     extend-and-verified literally — batch candidate positions re-slice
-    their window, corpus candidate keys re-slice ONE witness window each
-    (the verify join only touches hash-matched positions), and only
-    literal equality survives, so hash collisions are impossible in the
-    output.  ``key="literal"`` is the oracle-portability tier (and the
+    their window, and ALL DISTINCT corpus window strings behind each
+    candidate hash are re-sliced (not one witness: if two different
+    corpus strings collide on a hash, a batch window equal to either
+    must still match — see :func:`_incremental_positions_hash64`), and
+    only literal equality survives, so hash collisions are impossible
+    in the output.  The verify join only touches hash-matched
+    positions.  ``key="literal"`` is the oracle-portability tier (and the
     DuckDB twin's form): literal L-char window keys end to end.
 
     Returns (id_col, span_start, span_end, span_len), batch docs only.

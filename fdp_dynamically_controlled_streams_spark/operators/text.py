@@ -111,6 +111,14 @@ def bigram_lm_score(
     integer numerator (functions/exactround.py) and summed exactly; no
     double is ever rounded (round-11 .xx5-class sweep).
 
+    UNIT FIX (round 11, documented r12 per ADVICE): ``avg_transition_p``
+    is now the actual mean transition probability — the scale-9 integer
+    terms are divided by count*1e9, not count*1e3 as before round 11,
+    which had inflated the published value by 1e6. Both the Spark side
+    and the DuckDB twin changed together (parity held throughout), but
+    any external consumer of this catalog entry sees the value drop by
+    10^6 — that is the unit correction, not a regression.
+
     Plan shape: one explode, two hash aggregations over the bigram stream
     (map-side partial), two shuffle joins back on (w1[,w2]) — the count
     tables are corpus-vocabulary-sized, far smaller than the token stream —

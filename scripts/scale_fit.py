@@ -55,6 +55,7 @@ def main() -> int:
         print(f"waiting for idle host (loadavg {os.getloadavg()[0]:.2f})...")
         time.sleep(30)
 
+    run_loadavg = [round(v, 2) for v in os.getloadavg()]
     spark = get_spark(app_name="scale-fit")
     spark.range(1000).count()
     cat = catalog()
@@ -86,6 +87,11 @@ def main() -> int:
         worst = max(abs(v) for v in resid.values())
         rel = worst / max(ys)
         out[name] = {
+            # per-entry run metadata (r11 ADVICE: a merged artifact must
+            # not describe entries fitted under different copy points or
+            # load with the LAST run's globals)
+            "points_copies": [c for c, _ in points],
+            "loadavg_at_start": run_loadavg,
             "wall_by_copies": walls,
             "fixed_C_sec": round(C, 3),
             "growth_g_sec_per_copy": round(g, 3),
@@ -102,16 +108,20 @@ def main() -> int:
         print(f"  {name}: walls={walls} C={C:.2f}s g={g:.2f}s/copy "
               f"resid={resid} linear={'OK' if rel <= 0.10 else 'POOR'}")
     # merge into the existing artifact: a subset run must not clobber
-    # fits measured for other entries (round-11 fix — it did)
+    # fits measured for other entries (round-11 fix — it did); entries
+    # no longer in the catalog are pruned so removed queries don't
+    # linger forever (r11 ADVICE), and metadata rides per-entry above.
     art = REPO / "SCALE_FIT.json"
     if art.exists():
         prior = json.loads(art.read_text()).get("entries", {})
+        for k, v in prior.items():
+            # backfill per-entry metadata for records written by the
+            # pre-r12 script (global metadata was the only record)
+            v.setdefault("points_copies", [1, MID_COPIES, 10])
         prior.update(out)
-        out = prior
+        out = {k: v for k, v in prior.items() if k in cat}
     payload = {
         "protocol": "min_of_2_passes/one_session/noop_sink/3_volume_points",
-        "points_copies": [c for c, _ in points],
-        "loadavg_at_start": os.getloadavg(),
         "entries": out,
     }
     art.write_text(json.dumps(payload, indent=1) + "\n")

@@ -376,6 +376,45 @@ def test_exact_substring_hash64_multi_arrow_batch(spark):
     assert got == want and len(want) == 9
 
 
+def test_exact_substring_null_text_zero_windows(spark):
+    """NULL documents contribute ZERO windows in BOTH key tiers (r11
+    ADVICE: .astype(str) used to turn SQL NULL into the literal 'None',
+    so two null docs hashed every 'None' window identically and emitted
+    spurious candidates that only the downstream verify join killed).
+    Two null docs + a real duplicate pair: the only span rows are the
+    real pair's, identically for hash64 and literal keys."""
+    from fdp_dynamically_controlled_streams_spark.operators.dedup import (
+        exact_substring_incremental,
+        exact_substring_spans,
+    )
+
+    block = "a verbatim shared licence block across docs"
+    docs = spark.createDataFrame(
+        [
+            (1, f"head {block}"),
+            (2, f"{block} tail"),
+            (3, None),
+            (4, None),
+        ],
+        "doc_id long, text string",
+    )
+    for key in ("hash64", "literal"):
+        got = sorted(
+            (r.doc_id, r.span_start, r.span_end)
+            for r in exact_substring_spans(docs, length=12, key=key).collect()
+        )
+        assert [d for d, *_ in got] == [1, 2], key
+    # incremental tier: null corpus docs and null batch docs are inert too
+    corpus = spark.createDataFrame(
+        [(1, block), (5, None)], "doc_id long, text string"
+    )
+    batch = spark.createDataFrame(
+        [(2, f"quote: {block}"), (6, None)], "doc_id long, text string"
+    )
+    rows = exact_substring_incremental(corpus, batch, length=12).collect()
+    assert sorted(r.doc_id for r in rows) == [2]
+
+
 def test_exact_substring_keys_agree_unicode(spark):
     """hash64-vs-literal key equivalence on NON-ASCII text: the rolling
     kernel hashes UTF-32 code points, so char positions must line up with
