@@ -1987,6 +1987,94 @@ def stream_exact_substring_incremental_replay(
 
 
 @query(
+    "stream_exact_substring_index_maintenance_replay",
+    dedup_ops.exact_substring_maintenance_sql(
+        "documents",
+        length=24,
+        batch_pred="doc_id % 5 = 0",
+        day_expr="(doc_id % 15) // 5",
+    ),
+    tags=("dedup", "substring", "span", "incremental", "streaming", "replay"),
+)
+def stream_exact_substring_index_maintenance_replay(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The MULTI-day crawl loop — screening AND index maintenance
+    (r11 verdict task 1): new documents (doc_id % 5 == 0) arrive in 3
+    daily micro-batches (day = (doc_id % 15) div 5); each day is
+    screened against the corpus index of the seed corpus PLUS all
+    EARLIER days (exact_substring_incremental_against_index), then
+    UPSERTED into the index (exact_substring_index_upsert — idempotent
+    anti-join + append, merge.py::upsert_sink discipline) so the next
+    day screens against it. Day-aligned replay chunks (one micro-batch
+    per day, write_replay_chunks_partitioned — range chunking cannot
+    guarantee the day boundary the semantics depend on); the index pair
+    is localCheckpointed per day (the MERGE-INTO commit of the
+    production bucketed table). Law (tests/test_dedup_clusters.py): the
+    replay's decision union equals running the batch incremental
+    operator day-by-day with a growing corpus; the DuckDB twin replays
+    the loop set-based as "window matches any strictly-earlier day"."""
+    import tempfile
+
+    from fdp_dynamically_controlled_streams_spark.sources.registry import (
+        cached_fixture,
+        replay_dir,
+        write_replay_chunks_partitioned,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    fix = cached_fixture(
+        "exact_substr_maint_replay",
+        sf_dir,
+        lambda p: write_replay_chunks_partitioned(
+            d.where(F.col("doc_id") % 5 == 0).select(
+                "doc_id",
+                "text",
+                F.expr("(doc_id % 15) div 5").alias("day"),
+            ),
+            f"{p}/data",
+            part_col="day",
+            part_values=[0, 1, 2],
+            order_cols=("doc_id",),
+        ),
+    )
+    cbase0, ch0 = dedup_ops.exact_substring_index(
+        d.where(F.col("doc_id") % 5 != 0), length=24
+    )
+    state = {"cbase": cbase0.localCheckpoint(), "ch": ch0.localCheckpoint()}
+    tmp = tempfile.mkdtemp(prefix="dcs-xsmaint-")
+    stream = replay_dir(
+        spark, f"{fix}/data", "doc_id long, text string", files_per_trigger=1
+    )
+    out = f"{tmp}/out"
+
+    def _proc(bdf: DataFrame, _bid: int) -> None:
+        bdf = bdf.localCheckpoint()  # one pass over the input files
+        dedup_ops.exact_substring_incremental_against_index(
+            bdf, state["cbase"], state["ch"], length=24
+        ).write.mode("append").parquet(out)
+        cb, ch = dedup_ops.exact_substring_index_upsert(
+            state["cbase"], state["ch"], bdf, length=24
+        )
+        state["cbase"], state["ch"] = cb.localCheckpoint(), ch.localCheckpoint()
+
+    with _replay_conf(spark, partitions=8):
+        q = (
+            stream.writeStream.outputMode("append")
+            .foreachBatch(_proc)
+            .option("checkpointLocation", f"{tmp}/chk")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    return _read_replay_out(
+        spark,
+        "doc_id long, span_start long, span_end long, span_len long",
+        out,
+    )
+
+
+@query(
     "dedup_embedding_near",
     f"""
 WITH b AS (

@@ -166,6 +166,47 @@ def write_replay_chunks_df(
         os.utime(fp, (t0 + i, t0 + i))
 
 
+def write_replay_chunks_partitioned(
+    df: DataFrame,
+    path: str,
+    part_col: str,
+    part_values: list,
+    order_cols: tuple[str, ...] = ("seq",),
+) -> None:
+    """Replay-fixture writer with EXACT chunk boundaries: one parquet
+    chunk per listed ``part_col`` value, replayed in list order — for
+    entries whose per-micro-batch semantics depend on the batch's
+    identity (the index-maintenance loop: day k must arrive as exactly
+    one micro-batch, or day-k docs would screen against an index already
+    containing part of their own day). ``write_replay_chunks_df``'s
+    range partitioner samples boundaries and so cannot guarantee value
+    alignment; this writer filters per value — executor-written like the
+    range form, one job per chunk (fine for the small day counts replay
+    entries use; ``part_col`` is dropped from the chunk rows)."""
+    import glob
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    os.makedirs(path, exist_ok=True)
+    t0 = 1_700_000_000
+    for i, val in enumerate(part_values):
+        stage = os.path.join(path, f"_stage-{i}")
+        (
+            df.where(F.col(part_col) == F.lit(val))
+            .drop(part_col)
+            .repartition(1)
+            .sortWithinPartitions(*order_cols)
+            .write.mode("overwrite")
+            .parquet(stage)
+        )
+        part = sorted(glob.glob(os.path.join(stage, "part-*")))
+        fp = os.path.join(path, f"chunk-{i:05d}.parquet")
+        shutil.move(part[0], fp)
+        shutil.rmtree(stage)
+        os.utime(fp, (t0 + i, t0 + i))
+
+
 def write_stream_kafka(
     df: DataFrame, brokers: str, topic: str, checkpoint: str, **options: Any
 ):

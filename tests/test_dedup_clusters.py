@@ -376,6 +376,102 @@ def test_exact_substring_hash64_multi_arrow_batch(spark):
     assert got == want and len(want) == 9
 
 
+def test_exact_substring_index_maintenance_laws(spark):
+    """The N-day maintenance loop's laws (r11 verdict task 1):
+    (1) screening day k against an index maintained by
+        exact_substring_index_upsert equals running the BATCH incremental
+        operator day-by-day with an explicitly growing corpus;
+    (2) the upsert is IDEMPOTENT — re-applying the same day leaves the
+        index (and thus the next day's decisions) unchanged;
+    (3) upsert REPLACES a re-crawled doc id: its old text's windows leave
+        the index."""
+    from fdp_dynamically_controlled_streams_spark.operators.dedup import (
+        exact_substring_incremental,
+        exact_substring_incremental_against_index,
+        exact_substring_index,
+        exact_substring_index_upsert,
+    )
+
+    blk_a = "shared block alpha appearing across days"
+    blk_b = "another verbatim beta block for day two"
+    seed = spark.createDataFrame(
+        [(1, f"seed doc with {blk_a} inside")], "doc_id long, text string"
+    )
+    days = [
+        spark.createDataFrame(
+            [(10, f"day0 doc quoting {blk_a}"), (11, f"day0 also {blk_b}")],
+            "doc_id long, text string",
+        ),
+        spark.createDataFrame(
+            [(20, f"day1 doc quoting {blk_b} from day0"), (21, "nothing shared")],
+            "doc_id long, text string",
+        ),
+        spark.createDataFrame(
+            [(30, f"day2 doc with {blk_a} and {blk_b}")],
+            "doc_id long, text string",
+        ),
+    ]
+
+    def rows(df):
+        return sorted(
+            (r.doc_id, r.span_start, r.span_end, r.span_len) for r in df.collect()
+        )
+
+    # (1) maintained-index loop vs explicit growing-corpus batch loop
+    cbase, ch = exact_substring_index(seed, length=12)
+    loop_rows = []
+    for day in days:
+        loop_rows += rows(
+            exact_substring_incremental_against_index(day, cbase, ch, length=12)
+        )
+        cbase, ch = exact_substring_index_upsert(cbase, ch, day, length=12)
+    batch_rows = []
+    corpus = seed
+    for day in days:
+        batch_rows += rows(exact_substring_incremental(corpus, day, length=12))
+        corpus = corpus.unionByName(day)
+    assert sorted(loop_rows) == sorted(batch_rows) and batch_rows
+    # day-1's block-b quote must have matched (block b entered via day 0)
+    assert any(d == 20 for d, *_ in batch_rows)
+
+    # (2) idempotence: re-applying day2 changes nothing
+    cb2, ch2 = exact_substring_index_upsert(cbase, ch, days[2], length=12)
+    probe = spark.createDataFrame(
+        [(99, f"probe with {blk_a} text")], "doc_id long, text string"
+    )
+    assert rows(
+        exact_substring_incremental_against_index(probe, cb2, ch2, length=12)
+    ) == rows(exact_substring_incremental_against_index(probe, cbase, ch, length=12))
+    assert cb2.count() == cbase.count() and ch2.count() == ch.count()
+
+    # (3) re-crawl replaces: doc 30's text changes to something unrelated,
+    # so a probe quoting blk_a matches seed/day0 copies only — and a probe
+    # quoting doc 30's OLD unique text finds nothing
+    old_unique = "day2 doc with"  # prefix only in doc 30's old text
+    recrawl = spark.createDataFrame(
+        [(30, "completely rewritten content")], "doc_id long, text string"
+    )
+    cb3, ch3 = exact_substring_index_upsert(cbase, ch, recrawl, length=12)
+    probe_old = spark.createDataFrame(
+        [(98, f"quoting {old_unique} something")], "doc_id long, text string"
+    )
+    assert (
+        exact_substring_incremental_against_index(
+            probe_old, cb3, ch3, length=12
+        ).count()
+        == 0
+    )
+    probe_new = spark.createDataFrame(
+        [(97, "xx completely rewritten content yy")], "doc_id long, text string"
+    )
+    assert (
+        exact_substring_incremental_against_index(
+            probe_new, cb3, ch3, length=12
+        ).count()
+        == 1
+    )
+
+
 def test_exact_substring_null_text_zero_windows(spark):
     """NULL documents contribute ZERO windows in BOTH key tiers (r11
     ADVICE: .astype(str) used to turn SQL NULL into the literal 'None',
