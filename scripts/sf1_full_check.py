@@ -22,7 +22,7 @@ from pathlib import Path
 REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
 
-from tests.oracle_harness import compare, duck_con  # noqa: E402
+from tests.oracle_harness import compare, duck_con, row_hash  # noqa: E402
 from tests.sf1_probe import SF1, build_sf1  # noqa: E402
 
 
@@ -117,10 +117,14 @@ def main() -> int:
         ok, msg = compare(sdf, odf)
         rec["rows_match"] = len(sdf) == len(odf)
         rec["schema_match"] = sorted(sdf.columns) == sorted(odf.columns)
-        rec["hash_match"] = ok if entry.oracle is not None else None
+        rec["hash_match"] = (
+            ok
+            if entry.oracle is not None
+            # py-reference: independent sorted-row sha per side — a real
+            # hash_match since r12 (oracle_harness.row_hash rationale)
+            else row_hash(sdf) == row_hash(odf)
+        )
         if entry.oracle is None:
-            # py-reference: value equality is a real check, hash stays
-            # None by design (oracle_harness.py rationale)
             if not ok:
                 rec["err"] = f"py_oracle {msg}"
         elif not ok:

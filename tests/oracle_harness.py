@@ -39,6 +39,22 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
 
 
+def row_hash(df: pd.DataFrame) -> str:
+    """Canonical sorted-row sha256 of a result set: columns sorted by
+    name, rows sorted by every column, values in normalized form
+    (identical float64 bits render identically; NaN renders empty).
+    Computed INDEPENDENTLY over each side, so a py-reference oracle —
+    not an SQL engine — can still record a REAL ``hash_match``: equal
+    hashes certify equal value multisets exactly like the SQL path's
+    element-wise compare (r11 verdict task 2: the BPE entry was the
+    catalog's last ``hash_match: null``)."""
+    import hashlib
+
+    return hashlib.sha256(
+        normalize(df).to_csv(index=False).encode()
+    ).hexdigest()
+
+
 def compare(sdf: pd.DataFrame, odf: pd.DataFrame) -> tuple[bool, str]:
     if sorted(sdf.columns) != sorted(odf.columns):
         return False, f"schema mismatch: spark={sorted(sdf.columns)} oracle={sorted(odf.columns)}"
@@ -113,10 +129,12 @@ def main() -> int:
             # py-reference check (r8 verdict task 2): a plain-Python
             # implementation recomputes the expected rows from the same
             # DuckDB views; rows/schema are REAL checks and a value
-            # mismatch is a FAIL, but hash_match stays None by design —
-            # the reference is an independent Python implementation, not
-            # an independent SQL engine, so the record documents exactly
-            # which class of evidence backs this entry.
+            # mismatch is a FAIL. Since r12 (r11 verdict task 2) the
+            # record also carries a REAL hash_match: the sorted-row
+            # sha256 of each side's canonicalized frame, computed
+            # independently per side — the same evidence class as the
+            # SQL path's value hash, just with a py-reference producing
+            # the oracle rows instead of a second SQL engine.
             try:
                 odf = entry.py_oracle(con)
                 rec["oracle_rows"] = len(odf)
@@ -128,7 +146,7 @@ def main() -> int:
             ok, msg = compare(sdf, odf)
             rec["rows_match"] = len(sdf) == len(odf)
             rec["schema_match"] = sorted(sdf.columns) == sorted(odf.columns)
-            rec["hash_match"] = None  # by design: py-reference, not SQL
+            rec["hash_match"] = row_hash(sdf) == row_hash(odf)
             if not ok:
                 rec["err"] = f"py_oracle {msg}"
             print(("PASS" if ok else "FAIL") + f" {name} (py-ref): {msg}")
