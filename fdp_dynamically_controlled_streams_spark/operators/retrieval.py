@@ -6,14 +6,17 @@ contamination sweeps (eval-set queries vs corpus), RAG corpus QA, and
 query-driven curation — the lexical complement to the embedding ANN tiers
 in operators/similarity.py.
 
-Scale shape: the ONLY corpus-sized structures are the postings list
-(doc_id, term, tf) and the per-doc length table, both built in one
-tokenize pass with map-side partial aggregation. Scoring is a single
-postings ⋈ query-terms shuffle join on `term` — candidates are bounded by
-shared terms, never query × corpus. Stop-term skew (a term matching half
-the corpus would both blow the join AND carry ~zero idf) is cut by a
-df <= N/2 cap applied identically in the oracle. Top-k per query is a
-window row_number — per-partition heap + k-merge, never a global sort.
+Scale shape: the ONLY corpus-sized structure is the postings list
+(term, doc_id, c) with the per-term BM25 contribution ``c`` PRECOMPUTED
+at index-build time (r11 verdict task 3: tf, dl, df, n, avgdl and the
+k1/b constants are all fixed once the corpus is — so the ln/divide/round
+work is paid once per index, not once per query panel). The query path
+is a single postings ⋈ query-terms join on `term` + an integer sum —
+candidates bounded by shared terms, never query × corpus. Stop-term skew
+(a term matching half the corpus would both blow the join AND carry
+~zero idf) is cut by a df <= N/2 cap applied on the panel-sized side
+BEFORE the postings join, identically in the oracle. Top-k per query is
+a window row_number — per-partition heap + k-merge, never a global sort.
 
 Numeric portability: every per-term BM25 contribution is computed in
 doubles with IDENTICAL expression shape in both engines, rounded to 1e-6,
@@ -57,10 +60,16 @@ def bm25_topk(
 
 def _build_index(docs: DataFrame, id_col: str, text_col: str):
     """One tokenize pass -> the three index relations: postings
-    (doc_id, term, tf, dl) with the doc length denormalized in (so the
-    query phase never re-joins the corpus-sized length table), the
-    vocabulary-sized df table (term, df), and the 1-row corpus stats
-    (avgdl, n)."""
+    (term, doc_id, c) with the ENTIRE per-term BM25 contribution ``c``
+    precomputed at build time (r11 verdict task 3: every input to the
+    score — tf, dl, df, n, avgdl, and the k1/b constants — is known
+    when the index is built, so the ln/divisions/rounding all move off
+    the query path; the query phase is ONE postings ⋈ query-terms join
+    + an integer sum), the vocabulary-sized df table (term, df — kept
+    query-side because ``max_df_frac`` is a query-time parameter), and
+    the 1-row corpus stats (avgdl, n).  The df/avgdl attach onto the
+    corpus-sized postings happens HERE, once per index build, not once
+    per query panel."""
     tdc = tfidf_ops.term_doc_counts(docs, text_col, id_col)
     dl = tdc.groupBy("doc_id").agg(F.sum("tf").cast("double").alias("dl"))
     n_total = docs.agg(F.count(F.lit(1)).alias("n"))
@@ -68,7 +77,23 @@ def _build_index(docs: DataFrame, id_col: str, text_col: str):
         (F.col("s") / F.col("n")).alias("avgdl"), "n"
     )
     df_t = tdc.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    return tdc.join(dl, "doc_id"), df_t, avg
+    postings = (
+        tdc.join(dl, "doc_id")
+        .join(df_t, "term")
+        .crossJoin(F.broadcast(avg))
+        .select(
+            "term",
+            "doc_id",
+            F.expr(
+                f"CAST(round(round("
+                f"  ln((n - df + 0.5) / (df + 0.5) + 1.0)"
+                f"  * (tf * ({K1} + 1.0))"
+                f"  / (tf + {K1} * (1.0 - {B} + {B} * dl / avgdl))"
+                f", 6) * 1000000, 0) AS BIGINT)"
+            ).alias("c"),
+        )
+    )
+    return postings, df_t, avg
 
 
 def bm25_index_write(
@@ -127,26 +152,22 @@ def _score_topk(
         .select(F.col("doc_id").alias("query_id"), "term")
         .distinct()
     )
-    scored = (
-        qterms.join(postings, "term")
-        .where(F.col("query_id") != F.col("doc_id"))
-        .join(df_t, "term")
+    # stop-term / skew cap applied on the PANEL-sized side BEFORE the
+    # corpus-sized join (r12: the capped terms never reach the postings
+    # join at all, instead of being filtered out of its output), against
+    # the vocabulary-sized df table — the scores themselves were folded
+    # into the postings at index build.
+    qt = (
+        qterms.join(df_t, "term")
         .crossJoin(F.broadcast(avg))
-        .where(F.col("df") <= F.floor(F.col("n") * F.lit(max_df_frac)))  # stop-term / skew cap
-        .select(
-            "query_id",
-            "doc_id",
-            F.expr(
-                f"CAST(round(round("
-                f"  ln((n - df + 0.5) / (df + 0.5) + 1.0)"
-                f"  * (tf * ({K1} + 1.0))"
-                f"  / (tf + {K1} * (1.0 - {B} + {B} * dl / avgdl))"
-                f", 6) * 1000000, 0) AS BIGINT)"
-            ).alias("c"),
-        )
+        .where(F.col("df") <= F.floor(F.col("n") * F.lit(max_df_frac)))
+        .select("query_id", "term")
     )
-    per_pair = scored.groupBy("query_id", "doc_id").agg(
-        F.sum("c").alias("score_micro")
+    per_pair = (
+        qt.join(postings, "term")
+        .where(F.col("query_id") != F.col("doc_id"))
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("c").alias("score_micro"))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("score_micro").desc(), F.col("doc_id").asc()
