@@ -1456,6 +1456,63 @@ def minhash_incremental_decisions(
     collision survive via the left join (is_new = true)."""
     sig_c = minhash_signatures(corpus, id_col, text_col).localCheckpoint()
     sig_b = minhash_signatures(batch, id_col, text_col).localCheckpoint()
+    return minhash_decisions_against_sigs(sig_b, sig_c, id_col, est_threshold)
+
+
+def minhash_index(
+    corpus: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Build the REUSABLE MinHash signature index — the (id, sig) table a
+    daily crawl screens against (in production: the persisted/bucketed
+    signature table; the streaming maintenance twin localCheckpoints it
+    once per day). The band table derives map-side per consumer, so the
+    signature table IS the whole index artifact."""
+    return minhash_signatures(corpus, id_col, text_col)
+
+
+def minhash_index_upsert(
+    sig_c: DataFrame,
+    batch: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """APPEND an accepted batch into the MinHash signature index — the
+    maintenance half of the MinHash daily-crawl loop, the LSH sibling of
+    :func:`exact_substring_index_upsert` (same merge.py::upsert_sink
+    discipline): batch docs REPLACE same-id index rows (a re-crawled doc
+    re-signs its new text; a doc shrunk below shingle length simply
+    leaves), and re-applying a batch is a no-op.  One anti-join on the
+    (bucketed, in production) id + the batch's own signature pass —
+    nothing corpus-sized is re-shingled."""
+    sig_b = minhash_signatures(batch, id_col, text_col)
+    new_ids = batch.select(F.col(id_col).alias("id"))
+    return sig_c.join(new_ids, "id", "left_anti").unionByName(sig_b)
+
+
+def minhash_decisions_against_index(
+    batch: DataFrame,
+    sig_c: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    est_threshold: float = 0.3,
+) -> DataFrame:
+    """:func:`minhash_incremental_decisions` against a PREBUILT
+    :func:`minhash_index` — the per-micro-batch body of the streaming
+    maintenance twin (one row per doc, so any batch chunking of the docs
+    yields exactly the batch operator's decisions)."""
+    sig_b = minhash_signatures(batch, id_col, text_col).localCheckpoint()
+    return minhash_decisions_against_sigs(sig_b, sig_c, id_col, est_threshold)
+
+
+def minhash_decisions_against_sigs(
+    sig_b: DataFrame,
+    sig_c: DataFrame,
+    id_col: str = "doc_id",
+    est_threshold: float = 0.3,
+) -> DataFrame:
+    """The band-blocked A×B decision join of
+    :func:`minhash_incremental_decisions`, factored over prebuilt
+    signature tables so the corpus side can be a maintained index."""
 
     def bands_of(sigs: DataFrame, side: str) -> DataFrame:
         return sigs.select(

@@ -1640,6 +1640,132 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MINHASH_MAINT_ORACLE = f"""
+WITH {_TOKS_CTE},
+sh AS (SELECT doc_id, {_SHINGLES_SQL} AS shingles FROM toks),
+{_minhash_sig_ctes()},
+dd AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0 THEN CAST((doc_id % 15) // 5 AS BIGINT)
+              ELSE -1 END AS day
+  FROM documents
+),
+bands AS (
+  SELECT doc_id, sig, r.b AS band_id,
+         {portable_hash64_sql("CAST(sig[2*r.b+1] AS VARCHAR) || ',' || CAST(sig[2*r.b+2] AS VARCHAR)")} AS band_hash
+    FROM sig CROSS JOIN range(0, {dedup_ops.N_BANDS}) r(b)
+),
+cand AS (
+  SELECT DISTINCT b.doc_id AS b_id, c.doc_id AS c_id
+    FROM bands b
+         JOIN dd db ON db.doc_id = b.doc_id
+         JOIN bands c
+           ON b.band_id = c.band_id AND b.band_hash = c.band_hash
+         JOIN dd dc ON dc.doc_id = c.doc_id
+   WHERE db.day >= 0 AND dc.day < db.day
+),
+est AS (
+  SELECT p.b_id,
+         round(len(list_filter(list_zip(sb.sig, sc.sig), z -> z[1] = z[2])) / 16.0, 6) AS e
+    FROM cand p
+         JOIN sig sb ON sb.doc_id = p.b_id
+         JOIN sig sc ON sc.doc_id = p.c_id
+),
+m AS (
+  SELECT b_id, count(*) AS n_matches, max(e) AS best_est
+    FROM est WHERE e >= 0.3 GROUP BY b_id
+)
+SELECT s.doc_id, CAST(COALESCE(m.n_matches, 0) AS BIGINT) AS n_matches,
+       COALESCE(m.best_est, 0.0) AS best_est,
+       m.n_matches IS NULL AS is_new
+  FROM (SELECT sig.doc_id FROM sig JOIN dd ON dd.doc_id = sig.doc_id
+         WHERE dd.day >= 0) s
+       LEFT JOIN m ON m.b_id = s.doc_id
+"""
+
+
+@query(
+    "stream_minhash_index_maintenance_replay",
+    _MINHASH_MAINT_ORACLE,
+    tags=("dedup", "minhash", "lsh", "incremental", "streaming", "replay"),
+)
+def stream_minhash_index_maintenance_replay(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The MinHash daily-crawl loop with INDEX MAINTENANCE — the LSH
+    sibling of stream_exact_substring_index_maintenance_replay: new
+    documents (doc_id % 5 == 0) arrive in 3 daily micro-batches
+    (day = (doc_id % 15) div 5); each day's docs are screened against
+    the signature index of the seed corpus PLUS all earlier days
+    (minhash_decisions_against_index — band-blocked A×B join, never a
+    self-join), then UPSERTED into the index (minhash_index_upsert —
+    idempotent anti-join + append). Day-aligned replay chunks; the
+    signature index is localCheckpointed per day (the persisted table's
+    MERGE-INTO commit in production). Oracle: the loop replayed
+    set-based — a band collision counts iff the corpus side's day is
+    strictly smaller. Day-internal duplicates deliberately do NOT count
+    (minhash_incremental_decisions contract: they surface when the next
+    day screens against the maintained index)."""
+    import tempfile
+
+    from fdp_dynamically_controlled_streams_spark.sources.registry import (
+        cached_fixture,
+        replay_dir,
+        write_replay_chunks_partitioned,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    fix = cached_fixture(
+        "minhash_maint_replay",
+        sf_dir,
+        lambda p: write_replay_chunks_partitioned(
+            d.where(F.col("doc_id") % 5 == 0).select(
+                "doc_id",
+                "text",
+                F.expr("(doc_id % 15) div 5").alias("day"),
+            ),
+            f"{p}/data",
+            part_col="day",
+            part_values=[0, 1, 2],
+            order_cols=("doc_id",),
+        ),
+    )
+    state = {
+        "sig": dedup_ops.minhash_index(
+            d.where(F.col("doc_id") % 5 != 0)
+        ).localCheckpoint()
+    }
+    tmp = tempfile.mkdtemp(prefix="dcs-mhmaint-")
+    stream = replay_dir(
+        spark, f"{fix}/data", "doc_id long, text string", files_per_trigger=1
+    )
+    out = f"{tmp}/out"
+
+    def _proc(bdf: DataFrame, _bid: int) -> None:
+        bdf = bdf.localCheckpoint()  # one pass over the input files
+        dedup_ops.minhash_decisions_against_index(
+            bdf, state["sig"], est_threshold=0.3
+        ).write.mode("append").parquet(out)
+        state["sig"] = dedup_ops.minhash_index_upsert(
+            state["sig"], bdf
+        ).localCheckpoint()
+
+    with _replay_conf(spark, partitions=8):
+        q = (
+            stream.writeStream.outputMode("append")
+            .foreachBatch(_proc)
+            .option("checkpointLocation", f"{tmp}/chk")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    return _read_replay_out(
+        spark,
+        "doc_id long, n_matches long, best_est double, is_new boolean",
+        out,
+    )
+
+
 _MINHASH_CLUSTERS_ORACLE = f"""
 WITH RECURSIVE {_TOKS_CTE},
 sh AS (SELECT doc_id, {_SHINGLES_SQL} AS shingles FROM toks),

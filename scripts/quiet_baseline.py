@@ -28,7 +28,11 @@ def main() -> int:
         print("usage: quiet_baseline.py <round> [runs]", file=sys.stderr)
         return 2
     rnd = sys.argv[1]
-    runs = int(sys.argv[2]) if len(sys.argv) > 2 else 2
+    # default 3 runs since r12 (r11 verdict task 6: several untouched
+    # sub-second entries drifted +0.2-0.35 s on a 2-run floor; a third
+    # run plus the per-entry min-spread below separates the noise class
+    # from real drift numerically)
+    runs = int(sys.argv[2]) if len(sys.argv) > 2 else 3
     # The child MUST be a full-catalog, default-passes run: a caller env
     # carrying SPARK_GRAFT_BENCH_ENTRIES would make bench.py write
     # BENCH_DETAIL_SUBSET.json and we would silently fold a stale
@@ -56,6 +60,18 @@ def main() -> int:
         k: round(min(d["queries"][k] for d in details), 4)
         for k in details[-1]["queries"]
     }
+    # per-entry min-spread: max-min across the runs' per-entry values —
+    # the measured noise band of THIS baseline. Next round's triage can
+    # treat a regression within an entry's spread as the noise class
+    # without the "file untouched" argument (r11 verdict task 6).
+    qspread = {
+        k: round(
+            max(d["queries"][k] for d in details)
+            - min(d["queries"][k] for d in details),
+            4,
+        )
+        for k in details[-1]["queries"]
+    }
     snap = {
         "protocol": (
             f"min_over_{runs}_quiet_runs_of(min_of_passes)/"
@@ -71,6 +87,7 @@ def main() -> int:
         ],
         "run_host_busy_frac": [d.get("host_busy_frac") for d in details],
         "queries": qmin,
+        "query_min_spread": qspread,
         "note": (
             "builder-side QUIET per-entry baseline: element-wise min "
             "across back-to-back full-catalog bench runs on an idle host "

@@ -4,6 +4,8 @@ against a DuckDB recursive CTE)."""
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from fdp_dynamically_controlled_streams_spark.operators.dedup import (
     connected_components,
 )
@@ -374,6 +376,85 @@ def test_exact_substring_hash64_multi_arrow_batch(spark):
         for r in exact_substring_spans(df, length=12, key="literal").collect()
     )
     assert got == want and len(want) == 9
+
+
+def test_minhash_index_maintenance_laws(spark):
+    """MinHash maintenance-loop laws (the LSH sibling of the ExactSubstr
+    laws below): (1) screening day k against an index maintained by
+    minhash_index_upsert equals the batch incremental operator run
+    day-by-day with an explicitly growing corpus; (2) the upsert is
+    idempotent; (3) a re-crawled doc id's old signature leaves the
+    index."""
+    from fdp_dynamically_controlled_streams_spark.operators.dedup import (
+        minhash_decisions_against_index,
+        minhash_incremental_decisions,
+        minhash_index,
+        minhash_index_upsert,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    alt = "a completely different document about streaming engines at scale"
+    seed = spark.createDataFrame(
+        [(1, base), (2, alt)], "doc_id long, text string"
+    )
+    days = [
+        spark.createDataFrame(
+            [(10, base + " extra"), (11, "unrelated text nothing shared here at all")],
+            "doc_id long, text string",
+        ),
+        spark.createDataFrame(
+            [(20, alt + " suffix"), (21, base + " extra")],
+            "doc_id long, text string",
+        ),
+    ]
+
+    def rows(df):
+        return sorted(
+            (r.doc_id, r.n_matches, r.best_est, r.is_new) for r in df.collect()
+        )
+
+    sig = minhash_index(seed).localCheckpoint()
+    loop_rows = []
+    for day in days:
+        loop_rows += rows(
+            minhash_decisions_against_index(day, sig, est_threshold=0.3)
+        )
+        sig = minhash_index_upsert(sig, day).localCheckpoint()
+    batch_rows, corpus = [], seed
+    for day in days:
+        batch_rows += rows(
+            minhash_incremental_decisions(corpus, day, est_threshold=0.3)
+        )
+        corpus = corpus.unionByName(day)
+    assert sorted(loop_rows) == sorted(batch_rows) and batch_rows
+    # doc 21 (day 1) must match doc 10 (day 0) THROUGH the maintained
+    # index — the cross-day match a static corpus index cannot see
+    d21 = [r for r in loop_rows if r[0] == 21]
+    assert d21 and d21[0][1] >= 1 and not d21[0][3]
+
+    # (2) idempotence
+    sig2 = minhash_index_upsert(sig, days[1]).localCheckpoint()
+    assert sig2.count() == sig.count()
+    probe = spark.createDataFrame([(99, base + " extra")], "doc_id long, text string")
+    assert rows(minhash_decisions_against_index(probe, sig2)) == rows(
+        minhash_decisions_against_index(probe, sig)
+    )
+
+    # (3) re-crawl replaces: doc 10's text changes; a probe of the OLD
+    # text no longer matches doc 10 (only docs 1/21 which still carry it)
+    recrawl = spark.createDataFrame(
+        [(10, "totally new content after recrawl of this url")],
+        "doc_id long, text string",
+    )
+    sig3 = minhash_index_upsert(sig, recrawl).localCheckpoint()
+    old_matches = minhash_decisions_against_index(probe, sig).where(
+        F.col("n_matches") > 0
+    ).collect()
+    new_matches = minhash_decisions_against_index(probe, sig3).where(
+        F.col("n_matches") > 0
+    ).collect()
+    assert old_matches and new_matches
+    assert new_matches[0].n_matches == old_matches[0].n_matches - 1
 
 
 def test_exact_substring_index_maintenance_laws(spark):
