@@ -540,6 +540,90 @@ FROM elems GROUP BY {label_col}, dim
 """
 
 
+def embedding_index(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bits: int = 6,
+) -> DataFrame:
+    """Build the REUSABLE sign-LSH bucketed vector index (id, vec,
+    bucket) — the embedding sibling of dedup.minhash_index /
+    dedup.exact_substring_index: in production the persisted table
+    (bucketed ON ``bucket``) a daily embedding batch joins shuffle-free;
+    the streaming maintenance twin localCheckpoints it per day."""
+    return embeddings.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        sign_bucket(F.col(vec_col), bits).alias("bucket"),
+    )
+
+
+def embedding_index_upsert(
+    index: DataFrame,
+    batch: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bits: int = 6,
+) -> DataFrame:
+    """APPEND an accepted batch into the vector index — the third
+    instance of the maintenance discipline (merge.py::upsert_sink, see
+    dedup.exact_substring_index_upsert): batch rows REPLACE same-id
+    index rows (a re-embedded doc carries its new vector; the old one
+    leaves), re-applying a batch is a no-op.  One anti-join on the id +
+    the batch's own (map-side) bucketize — nothing corpus-sized is
+    re-bucketed."""
+    new_ids = batch.select(F.col(id_col).alias("id"))
+    return index.join(new_ids, "id", "left_anti").unionByName(
+        embedding_index(batch, id_col, vec_col, bits)
+    )
+
+
+def embedding_decisions_against_index(
+    batch: DataFrame,
+    index: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.25,
+    bits: int = 6,
+) -> DataFrame:
+    """Per NEW vector, its near-duplicate decision against the EXISTING
+    corpus index: (vec_id, n_matches, best_cos, is_new) — the embedding
+    twin of dedup.minhash_decisions_against_index.  Bucket-blocked A×B
+    join (never a self-join, never all-pairs): only same-sign-bucket
+    corpus vectors are scored, candidates with a DIFFERENT id (a
+    re-crawled id never matches its own index row).  The cosine is
+    rounded at 1e-6 exactly like every embedding entry, so the decision
+    is engine-portable."""
+    b = embedding_index(batch, id_col, vec_col, bits)
+    cand = (
+        b.alias("b")
+        .join(index.alias("c"), "bucket")
+        .where(F.col("b.id") != F.col("c.id"))
+        .select(
+            F.col("b.id").alias("b_id"),
+            F.round(cosine(F.col("b.vec"), F.col("c.vec")), 6).alias("cs"),
+        )
+    )
+    matches = (
+        cand.where(F.col("cs") >= threshold)
+        .groupBy("b_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_matches"),
+            F.max("cs").alias("best_cos"),
+        )
+    )
+    return (
+        b.select(F.col("id").alias(id_col))
+        .join(matches, F.col(id_col) == matches.b_id, "left")
+        .select(
+            id_col,
+            F.coalesce("n_matches", F.lit(0)).cast("bigint").alias("n_matches"),
+            F.coalesce("best_cos", F.lit(0.0)).alias("best_cos"),
+            F.col("n_matches").isNull().alias("is_new"),
+        )
+    )
+
+
 def embedding_near_dup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.9,

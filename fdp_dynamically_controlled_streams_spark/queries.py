@@ -2220,6 +2220,112 @@ def dedup_embedding_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim_ops.embedding_near_dup_pairs(e, threshold=0.25, bits=6)
 
 
+@query(
+    "stream_embedding_index_maintenance_replay",
+    f"""
+WITH b AS (
+  SELECT vec_id AS id, embedding AS vec,
+         {sign_bucket_sql("embedding", 6)} AS bucket,
+         CASE WHEN vec_id % 5 = 0 THEN CAST((vec_id % 15) // 5 AS BIGINT)
+              ELSE -1 END AS day
+    FROM embeddings
+),
+cand AS (
+  SELECT x.id AS b_id, round({cosine_sql("x.vec", "c.vec")}, 6) AS cs
+    FROM b x JOIN b c ON x.bucket = c.bucket AND c.day < x.day
+   WHERE x.day >= 0
+),
+m AS (
+  SELECT b_id, count(*) AS n_matches, max(cs) AS best_cos
+    FROM cand WHERE cs >= 0.25 GROUP BY b_id
+)
+SELECT s.id AS vec_id, CAST(COALESCE(m.n_matches, 0) AS BIGINT) AS n_matches,
+       COALESCE(m.best_cos, 0.0) AS best_cos,
+       m.n_matches IS NULL AS is_new
+  FROM (SELECT id FROM b WHERE day >= 0) s
+       LEFT JOIN m ON m.b_id = s.id
+""",
+    tags=("dedup", "embedding", "incremental", "streaming", "replay"),
+)
+def stream_embedding_index_maintenance_replay(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The EMBEDDING daily-crawl loop with index maintenance — the third
+    modality of the screen-then-upsert discipline (ExactSubstr chars,
+    MinHash lexical shingles, THIS: dense vectors): new vectors
+    (vec_id % 5 == 0) arrive in 3 daily micro-batches (day =
+    (vec_id % 15) div 5); each day is screened against the sign-LSH
+    bucketed vector index of the seed corpus plus earlier days
+    (similarity.embedding_decisions_against_index — bucket-blocked A×B
+    join, cosine >= 0.25 at the catalog's near-dup threshold), then
+    UPSERTED into the index (embedding_index_upsert — idempotent
+    anti-join + map-side bucketize). Output: one (vec_id, n_matches,
+    best_cos, is_new) decision row per new vector. Day-aligned replay
+    chunks; the index is localCheckpointed per day (the persisted
+    bucketed table's commit in production)."""
+    import tempfile
+
+    from fdp_dynamically_controlled_streams_spark.sources.registry import (
+        cached_fixture,
+        replay_dir,
+        write_replay_chunks_partitioned,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    fix = cached_fixture(
+        "embedding_maint_replay",
+        sf_dir,
+        lambda p: write_replay_chunks_partitioned(
+            e.where(F.col("vec_id") % 5 == 0).select(
+                "vec_id",
+                "embedding",
+                F.expr("(vec_id % 15) div 5").alias("day"),
+            ),
+            f"{p}/data",
+            part_col="day",
+            part_values=[0, 1, 2],
+            order_cols=("vec_id",),
+        ),
+    )
+    state = {
+        "idx": sim_ops.embedding_index(
+            e.where(F.col("vec_id") % 5 != 0), bits=6
+        ).localCheckpoint()
+    }
+    tmp = tempfile.mkdtemp(prefix="dcs-embmaint-")
+    stream = replay_dir(
+        spark,
+        f"{fix}/data",
+        "vec_id long, embedding array<float>",
+        files_per_trigger=1,
+    )
+    out = f"{tmp}/out"
+
+    def _proc(bdf: DataFrame, _bid: int) -> None:
+        bdf = bdf.localCheckpoint()  # one pass over the input files
+        sim_ops.embedding_decisions_against_index(
+            bdf, state["idx"], threshold=0.25, bits=6
+        ).write.mode("append").parquet(out)
+        state["idx"] = sim_ops.embedding_index_upsert(
+            state["idx"], bdf, bits=6
+        ).localCheckpoint()
+
+    with _replay_conf(spark, partitions=8):
+        q = (
+            stream.writeStream.outputMode("append")
+            .foreachBatch(_proc)
+            .option("checkpointLocation", f"{tmp}/chk")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    return _read_replay_out(
+        spark,
+        "vec_id long, n_matches long, best_cos double, is_new boolean",
+        out,
+    )
+
+
 # =========================================================================
 # 8. Similarity search (charter extension) — operators/similarity.py
 # =========================================================================

@@ -457,6 +457,59 @@ def test_minhash_index_maintenance_laws(spark):
     assert new_matches[0].n_matches == old_matches[0].n_matches - 1
 
 
+def test_embedding_index_maintenance_laws(spark):
+    """Embedding (vector) maintenance-loop laws — the third modality of
+    the screen-then-upsert discipline: (1) day-k decisions against the
+    maintained index see vectors added on earlier days; (2) upsert is
+    idempotent; (3) a re-embedded id's old vector leaves the index."""
+    from fdp_dynamically_controlled_streams_spark.operators.similarity import (
+        embedding_decisions_against_index,
+        embedding_index,
+        embedding_index_upsert,
+    )
+
+    def vecs(rows):
+        return spark.createDataFrame(
+            [(i, [float(x) for x in v]) for i, v in rows],
+            "vec_id long, embedding array<float>",
+        )
+
+    v1 = [1.0, 0.5, 0.2, 0.1]
+    v2 = [-1.0, -0.5, 0.3, 0.2]
+    seed = vecs([(1, v1)])
+    day0 = vecs([(10, v2)])  # new direction, no match vs seed
+    day1 = vecs([(20, v2)])  # matches day0's vector via the index
+
+    idx = embedding_index(seed, bits=4).localCheckpoint()
+    d0 = embedding_decisions_against_index(day0, idx, threshold=0.9, bits=4)
+    assert [(r.vec_id, r.n_matches, r.is_new) for r in d0.collect()] == [
+        (10, 0, True)
+    ]
+    idx = embedding_index_upsert(idx, day0, bits=4).localCheckpoint()
+    d1 = embedding_decisions_against_index(day1, idx, threshold=0.9, bits=4)
+    assert [(r.vec_id, r.n_matches, r.is_new) for r in d1.collect()] == [
+        (20, 1, False)
+    ]
+    # (2) idempotent re-apply
+    idx2 = embedding_index_upsert(idx, day0, bits=4).localCheckpoint()
+    assert idx2.count() == idx.count()
+    assert [
+        (r.vec_id, r.n_matches)
+        for r in embedding_decisions_against_index(
+            day1, idx2, threshold=0.9, bits=4
+        ).collect()
+    ] == [(20, 1)]
+    # (3) re-embed id 10 to a different direction: day1's vector no
+    # longer matches anything
+    idx3 = embedding_index_upsert(idx, vecs([(10, v1)]), bits=4).localCheckpoint()
+    assert [
+        (r.vec_id, r.n_matches, r.is_new)
+        for r in embedding_decisions_against_index(
+            day1, idx3, threshold=0.9, bits=4
+        ).collect()
+    ] == [(20, 0, True)]
+
+
 def test_exact_substring_index_maintenance_laws(spark):
     """The N-day maintenance loop's laws (r11 verdict task 1):
     (1) screening day k against an index maintained by
