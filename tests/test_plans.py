@@ -851,6 +851,57 @@ def test_exact_substring_spans_plan_shape(audits, spark):
     assert lit.n_python_evals == 0
 
 
+def test_index_maintenance_loops_blocked_equi_joins(spark):
+    """The three daily-crawl maintenance loops' per-day bodies (r12):
+    every decision join is a BLOCKED EQUI-join (band / bucket / hash
+    key) — never nested-loop, never all-pairs — and the only Python
+    eval anywhere is the ExactSubstr family's declared rolling-hash
+    kernel. The upsert side must be one anti-join + union with no
+    Python beyond that same kernel."""
+    from pyspark.sql import functions as F
+
+    from fdp_dynamically_controlled_streams_spark.operators import (
+        dedup as dd,
+    )
+    from fdp_dynamically_controlled_streams_spark.operators import (
+        similarity as sim,
+    )
+    from fdp_dynamically_controlled_streams_spark.plans.audit import audit_plan
+    from fdp_dynamically_controlled_streams_spark.schemas import load_table
+
+    d = load_table(spark, SF_DIR, "documents")
+    e = load_table(spark, SF_DIR, "embeddings")
+    corpus, batch = d.where(F.col("doc_id") % 5 != 0), d.where(
+        F.col("doc_id") % 5 == 0
+    )
+
+    # MinHash: decisions + upsert — all-equi, JVM-side
+    sig = dd.minhash_index(corpus)
+    a = audit_plan(dd.minhash_decisions_against_index(batch, sig))
+    assert a.n_nestedloop_joins == 0 and a.n_python_evals == 0
+    a = audit_plan(dd.minhash_index_upsert(sig, batch))
+    assert a.n_nestedloop_joins == 0 and a.n_python_evals == 0
+
+    # Embedding: bucket-blocked equi join, JVM-side
+    ec, eb = e.where(F.col("vec_id") % 5 != 0), e.where(F.col("vec_id") % 5 == 0)
+    idx = sim.embedding_index(ec)
+    a = audit_plan(sim.embedding_decisions_against_index(eb, idx))
+    assert a.n_nestedloop_joins == 0 and a.n_python_evals == 0
+    a = audit_plan(sim.embedding_index_upsert(idx, eb))
+    assert a.n_nestedloop_joins == 0 and a.n_python_evals == 0
+
+    # ExactSubstr: equi-only with the declared Arrow kernel as the single
+    # Python boundary class
+    cbase, ch = dd.exact_substring_index(corpus, length=24)
+    a = audit_plan(
+        dd.exact_substring_incremental_against_index(batch, cbase, ch, length=24)
+    )
+    assert a.n_nestedloop_joins == 0 and a.n_python_evals > 0
+    ncb, nch = dd.exact_substring_index_upsert(cbase, ch, batch, length=24)
+    a = audit_plan(nch)
+    assert a.n_nestedloop_joins == 0
+
+
 def test_stream_degree_count_batch_shape(spark):
     # The streaming entry's per-batch plan is dropDuplicates state +
     # count agg; audit its BATCH twin (the oracle shape the snapshot must
