@@ -264,11 +264,51 @@ def tfidf_dot_topk(
     MICRO-INT, so the dot is an order-independent integer sum — the same
     postings ⋈ query-terms join bound as BM25, never query × corpus.
     Returns (query_id, doc_id, rank, dot_micro2)."""
-    w = tfidf_ops.tfidf(docs, text_col, id_col).select(
+    w = _tfidf_weights(docs, id_col, text_col)
+    return _tfidf_dot_score(w, query_docs, k, id_col)
+
+
+def _tfidf_weights(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """The corpus-sized integer weight table (doc_id, term, wi) — the
+    TF-IDF ranker's whole index (same index-once discipline as the BM25
+    postings since r12: idf and the micro-int snap are corpus facts,
+    computed at build time)."""
+    return tfidf_ops.tfidf(docs, text_col, id_col).select(
         "doc_id",
         "term",
         F.expr(f"CAST(round(weight * {RRF_SCALE}, 0) AS BIGINT)").alias("wi"),
     )
+
+
+def tfidf_index_write(
+    docs: DataFrame, path: str, id_col: str = "doc_id", text_col: str = "text"
+) -> None:
+    """Materialize the TF-IDF weight index (the production index-once /
+    query-many artifact, mirroring :func:`bm25_index_write`; parquet
+    round-trips the bigint weights exactly, so indexed answers are
+    bit-identical to the inline build)."""
+    _tfidf_weights(docs, id_col, text_col).write.mode("overwrite").parquet(
+        f"{path}/weights"
+    )
+
+
+def tfidf_dot_topk_from_index(
+    spark,
+    path: str,
+    query_docs: DataFrame,
+    k: int = 10,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Query phase of the TF-IDF dot ranker against an index written by
+    :func:`tfidf_index_write`."""
+    return _tfidf_dot_score(
+        spark.read.parquet(f"{path}/weights"), query_docs, k, id_col
+    )
+
+
+def _tfidf_dot_score(
+    w: DataFrame, query_docs: DataFrame, k: int, id_col: str
+) -> DataFrame:
     qids = query_docs.select(F.col(id_col).alias("query_id")).distinct()
     qw = w.join(
         qids, w.doc_id == qids.query_id

