@@ -157,30 +157,51 @@ def ewma(
     """
     one_minus = 1.0 - alpha
 
-    def run(pdf):
+    # ONE mapInPandas scan per partition instead of applyInPandas per KEY
+    # (r12: with ~10k users per 100k events the per-group Arrow/pandas
+    # dispatch dominated the entry — one kernel call per key). Keys are
+    # hash-partitioned and sorted (key, ts, id) within each partition;
+    # the kernel carries per-key state in a dict ACROSS Arrow batches of
+    # its partition, so any maxRecordsPerBatch chunking yields the same
+    # recurrence (same guarantee class as the rolling-hash kernel's
+    # cross-batch law). Identical op order per key -> identical doubles.
+    def kernel(batches):
         import numpy as np
         import pandas as pd
 
-        pdf = pdf.sort_values([ts_col, id_col], kind="mergesort")
-        x = pdf[val_col].to_numpy(dtype="float64")
-        y = np.empty_like(x)
-        prev = 0.0
-        for i in range(len(x)):
-            prev = x[i] if i == 0 else one_minus * prev + alpha * x[i]
-            y[i] = prev
-        return pd.DataFrame(
+        empty = pd.DataFrame(
             {
-                "user_id": pdf[key_col].to_numpy(dtype="int64"),
-                "event_id": pdf[id_col].to_numpy(dtype="int64"),
-                "value": x,
-                "ewma": y,
+                "user_id": pd.Series([], dtype="int64"),
+                "event_id": pd.Series([], dtype="int64"),
+                "value": pd.Series([], dtype="float64"),
+                "ewma": pd.Series([], dtype="float64"),
             }
         )
+        state: dict[int, float] = {}
+        for pdf in batches:
+            n = len(pdf)
+            if not n:
+                yield empty
+                continue
+            k = pdf[key_col].to_numpy(dtype="int64")
+            x = pdf[val_col].to_numpy(dtype="float64")
+            ids = pdf[id_col].to_numpy(dtype="int64")
+            y = np.empty_like(x)
+            for i in range(n):
+                ki = k[i]
+                prev = state.get(ki)
+                prev = x[i] if prev is None else one_minus * prev + alpha * x[i]
+                y[i] = prev
+                state[ki] = prev
+            yield pd.DataFrame(
+                {"user_id": k, "event_id": ids, "value": x, "ewma": y}
+            )
 
     out = (
         df.select(key_col, ts_col, val_col, id_col)
-        .groupBy(key_col)
-        .applyInPandas(run, EWMA_SCHEMA)
+        .repartition(F.col(key_col))
+        .sortWithinPartitions(key_col, ts_col, id_col)
+        .mapInPandas(kernel, EWMA_SCHEMA)
     )
     # Rounding happens JVM-side so the Spark/DuckDB pairing stays the
     # repo's established HALF_UP round ↔ round (np.round is half-even).

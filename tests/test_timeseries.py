@@ -176,3 +176,31 @@ def test_ewma_partition_invariance(spark):
         )
     )
     assert a == b
+
+
+def test_ewma_many_tiny_arrow_batches(spark):
+    """Force the r12 mapInPandas EWMA kernel through tiny Arrow batches
+    (maxRecordsPerBatch=3): a key's rows span many batches inside a
+    partition, so the kernel's cross-batch state dict must resume each
+    key's recurrence exactly — results equal the default batching."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (u, t0 + dt.timedelta(minutes=i), float((i * u * 7) % 31), u * 1000 + i)
+        for u in range(1, 5)
+        for i in range(25)
+    ]
+    df = _ev(spark, rows)
+    want = sorted(
+        map(tuple, ewma(df, "user_id", "ts", "value", "event_id").collect())
+    )
+    prev = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "3")
+    try:
+        got = sorted(
+            map(tuple, ewma(df, "user_id", "ts", "value", "event_id").collect())
+        )
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)
+    assert got == want and len(want) == 100
