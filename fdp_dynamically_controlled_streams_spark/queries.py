@@ -1730,11 +1730,16 @@ def stream_minhash_index_maintenance_replay(
             order_cols=("doc_id",),
         ),
     )
-    state = {
-        "sig": dedup_ops.minhash_index(
+    def build_idx(p: str) -> None:
+        # the persisted signature index (same index-once discipline as
+        # the ExactSubstr fixture; signatures are deterministic and
+        # parquet round-trips the bigint arrays exactly)
+        dedup_ops.minhash_index(
             d.where(F.col("doc_id") % 5 != 0)
-        ).localCheckpoint()
-    }
+        ).write.mode("overwrite").parquet(f"{p}/sig")
+
+    idx = cached_fixture("minhash_index", sf_dir, build_idx)
+    state = {"sig": spark.read.parquet(f"{idx}/sig")}
     tmp = tempfile.mkdtemp(prefix="dcs-mhmaint-")
     stream = replay_dir(
         spark, f"{fix}/data", "doc_id long, text string", files_per_trigger=1
