@@ -593,7 +593,18 @@ def embedding_decisions_against_index(
     corpus vectors are scored, candidates with a DIFFERENT id (a
     re-crawled id never matches its own index row).  The cosine is
     rounded at 1e-6 exactly like every embedding entry, so the decision
-    is engine-portable."""
+    is engine-portable.
+
+    SCALE LEVER — ``bits`` is not a constant at 100 TB: candidate work
+    per batch vector grows with corpus/2^bits (bucket occupancy), so at
+    FIXED bits the loop densifies super-linearly with corpus volume —
+    measured honestly by the 3-point fit in SCALE_FIT.json (bits=6, 64
+    buckets: 10x volume → ~21x wall, pure bucket densification; the
+    verify stays exact regardless since bucketing only gates which
+    pairs are scored).  Production sizing: bits ≈ log2(corpus /
+    target_bucket_occupancy), re-bucketing on the same compaction
+    cadence as the index itself — the same "index parameter tracks
+    corpus size" rule as IVF's cell count (pq.py)."""
     b = embedding_index(batch, id_col, vec_col, bits)
     cand = (
         b.alias("b")
