@@ -2107,6 +2107,7 @@ def stream_exact_substring_incremental_replay(
     idx = _exact_substring_index_fixture(spark, sf_dir)
     cbase = spark.read.parquet(f"{idx}/cbase")
     ch = spark.read.parquet(f"{idx}/ch")
+    dh = spark.read.parquet(f"{idx}/dh")  # persisted distinct-hash table
     fix = cached_fixture(
         "exact_substr_incr_replay",
         sf_dir,
@@ -2125,7 +2126,7 @@ def stream_exact_substring_incremental_replay(
 
     def _proc(bdf: DataFrame, _bid: int) -> None:
         dedup_ops.exact_substring_incremental_against_index(
-            bdf, cbase, ch, length=24
+            bdf, cbase, ch, length=24, dh=dh
         ).write.mode("append").parquet(out)
 
     with _replay_conf(spark, partitions=8):
