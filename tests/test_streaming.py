@@ -387,3 +387,41 @@ def test_progress_recorder_observes_replay_micro_batches(spark):
         assert any((b.state_rows or 0) > 0 for b in data_batches)
     finally:
         spark.streams.removeListener(rec)
+
+
+def test_write_replay_chunks_partitioned_exact_boundaries(spark, tmp_path):
+    """Exact-boundary chunk writer contract (r12, the index-maintenance
+    loops' fixture): EXACTLY one chunk file per listed value in listed
+    order (mtimes strictly increasing), every chunk holds all and only
+    its value's rows sorted by the order cols, the partition column is
+    dropped, and an empty value still yields a (schema-bearing) chunk so
+    the replay's day numbering never shifts."""
+    import glob
+    import os
+
+    import pandas as pd
+
+    from fdp_dynamically_controlled_streams_spark.sources.registry import (
+        write_replay_chunks_partitioned,
+    )
+
+    path = str(tmp_path / "chunks")
+    df = spark.range(0, 90).selectExpr(
+        "id AS doc_id", "id % 3 AS day", "CAST(id AS STRING) AS text"
+    ).where("day != 1 OR doc_id < 40")
+    write_replay_chunks_partitioned(
+        df, path, part_col="day", part_values=[0, 1, 2, 9],
+        order_cols=("doc_id",),
+    )
+    files = sorted(glob.glob(os.path.join(path, "chunk-*.parquet")))
+    assert len(files) == 4
+    mtimes = [os.path.getmtime(f) for f in files]
+    assert mtimes == sorted(mtimes) and len(set(mtimes)) == len(mtimes)
+    for i, (f, day) in enumerate(zip(files, [0, 1, 2, 9])):
+        pdf = pd.read_parquet(f)
+        assert "day" not in pdf.columns
+        want = sorted(
+            r.doc_id for r in df.where(f"day = {day}").collect()
+        )
+        assert list(pdf["doc_id"]) == want
+    assert sum(len(pd.read_parquet(f)) for f in files) == df.count()
