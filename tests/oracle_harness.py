@@ -31,7 +31,10 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
         if pd.api.types.is_datetime64_any_dtype(df[c]):
             df[c] = df[c].astype("datetime64[us]").astype(str)
         elif pd.api.types.is_float_dtype(df[c]):
-            df[c] = df[c].astype("float64")
+            # + 0.0 folds -0.0 to +0.0 (every other value bit-unchanged):
+            # compare() treats them equal, so row_hash must render them
+            # identically too, or a cosmetic sign could flip hash_match
+            df[c] = df[c].astype("float64") + 0.0
         elif pd.api.types.is_integer_dtype(df[c]):
             df[c] = df[c].astype("int64")  # unify widths; int-vs-float stays a FAIL
         elif df[c].dtype == object:
