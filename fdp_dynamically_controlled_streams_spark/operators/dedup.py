@@ -1009,6 +1009,27 @@ def exact_substring_distinct_hashes_append(
     return dh.unionByName(bh.select("h").distinct().localCheckpoint())
 
 
+def exact_substring_index_compact(
+    cbase: DataFrame, ch: DataFrame
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """COMPACT the maintained ExactSubstr index — the cadence operation
+    the delta upsert and append-only distinct-hash table defer to
+    (dedup.py::exact_substring_index_upsert_delta /
+    exact_substring_distinct_hashes_append): re-materialize the
+    composed (cbase, ch) pair, collapsing the accumulated anti-join /
+    union chain, and REBUILD the distinct-hash table from the live
+    windows — reclaiming the stale fraction left by re-crawl upserts
+    (retired windows' hashes) and the cross-day duplicates the
+    append-only table tolerates.  In production this is the periodic
+    table rewrite (OPTIMIZE / rewrite-compaction) every delta-appended
+    table needs; here localCheckpoint is the materialization.  Law
+    (tests/test_dedup_clusters.py): decisions against the compacted
+    index equal decisions against the composed one — compaction is
+    invisible to semantics, it only resets the cost shape."""
+    cbase2, ch2 = cbase.localCheckpoint(), ch.localCheckpoint()
+    return cbase2, ch2, ch2.select("h").distinct().localCheckpoint()
+
+
 def exact_substring_maintenance_sql(
     table: str = "documents",
     id_col: str = "doc_id",

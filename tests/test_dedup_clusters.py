@@ -606,6 +606,65 @@ def test_exact_substring_index_maintenance_laws(spark):
     )
 
 
+def test_exact_substring_index_compaction_invisible(spark):
+    """Compaction law: after delta upserts AND a re-crawl (which leaves
+    stale hashes in the append-only distinct-hash table), decisions
+    against the COMPACTED index equal decisions against the composed
+    one, and the compacted dh is strictly smaller (the stale/duplicate
+    fraction reclaimed)."""
+    from fdp_dynamically_controlled_streams_spark.operators.dedup import (
+        exact_substring_distinct_hashes_append,
+        exact_substring_incremental_against_index,
+        exact_substring_index,
+        exact_substring_index_compact,
+        exact_substring_index_upsert_delta,
+    )
+
+    blk = "a verbatim shared licence block across docs"
+    seed = spark.createDataFrame(
+        [(1, f"seed doc with {blk} inside")], "doc_id long, text string"
+    )
+    cbase, ch = exact_substring_index(seed, length=12)
+    cbase, ch = cbase.localCheckpoint(), ch.localCheckpoint()
+    dh = ch.select("h").distinct().localCheckpoint()
+    # day 0: doc 10 quotes the block; day 1 RE-CRAWLS doc 10 with new text
+    for day in (
+        spark.createDataFrame(
+            [(10, f"day0 doc quoting {blk}")], "doc_id long, text string"
+        ),
+        spark.createDataFrame(
+            [(10, "rewritten content with nothing shared")],
+            "doc_id long, text string",
+        ),
+    ):
+        cbase, ch, bh = exact_substring_index_upsert_delta(
+            cbase, ch, day, length=12
+        )
+        dh = exact_substring_distinct_hashes_append(dh, bh)
+    probe = spark.createDataFrame(
+        [(99, f"probe quoting {blk} here"), (98, "day0 doc quoting nothing")],
+        "doc_id long, text string",
+    )
+
+    def rows(cb, c, d):
+        return sorted(
+            map(
+                tuple,
+                exact_substring_incremental_against_index(
+                    probe, cb, c, length=12, dh=d
+                ).collect(),
+            )
+        )
+
+    before = rows(cbase, ch, dh)
+    cb2, ch2, dh2 = exact_substring_index_compact(cbase, ch)
+    assert rows(cb2, ch2, dh2) == before
+    assert before and {r[0] for r in before} == {99}  # blk survives via seed
+    # stale reclaim: the appended dh carries doc 10's retired day-0
+    # windows; the compacted one only live windows
+    assert dh2.count() < dh.count()
+
+
 def test_exact_substring_null_text_zero_windows(spark):
     """NULL documents contribute ZERO windows in BOTH key tiers (r11
     ADVICE: .astype(str) used to turn SQL NULL into the literal 'None',
