@@ -1187,10 +1187,23 @@ def exact_substring_cut(
 
     [ABSENT in reference: SURVEY §2.7 — engine extension.]
     """
+    spans = exact_substring_spans(docs, id_col, text_col, length, min_docs, key)
+    return exact_substring_cut_from_spans(docs, spans, id_col, text_col)
+
+
+def exact_substring_cut_from_spans(
+    docs: DataFrame,
+    spans: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """:func:`exact_substring_cut` against PRECOMPUTED spans — the
+    production composition (spans are the persisted curation artifact;
+    budget rollup and the cut both consume the same table rather than
+    re-deriving it). Same rows as the inline form by construction."""
     base = docs.select(
         F.col(id_col).alias("id"), F.trim(F.col(text_col)).alias("s")
     )
-    spans = exact_substring_spans(docs, id_col, text_col, length, min_docs, key)
     w = Window.partitionBy(id_col).orderBy("span_start")
     mid = spans.select(
         F.col(id_col).alias("id"),
