@@ -118,6 +118,14 @@ PROBE_ENTRIES = [
     "dedup_exact_substring_incremental",
     "dedup_exact_substring_cut",
     "stream_exact_substring_incremental_replay",
+    # round-12: the three index-maintenance loops join their families'
+    # trend lines in their debut round (screen-then-upsert over a
+    # persisted index = the scale-exposed daily-crawl shape; the
+    # embedding loop additionally carries the measured bits-lever
+    # densification story in SCALE.md)
+    "stream_exact_substring_index_maintenance_replay",
+    "stream_minhash_index_maintenance_replay",
+    "stream_embedding_index_maintenance_replay",
 ]
 
 _ALPHA = "abcdefghijklmnopqrstuvwxyz"
