@@ -938,7 +938,10 @@ def exact_substring_index_upsert(
     the returned pair per day (lineage truncation = the commit).
 
     Returns the new (cbase, ch) pair in :func:`exact_substring_index`'s
-    shape."""
+    shape.
+
+    [ABSENT in reference: SURVEY §2.7 — engine extension.]
+    """
     bbase = batch.select(
         F.col(id_col).alias("id"), F.trim(F.col(text_col)).alias("s")
     )
@@ -972,7 +975,10 @@ def exact_substring_index_upsert_delta(
     Returns (cbase', ch', bh) — the day's own checkpointed window table
     rides along so the caller can maintain the DISTINCT-HASH candidate
     table incrementally (see :func:`exact_substring_distinct_hashes_append`)
-    without re-running the kernel."""
+    without re-running the kernel.
+
+    [ABSENT in reference: SURVEY §2.7 — engine extension.]
+    """
     bbase = batch.select(
         F.col(id_col).alias("id"), F.trim(F.col(text_col)).alias("s")
     ).localCheckpoint()
@@ -1005,7 +1011,10 @@ def exact_substring_distinct_hashes_append(
     cross-day duplicate hashes are allowed for the same over-admission
     reason, so there is no anti-join and no O(index) rewrite per day
     (the first attempt checkpointed the merged table daily and MEASURED
-    SLOWER than the fresh distinct it replaced)."""
+    SLOWER than the fresh distinct it replaced).
+
+    [ABSENT in reference: SURVEY §2.7 — engine extension.]
+    """
     return dh.unionByName(bh.select("h").distinct().localCheckpoint())
 
 
@@ -1025,7 +1034,10 @@ def exact_substring_index_compact(
     table needs; here localCheckpoint is the materialization.  Law
     (tests/test_dedup_clusters.py): decisions against the compacted
     index equal decisions against the composed one — compaction is
-    invisible to semantics, it only resets the cost shape."""
+    invisible to semantics, it only resets the cost shape.
+
+    [ABSENT in reference: SURVEY §2.7 — engine extension.]
+    """
     cbase2, ch2 = cbase.localCheckpoint(), ch.localCheckpoint()
     return cbase2, ch2, ch2.select("h").distinct().localCheckpoint()
 
@@ -1044,7 +1056,10 @@ def exact_substring_maintenance_sql(
     occurs verbatim in the seed corpus (NOT batch_pred) OR in an EARLIER
     day's batch docs.  Set-based replay of the sequential loop: corpus
     day = -1, and a batch window matches any window row with a strictly
-    smaller day."""
+    smaller day.
+
+    [ABSENT in reference: SURVEY §2.7 — engine extension.]
+    """
     return f"""
 WITH d AS (
   SELECT {id_col} AS id, trim({text_col}) AS s,
@@ -1570,7 +1585,10 @@ def minhash_index(
     daily crawl screens against (in production: the persisted/bucketed
     signature table; the streaming maintenance twin localCheckpoints it
     once per day). The band table derives map-side per consumer, so the
-    signature table IS the whole index artifact."""
+    signature table IS the whole index artifact.
+
+    [ABSENT in reference: SURVEY §2.7 — engine extension.]
+    """
     return minhash_signatures(corpus, id_col, text_col)
 
 
@@ -1587,7 +1605,10 @@ def minhash_index_upsert(
     re-signs its new text; a doc shrunk below shingle length simply
     leaves), and re-applying a batch is a no-op.  One anti-join on the
     (bucketed, in production) id + the batch's own signature pass —
-    nothing corpus-sized is re-shingled."""
+    nothing corpus-sized is re-shingled.
+
+    [ABSENT in reference: SURVEY §2.7 — engine extension.]
+    """
     sig_b = minhash_signatures(batch, id_col, text_col)
     new_ids = batch.select(F.col(id_col).alias("id"))
     return sig_c.join(new_ids, "id", "left_anti").unionByName(sig_b)
@@ -1603,7 +1624,10 @@ def minhash_decisions_against_index(
     """:func:`minhash_incremental_decisions` against a PREBUILT
     :func:`minhash_index` — the per-micro-batch body of the streaming
     maintenance twin (one row per doc, so any batch chunking of the docs
-    yields exactly the batch operator's decisions)."""
+    yields exactly the batch operator's decisions).
+
+    [ABSENT in reference: SURVEY §2.7 — engine extension.]
+    """
     sig_b = minhash_signatures(batch, id_col, text_col).localCheckpoint()
     return minhash_decisions_against_sigs(sig_b, sig_c, id_col, est_threshold)
 
@@ -1616,7 +1640,10 @@ def minhash_decisions_against_sigs(
 ) -> DataFrame:
     """The band-blocked A×B decision join of
     :func:`minhash_incremental_decisions`, factored over prebuilt
-    signature tables so the corpus side can be a maintained index."""
+    signature tables so the corpus side can be a maintained index.
+
+    [ABSENT in reference: SURVEY §2.7 — engine extension.]
+    """
 
     def bands_of(sigs: DataFrame, side: str) -> DataFrame:
         return sigs.select(

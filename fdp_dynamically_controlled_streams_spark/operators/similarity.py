@@ -550,7 +550,10 @@ def embedding_index(
     bucket) — the embedding sibling of dedup.minhash_index /
     dedup.exact_substring_index: in production the persisted table
     (bucketed ON ``bucket``) a daily embedding batch joins shuffle-free;
-    the streaming maintenance twin localCheckpoints it per day."""
+    the streaming maintenance twin localCheckpoints it per day.
+
+    [ABSENT in reference: SURVEY §2.7 — engine extension.]
+    """
     return embeddings.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("vec"),
@@ -571,7 +574,10 @@ def embedding_index_upsert(
     index rows (a re-embedded doc carries its new vector; the old one
     leaves), re-applying a batch is a no-op.  One anti-join on the id +
     the batch's own (map-side) bucketize — nothing corpus-sized is
-    re-bucketed."""
+    re-bucketed.
+
+    [ABSENT in reference: SURVEY §2.7 — engine extension.]
+    """
     new_ids = batch.select(F.col(id_col).alias("id"))
     return index.join(new_ids, "id", "left_anti").unionByName(
         embedding_index(batch, id_col, vec_col, bits)
@@ -604,7 +610,10 @@ def embedding_decisions_against_index(
     pairs are scored).  Production sizing: bits ≈ log2(corpus /
     target_bucket_occupancy), re-bucketing on the same compaction
     cadence as the index itself — the same "index parameter tracks
-    corpus size" rule as IVF's cell count (pq.py)."""
+    corpus size" rule as IVF's cell count (pq.py).
+
+    [ABSENT in reference: SURVEY §2.7 — engine extension.]
+    """
     b = embedding_index(batch, id_col, vec_col, bits)
     cand = (
         b.alias("b")
