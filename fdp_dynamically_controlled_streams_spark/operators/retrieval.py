@@ -164,7 +164,10 @@ def _score_topk(
         .select("query_id", "term")
     )
     per_pair = (
-        qt.join(postings, "term")
+        # panel side is the broadcast build — never the corpus postings
+        # (same invariant as bm25_screen_against_raw; at bench SF Spark
+        # would otherwise sometimes pick the postings as BuildRight)
+        F.broadcast(qt).join(postings, "term")
         .where(F.col("query_id") != F.col("doc_id"))
         .groupBy("query_id", "doc_id")
         .agg(F.sum("c").alias("score_micro"))
@@ -241,6 +244,253 @@ SELECT query_id, doc_id, rank, score FROM (
 """
 
 
+def bm25_raw_index(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """The WRITE-OPTIMIZED form of the BM25 index — raw relations
+    (tdc_dl = (doc_id, term, tf, dl), df_t = (term, df), stats = 1 row
+    (n, sumdl)) with nothing globally folded in, so a daily batch can be
+    upserted with vocabulary-sized deltas (:func:`bm25_raw_index_upsert`).
+    The precomputed-contribution postings of :func:`_build_index` are
+    the READ-optimized compacted form: folding idf/avgdl bakes global
+    corpus stats into every row, so any corpus change invalidates all of
+    them — the classic write-vs-read index trade, kept explicit here.
+    ``sumdl`` is an exact BIGINT (dl is a token count), so stats deltas
+    compose exactly and avgdl = sumdl/n reproduces the from-scratch
+    double bit-for-bit.
+
+    [ABSENT in reference: SURVEY §2.7 — engine extension.]"""
+    tdc = tfidf_ops.term_doc_counts(docs, text_col, id_col)
+    dl = tdc.groupBy("doc_id").agg(F.sum("tf").alias("dli"))
+    tdc_dl = tdc.join(dl, "doc_id").select(
+        "doc_id", "term", "tf", F.col("dli").cast("double").alias("dl")
+    )
+    df_t = tdc.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("dli").cast("long").alias("sumdl")
+    )
+    return tdc_dl, df_t, stats
+
+
+def bm25_raw_index_upsert(
+    tdc_dl: DataFrame,
+    df_t: DataFrame,
+    stats: DataFrame,
+    batch: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    delta: bool = False,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """APPEND an accepted batch into the raw BM25 index — the retrieval
+    family's instance of the screen-then-upsert maintenance discipline
+    (merge.py::upsert_sink; see dedup.exact_substring_index_upsert):
+    batch docs REPLACE same-id postings via one anti-join on the
+    (bucketed, in production) doc id; the vocabulary-sized df table and
+    the 1-row stats move by EXACT integer deltas (retired rows' terms
+    decrement, batch terms increment; terms at df 0 leave), so nothing
+    corpus-sized is re-tokenized or re-aggregated. Re-applying a batch
+    is a no-op by construction.
+
+    ``delta=True`` is the streaming-loop form (the ExactSubstr delta
+    lesson, dedup.exact_substring_index_upsert_delta): the BATCH's own
+    relations are localCheckpointed (batch-sized) and the corpus-sized
+    postings composition stays lazy over the already-materialized prior
+    — re-materializing the whole postings table per day is O(corpus)
+    daily; a production MERGE INTO writes exactly this delta. Compact
+    on a cadence.
+
+    [ABSENT in reference: SURVEY §2.7 — engine extension.]"""
+    b_tdc_dl, b_df, b_stats = bm25_raw_index(batch, id_col, text_col)
+    if delta:
+        b_tdc_dl = b_tdc_dl.localCheckpoint()
+        b_df = b_df.localCheckpoint()
+        b_stats = b_stats.localCheckpoint()
+    new_ids = batch.select(F.col(id_col).alias("doc_id"))
+    retired = tdc_dl.join(F.broadcast(new_ids), "doc_id", "left_semi")
+    r_df = retired.groupBy("term").agg(F.count(F.lit(1)).alias("r"))
+    r_stats = retired.groupBy("doc_id").agg(F.first("dl").alias("dl")).agg(
+        F.count(F.lit(1)).alias("rn"),
+        F.coalesce(F.sum("dl").cast("long"), F.lit(0)).alias("rsumdl"),
+    )
+    tdc_dl2 = tdc_dl.join(F.broadcast(new_ids), "doc_id", "left_anti").unionByName(
+        b_tdc_dl
+    )
+    df2 = (
+        df_t.join(r_df, "term", "left")
+        .join(b_df.withColumnRenamed("df", "bdf"), "term", "full")
+        .select(
+            "term",
+            (
+                F.coalesce("df", F.lit(0))
+                - F.coalesce("r", F.lit(0))
+                + F.coalesce("bdf", F.lit(0))
+            ).alias("df"),
+        )
+        .where(F.col("df") > 0)
+    )
+    stats2 = (
+        stats.crossJoin(F.broadcast(r_stats))
+        .crossJoin(F.broadcast(b_stats.withColumnRenamed("n", "bn").withColumnRenamed("sumdl", "bsumdl")))
+        .select(
+            (F.col("n") - F.col("rn") + F.col("bn")).alias("n"),
+            (F.col("sumdl") - F.col("rsumdl") + F.col("bsumdl")).alias("sumdl"),
+        )
+    )
+    return tdc_dl2, df2, stats2
+
+
+def bm25_screen_against_raw(
+    query_docs: DataFrame,
+    tdc_dl: DataFrame,
+    df_t: DataFrame,
+    stats: DataFrame,
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_df_frac: float = 1.0,
+) -> DataFrame:
+    """Screen NEW documents against the raw BM25 index (the contamination
+    / near-source sweep of a daily crawl): top-``k`` corpus matches per
+    query doc, the query docs NOT part of the corpus stats (they are the
+    new batch, not yet upserted). Scoring folds df/avgdl at query time
+    from the vocabulary-sized df table and the 1-row stats — one
+    postings ⋈ query-terms join, same candidate bound as
+    :func:`bm25_topk`, and value-identical to rebuilding the corpus
+    from scratch (exact-integer stats; identical expression shape).
+
+    [ABSENT in reference: SURVEY §2.7 — engine extension.]"""
+    qterms = (
+        tfidf_ops.tokens(query_docs, text_col, id_col)
+        .select(F.col("doc_id").alias("query_id"), "term")
+        .distinct()
+    )
+    avg = stats.select(
+        (F.col("sumdl").cast("double") / F.col("n")).alias("avgdl"), "n"
+    )
+    # idf is a per-(query, term) fact — computed HERE on the panel-term-
+    # sized side (the ln() never runs per candidate row; identical double
+    # by construction since (ln(x)*A)/B evaluates in the same order)
+    qt = (
+        qterms.join(df_t, "term")
+        .crossJoin(F.broadcast(avg))
+        .where(F.col("df") <= F.floor(F.col("n") * F.lit(max_df_frac)))
+        .select(
+            "query_id",
+            "term",
+            F.expr("ln((n - df + 0.5) / (df + 0.5) + 1.0)").alias("idf"),
+            "avgdl",
+        )
+    )
+    # broadcast the PANEL side explicitly: the corpus postings are small
+    # enough at bench SF that Spark otherwise picks them as the
+    # broadcast build (BuildRight) — rebuilding a corpus-sized hash map
+    # per consumer measured as the screen's dominant cost, and at 100 TB
+    # the corpus side must never be the build side anyway.
+    per_pair = (
+        F.broadcast(qt).join(tdc_dl, "term")
+        .where(F.col("query_id") != F.col("doc_id"))
+        .select(
+            "query_id",
+            "doc_id",
+            F.expr(
+                f"CAST(round(round("
+                f"  idf"
+                f"  * (tf * ({K1} + 1.0))"
+                f"  / (tf + {K1} * (1.0 - {B} + {B} * dl / avgdl))"
+                f", 6) * 1000000, 0) AS BIGINT)"
+            ).alias("c"),
+        )
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("c").alias("score_micro"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score_micro").desc(), F.col("doc_id").asc()
+    )
+    return (
+        per_pair.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "doc_id",
+            "rank",
+            (F.col("score_micro") / F.lit(1000000.0)).alias("score"),
+        )
+    )
+
+
+def bm25_maintenance_sql(
+    table: str = "documents",
+    k: int = 10,
+    batch_pred: str = "doc_id % 5 = 0",
+    day_expr: str = "(doc_id % 15) // 5",
+    n_days: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    panel_pred: str = "TRUE",
+) -> str:
+    """DuckDB twin of the N-day BM25 maintenance loop: day-k docs
+    matching ``panel_pred`` scored against the corpus of seed (NOT
+    batch_pred) + days < k, with corpus stats (df, n, avgdl) computed
+    over exactly that corpus — a UNION ALL of per-day from-scratch
+    screens, which the maintained raw index must reproduce
+    bit-for-bit. (The UPSERT side always takes the whole day;
+    ``panel_pred`` bounds only the screening panel, the same
+    worst-case-candidate bound every retrieval entry applies on this
+    tiny-vocabulary fixture.)"""
+    days = []
+    for d in range(n_days):
+        corpus = (
+            f"(SELECT * FROM {table} WHERE NOT ({batch_pred})"
+            f" OR CAST({day_expr} AS BIGINT) < {d})"
+        )
+        days.append(
+            f"""
+SELECT query_id, doc_id, rank, score FROM (
+  WITH ctoks AS (
+    SELECT {id_col} AS doc_id, t.term
+    FROM {corpus} c,
+         UNNEST(regexp_split_to_array(lower({text_col}), '[^a-z0-9]+')) AS t(term)
+    WHERE t.term <> ''
+  ), tdc AS (
+    SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+    FROM ctoks GROUP BY doc_id, term
+  ), dl AS (
+    SELECT doc_id, CAST(sum(tf) AS DOUBLE) AS dl FROM tdc GROUP BY doc_id
+  ), nn AS (SELECT count(*) AS n FROM {corpus} c),
+  avgd AS (SELECT (SELECT sum(dl) FROM dl) / n AS avgdl, n FROM nn),
+  df_t AS (SELECT term, count(*) AS df FROM tdc GROUP BY term),
+  qterms AS (
+    SELECT DISTINCT {id_col} AS query_id, t.term
+    FROM {table} q,
+         UNNEST(regexp_split_to_array(lower({text_col}), '[^a-z0-9]+')) AS t(term)
+    WHERE t.term <> '' AND ({batch_pred}) AND ({panel_pred})
+      AND CAST({day_expr} AS BIGINT) = {d}
+  ), scored AS (
+    SELECT q.query_id, p.doc_id,
+           CAST(round(round(
+               ln((a.n - f.df + 0.5) / (f.df + 0.5) + 1.0)
+               * (p.tf * ({K1} + 1.0))
+               / (p.tf + {K1} * (1.0 - {B} + {B} * d.dl / a.avgdl))
+           , 6) * 1000000, 0) AS BIGINT) AS c
+    FROM qterms q
+    JOIN tdc p ON p.term = q.term AND p.doc_id <> q.query_id
+    JOIN dl d ON d.doc_id = p.doc_id
+    JOIN df_t f ON f.term = q.term
+    CROSS JOIN avgd a
+  ), per_pair AS (
+    SELECT query_id, doc_id, sum(c) AS score_micro
+    FROM scored GROUP BY query_id, doc_id
+  )
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score_micro DESC, doc_id ASC) AS rank,
+         score_micro / 1000000.0 AS score
+  FROM per_pair
+) WHERE rank <= {k}"""
+        )
+    return "\nUNION ALL\n".join(days)
+
+
 # ------------------------------------------------------------------ RRF
 
 #: standard reciprocal-rank-fusion constant (Cormack et al. 2009).
@@ -314,7 +564,8 @@ def _tfidf_dot_score(
         qids, w.doc_id == qids.query_id
     ).select("query_id", "term", F.col("wi").alias("wq"))
     scored = (
-        qw.join(w, "term")
+        F.broadcast(qw)  # panel side builds; the corpus weights never do
+        .join(w, "term")
         .where(F.col("query_id") != F.col("doc_id"))
         .groupBy("query_id", "doc_id")
         .agg(F.sum(F.col("wq") * F.col("wi")).alias("dot_micro2"))

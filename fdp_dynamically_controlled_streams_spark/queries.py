@@ -7174,6 +7174,120 @@ def _bm25_index(spark: SparkSession, sf_dir: str) -> str:
 
 
 @query(
+    "stream_bm25_index_maintenance_replay",
+    retr_ops.bm25_maintenance_sql(
+        "documents",
+        k=10,
+        batch_pred="doc_id % 5 = 0",
+        day_expr="(doc_id % 15) // 5",
+        n_days=3,
+        panel_pred="doc_id % 100 = 0",
+    ),
+    tags=("text", "retrieval", "bm25", "incremental", "streaming", "replay"),
+)
+def stream_bm25_index_maintenance_replay(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The RETRIEVAL family's daily-crawl maintenance loop (completing
+    the screen-then-upsert discipline across dedup AND retrieval): new
+    documents arrive in 3 daily micro-batches; each day's docs are
+    BM25-screened (top-10 corpus matches — the contamination /
+    near-source sweep) against the RAW index of the seed corpus plus
+    earlier days, then UPSERTED in (bm25_raw_index_upsert: anti-join on
+    doc id + EXACT integer deltas on the vocabulary-sized df table and
+    the 1-row (n, sumdl) stats — nothing corpus-sized re-tokenizes, and
+    global stats stay bit-identical to a from-scratch rebuild because
+    sumdl is an exact BIGINT). The raw relations are the WRITE-optimized
+    index form; the precomputed-contribution postings of
+    retrieval_bm25_topk are the READ-optimized compacted form — the
+    explicit write-vs-read index trade (operators/retrieval.py::
+    bm25_raw_index docstring). Oracle: a UNION ALL of per-day
+    from-scratch screens with day-scoped corpus stats."""
+    import tempfile
+
+    from fdp_dynamically_controlled_streams_spark.sources.registry import (
+        cached_fixture,
+        replay_dir,
+        write_replay_chunks_partitioned,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    fix = cached_fixture(
+        "bm25_maint_replay",
+        sf_dir,
+        lambda p: write_replay_chunks_partitioned(
+            d.where(F.col("doc_id") % 5 == 0).select(
+                "doc_id",
+                "text",
+                F.expr("(doc_id % 15) div 5").alias("day"),
+            ),
+            f"{p}/data",
+            part_col="day",
+            part_values=[0, 1, 2],
+            order_cols=("doc_id",),
+        ),
+    )
+    def build_raw(p: str) -> None:
+        # the persisted write-optimized raw index over the seed corpus
+        # (same index-once discipline as every maintenance loop's seed)
+        t0, d0, s0 = retr_ops.bm25_raw_index(d.where(F.col("doc_id") % 5 != 0))
+        t0.write.mode("overwrite").parquet(f"{p}/tdc_dl")
+        d0.write.mode("overwrite").parquet(f"{p}/df_t")
+        s0.write.mode("overwrite").parquet(f"{p}/stats")
+
+    idx = cached_fixture("bm25_raw_index", sf_dir, build_raw)
+    state = {
+        "tdc_dl": spark.read.parquet(f"{idx}/tdc_dl"),
+        "df_t": spark.read.parquet(f"{idx}/df_t"),
+        "stats": spark.read.parquet(f"{idx}/stats"),
+    }
+    tmp = tempfile.mkdtemp(prefix="dcs-bm25maint-")
+    stream = replay_dir(
+        spark, f"{fix}/data", "doc_id long, text string", files_per_trigger=1
+    )
+    out = f"{tmp}/out"
+
+    def _proc(bdf: DataFrame, _bid: int) -> None:
+        bdf = bdf.localCheckpoint()  # one pass over the input files
+        # panel-bounded screening (doc_id % 100 == 0, the same panel
+        # density as retrieval_bm25_topk) — the fixture's 31-word vocabulary
+        # makes EVERY corpus doc a candidate for every query, so an
+        # unbounded panel is query-count × corpus quadratic (the same
+        # bound retrieval_bm25_topk applies); the UPSERT below still
+        # folds the WHOLE day into the index.
+        retr_ops.bm25_screen_against_raw(
+            bdf.where(F.col("doc_id") % 100 == 0),
+            state["tdc_dl"], state["df_t"], state["stats"], k=10,
+        ).write.mode("append").parquet(out)
+        # delta upsert: the day's own relations are checkpointed inside;
+        # the corpus-sized postings composition stays LAZY over the
+        # materialized prior (re-materializing it per day is O(corpus)
+        # daily — the ExactSubstr delta lesson); df/stats are
+        # vocabulary-/row-sized and checkpoint cheaply.
+        t2, d2, s2 = retr_ops.bm25_raw_index_upsert(
+            state["tdc_dl"], state["df_t"], state["stats"], bdf, delta=True
+        )
+        state["tdc_dl"] = t2
+        state["df_t"] = d2.localCheckpoint()
+        state["stats"] = s2.localCheckpoint()
+
+    with _replay_conf(spark, partitions=8):
+        q = (
+            stream.writeStream.outputMode("append")
+            .foreachBatch(_proc)
+            .option("checkpointLocation", f"{tmp}/chk")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    return _read_replay_out(
+        spark,
+        "query_id long, doc_id long, rank int, score double",
+        out,
+    )
+
+
+@query(
     "retrieval_rrf_fusion",
     retr_ops.rrf_fusion_sql(
         "documents", query_pred="doc_id % 200 = 0", k=10, max_df_frac=1.0

@@ -890,6 +890,20 @@ def test_index_maintenance_loops_blocked_equi_joins(spark):
     a = audit_plan(sim.embedding_index_upsert(idx, eb))
     assert a.n_nestedloop_joins == 0 and a.n_python_evals == 0
 
+    # BM25 raw-index loop (r12): screen + upsert all-equi, JVM-side; the
+    # screen's postings join must build on the PANEL side (a broadcast
+    # exists and no sort-merge materializes the corpus as build input)
+    from fdp_dynamically_controlled_streams_spark.operators import (
+        retrieval as rt,
+    )
+
+    tdc_dl, dft, stats = rt.bm25_raw_index(corpus)
+    a = audit_plan(rt.bm25_screen_against_raw(batch, tdc_dl, dft, stats, k=10))
+    assert a.n_nestedloop_joins <= 1  # the 1-row stats attach only
+    assert a.n_python_evals == 0 and a.n_broadcast_joins >= 1
+    a = audit_plan(rt.bm25_raw_index_upsert(tdc_dl, dft, stats, batch)[0])
+    assert a.n_nestedloop_joins == 0 and a.n_python_evals == 0
+
     # ExactSubstr: equi-only with the declared Arrow kernel as the single
     # Python boundary class
     cbase, ch = dd.exact_substring_index(corpus, length=24)

@@ -356,3 +356,66 @@ def test_tfidf_dot_and_bm25_rankers_disagree_and_fuse(spark):
     assert top_a == 2 and top_b == 1  # saturation vs linearity
     fused = [r.doc_id for r in rrf_fuse([a, b.select("query_id", "doc_id", "rank")], topk=3).collect()]
     assert {1, 2} <= set(fused)
+
+
+# ------------------------------------------------- raw-index maintenance
+
+
+def test_bm25_raw_index_maintenance_laws(spark):
+    """Retrieval maintenance laws (r12): (1) screening day k against a
+    raw index maintained by bm25_raw_index_upsert equals screening
+    against a FROM-SCRATCH raw index of the same growing corpus —
+    including the global df/n/avgdl stats, which the upsert moves by
+    exact integer deltas; (2) the upsert is idempotent; (3) a re-crawled
+    doc's old postings leave (its terms' df decrement, df-0 terms leave
+    the table)."""
+    from fdp_dynamically_controlled_streams_spark.operators.retrieval import (
+        bm25_raw_index,
+        bm25_raw_index_upsert,
+        bm25_screen_against_raw,
+    )
+
+    seed = _docs(
+        spark,
+        [
+            (1, "spark streaming engine with keyed state"),
+            (2, "duckdb oracle twin checks every catalog entry"),
+        ],
+    )
+    days = [
+        _docs(spark, [(10, "spark streaming engine again"), (11, "zzz qqq unique")]),
+        _docs(spark, [(20, "duckdb oracle twin again plus spark")]),
+    ]
+    probe = _docs(spark, [(99, "spark streaming oracle")])
+
+    def rows(t, df, s):
+        return sorted(
+            map(tuple, bm25_screen_against_raw(probe, t, df, s, k=10).collect())
+        )
+
+    t, df, s = bm25_raw_index(seed)
+    corpus = seed
+    for day in days:
+        # (1) maintained == from-scratch on the same corpus
+        t2, df2, s2 = bm25_raw_index_upsert(t, df, s, day)
+        corpus = corpus.unionByName(day)
+        ft, fdf, fs = bm25_raw_index(corpus)
+        assert rows(t2, df2, s2) == rows(ft, fdf, fs)
+        assert s2.collect() == fs.collect()
+        t, df, s = t2, df2, s2
+    # (2) idempotence
+    t3, df3, s3 = bm25_raw_index_upsert(t, df, s, days[1])
+    assert rows(t3, df3, s3) == rows(t, df, s)
+    assert s3.collect() == s.collect()
+    # (3) re-crawl: doc 11's unique terms leave the df table entirely
+    assert df.where(F.col("term") == "zzz").count() == 1
+    t4, df4, s4 = bm25_raw_index_upsert(
+        t, df, s, _docs(spark, [(11, "ordinary spark words")])
+    )
+    assert df4.where(F.col("term") == "zzz").count() == 0
+    ft, fdf, fs = bm25_raw_index(
+        corpus.where(F.col("doc_id") != 11).unionByName(
+            _docs(spark, [(11, "ordinary spark words")])
+        )
+    )
+    assert rows(t4, df4, s4) == rows(ft, fdf, fs)
