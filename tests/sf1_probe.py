@@ -126,6 +126,7 @@ PROBE_ENTRIES = [
     "stream_exact_substring_index_maintenance_replay",
     "stream_minhash_index_maintenance_replay",
     "stream_embedding_index_maintenance_replay",
+    "stream_bm25_index_maintenance_replay",
 ]
 
 _ALPHA = "abcdefghijklmnopqrstuvwxyz"
