@@ -960,7 +960,7 @@ def exact_substring_index_upsert_delta(
     id_col: str = "doc_id",
     text_col: str = "text",
     length: int = 24,
-) -> tuple[DataFrame, DataFrame]:
+) -> tuple[DataFrame, DataFrame, DataFrame]:
     """:func:`exact_substring_index_upsert` with DELTA materialization —
     the form the streaming maintenance loop actually runs: only the
     BATCH's projection and window table are localCheckpointed (batch-
@@ -1115,12 +1115,25 @@ def _incremental_positions_hash64(
     # literal verify, candidates only: every DISTINCT corpus window
     # string behind a candidate hash (not one witness — if two different
     # corpus strings collide on h, a batch window equal to either must
-    # still match), sliced via a join back to the text
+    # still match), sliced via a join back to the text.  Each window
+    # string carries its distinct-corpus-id count plus one witness id —
+    # aggregated, NOT exploded per corpus doc, so the verify join stays
+    # one row per window string — and a re-crawled batch id never
+    # matches windows whose ONLY corpus occurrence is its own stale
+    # index row (r12 ADVICE — the same re-crawl consistency as the
+    # MinHash and embedding maintenance screens; with >= 2 distinct
+    # corpus ids at most one can be self, so the match stands).
     cw = (
         ch.join(cand.select("h").distinct(), "h")
         .join(cbase, "id")
-        .select("h", F.expr(f"substring(s, pos, {length})").alias("cw"))
-        .distinct()
+        .select(
+            "id", "h", F.expr(f"substring(s, pos, {length})").alias("cw")
+        )
+        .groupBy("h", "cw")
+        .agg(
+            F.countDistinct("id").alias("c_nids"),
+            F.min("id").alias("c_wid"),
+        )
     )
     bver = cand.join(bbase, "id").select(
         "id",
@@ -1130,7 +1143,10 @@ def _incremental_positions_hash64(
     )
     return (
         bver.join(cw, "h")
-        .where(F.col("bw") == F.col("cw"))
+        .where(
+            (F.col("bw") == F.col("cw"))
+            & ((F.col("c_nids") > 1) | (F.col("c_wid") != F.col("id")))
+        )
         .select("id", "pos", (F.col("pos") + F.lit(length - 1)).alias("end"))
     )
 
@@ -1657,6 +1673,10 @@ def minhash_decisions_against_sigs(
     cand = (
         bands_of(sig_b, "b")
         .join(bands_of(sig_c, "c"), ["band_id", "band_hash"])
+        # re-crawl consistency (r12 ADVICE): a re-crawled id never
+        # matches its own (stale) index row — same self-exclusion as
+        # similarity.embedding_decisions_against_index
+        .where(F.col("b_id") != F.col("c_id"))
         .dropDuplicates(["b_id", "c_id"])
     )
     agree = F.size(

@@ -259,15 +259,34 @@ def bm25_raw_index(
     compose exactly and avgdl = sumdl/n reproduces the from-scratch
     double bit-for-bit.
 
+    Token-LESS documents (empty/whitespace/punctuation-only text —
+    common in real crawls) COUNT toward ``n`` exactly as in
+    :func:`_build_index` (docs count, not dl rows) and the DuckDB twin
+    (``nn AS SELECT count(*) FROM corpus`` — r12 ADVICE): they ride in
+    ``tdc_dl`` as one NULL-term sentinel row (tf 0, dl 0.0) so the
+    upsert's retire-side deltas see them (a re-crawled empty doc
+    decrements n by 1 and sumdl by 0).  Every term equi-join downstream
+    is inner on ``term``, so the sentinel rows never reach a score.
+
     [ABSENT in reference: SURVEY §2.7 — engine extension.]"""
     tdc = tfidf_ops.term_doc_counts(docs, text_col, id_col)
     dl = tdc.groupBy("doc_id").agg(F.sum("tf").alias("dli"))
+    tokenless = (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(dl.select("doc_id"), "doc_id", "left_anti")
+        .select(
+            "doc_id",
+            F.lit(None).cast("string").alias("term"),
+            F.lit(0).cast("long").alias("tf"),
+            F.lit(0.0).alias("dl"),
+        )
+    )
     tdc_dl = tdc.join(dl, "doc_id").select(
         "doc_id", "term", "tf", F.col("dli").cast("double").alias("dl")
-    )
+    ).unionByName(tokenless)
     df_t = tdc.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    stats = dl.agg(
-        F.count(F.lit(1)).alias("n"), F.sum("dli").cast("long").alias("sumdl")
+    stats = docs.agg(F.count(F.lit(1)).alias("n")).crossJoin(
+        dl.agg(F.coalesce(F.sum("dli"), F.lit(0)).cast("long").alias("sumdl"))
     )
     return tdc_dl, df_t, stats
 
@@ -307,7 +326,11 @@ def bm25_raw_index_upsert(
         b_stats = b_stats.localCheckpoint()
     new_ids = batch.select(F.col(id_col).alias("doc_id"))
     retired = tdc_dl.join(F.broadcast(new_ids), "doc_id", "left_semi")
-    r_df = retired.groupBy("term").agg(F.count(F.lit(1)).alias("r"))
+    # NULL-term sentinel rows (token-less docs) carry no df; they retire
+    # through r_stats below (n/sumdl), never through the df delta
+    r_df = retired.where(F.col("term").isNotNull()).groupBy("term").agg(
+        F.count(F.lit(1)).alias("r")
+    )
     r_stats = retired.groupBy("doc_id").agg(F.first("dl").alias("dl")).agg(
         F.count(F.lit(1)).alias("rn"),
         F.coalesce(F.sum("dl").cast("long"), F.lit(0)).alias("rsumdl"),

@@ -113,11 +113,18 @@ def main() -> int:
     # linger forever (r11 ADVICE), and metadata rides per-entry above.
     art = REPO / "SCALE_FIT.json"
     if art.exists():
-        prior = json.loads(art.read_text()).get("entries", {})
-        for k, v in prior.items():
+        payload_prior = json.loads(art.read_text())
+        prior = payload_prior.get("entries", {})
+        for v in prior.values():
             # backfill per-entry metadata for records written by the
-            # pre-r12 script (global metadata was the only record)
+            # pre-r12 script (global metadata was the only record; its
+            # loadavg described the last run, so carry it onto entries
+            # that have none rather than dropping it — r12 ADVICE)
             v.setdefault("points_copies", [1, MID_COPIES, 10])
+            if "loadavg_at_start" in payload_prior:
+                v.setdefault(
+                    "loadavg_at_start", payload_prior["loadavg_at_start"]
+                )
         prior.update(out)
         out = {k: v for k, v in prior.items() if k in cat}
     payload = {

@@ -457,6 +457,74 @@ def test_minhash_index_maintenance_laws(spark):
     assert new_matches[0].n_matches == old_matches[0].n_matches - 1
 
 
+def test_minhash_recrawl_never_self_matches(spark):
+    """Re-crawl consistency (r12 ADVICE): screening a batch that
+    RE-CRAWLS an id already in the index must not match the id's own
+    stale signature row — only OTHER docs count.  With a genuine twin in
+    the index the match stands (the twin is not self)."""
+    from fdp_dynamically_controlled_streams_spark.operators.dedup import (
+        minhash_decisions_against_index,
+        minhash_index,
+        minhash_index_upsert,
+    )
+
+    text = "the quick brown fox jumps over the lazy dog again and again"
+    idx1 = minhash_index(
+        spark.createDataFrame([(1, text)], "doc_id long, text string")
+    ).localCheckpoint()
+    recrawl = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    got = minhash_decisions_against_index(recrawl, idx1, est_threshold=0.3)
+    assert [(r.doc_id, r.n_matches, r.is_new) for r in got.collect()] == [
+        (1, 0, True)
+    ]
+    # a twin doc 2 in the index: the re-crawl of 1 matches 2, not itself
+    idx2 = minhash_index_upsert(
+        idx1, spark.createDataFrame([(2, text)], "doc_id long, text string")
+    ).localCheckpoint()
+    got2 = minhash_decisions_against_index(recrawl, idx2, est_threshold=0.3)
+    assert [(r.doc_id, r.n_matches, r.is_new) for r in got2.collect()] == [
+        (1, 1, False)
+    ]
+
+
+def test_exact_substring_recrawl_never_self_matches(spark):
+    """ExactSubstr re-crawl consistency (r12 ADVICE): a re-crawled id's
+    windows must not verify against its OWN stale index rows; a window
+    shared with any OTHER corpus doc still matches."""
+    from fdp_dynamically_controlled_streams_spark.operators.dedup import (
+        exact_substring_incremental_against_index,
+        exact_substring_index,
+    )
+
+    blk = "a verbatim shared licence block across docs"
+    solo = spark.createDataFrame(
+        [(1, f"seed doc with {blk} inside")], "doc_id long, text string"
+    )
+    cbase, ch = exact_substring_index(solo, length=12)
+    cbase, ch = cbase.localCheckpoint(), ch.localCheckpoint()
+    recrawl = spark.createDataFrame(
+        [(1, f"seed doc with {blk} inside")], "doc_id long, text string"
+    )
+    assert (
+        exact_substring_incremental_against_index(
+            recrawl, cbase, ch, length=12
+        ).count()
+        == 0
+    )
+    # with a second doc sharing the block, the re-crawl DOES match it
+    both = solo.unionByName(
+        spark.createDataFrame(
+            [(2, f"other doc quoting {blk} too")], "doc_id long, text string"
+        )
+    )
+    cb2, ch2 = exact_substring_index(both, length=12)
+    cb2, ch2 = cb2.localCheckpoint(), ch2.localCheckpoint()
+    spans = exact_substring_incremental_against_index(
+        recrawl, cb2, ch2, length=12
+    ).collect()
+    assert len(spans) == 1 and spans[0].span_len >= len(blk)
+
+
 def test_embedding_index_maintenance_laws(spark):
     """Embedding (vector) maintenance-loop laws — the third modality of
     the screen-then-upsert discipline: (1) day-k decisions against the

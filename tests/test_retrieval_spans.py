@@ -419,3 +419,57 @@ def test_bm25_raw_index_maintenance_laws(spark):
         )
     )
     assert rows(t4, df4, s4) == rows(ft, fdf, fs)
+
+
+def test_bm25_raw_index_tokenless_docs(spark):
+    """Token-less documents (empty / punctuation-only text — common in
+    real crawls) count toward n and avgdl exactly as in _build_index and
+    the DuckDB twin (r12 ADVICE): maintained stats stay bit-identical to
+    from-scratch through upserts that add, retire, and re-crawl such
+    docs in both directions."""
+    from fdp_dynamically_controlled_streams_spark.operators.retrieval import (
+        _build_index,
+        bm25_raw_index,
+        bm25_raw_index_upsert,
+        bm25_screen_against_raw,
+    )
+
+    seed = _docs(
+        spark,
+        [
+            (1, "spark streaming engine with keyed state"),
+            (2, ""),
+            (3, " ... !!! "),
+        ],
+    )
+    probe = _docs(spark, [(99, "spark streaming oracle")])
+
+    def rows(t, df, s):
+        return sorted(
+            map(tuple, bm25_screen_against_raw(probe, t, df, s, k=10).collect())
+        )
+
+    t, df, s = bm25_raw_index(seed)
+    # n counts ALL docs (the _build_index / SQL-twin semantics), so the
+    # raw stats reproduce the compacted index's avgdl exactly
+    assert s.collect()[0].n == 3
+    avg_compact = _build_index(seed, "doc_id", "text")[2].collect()[0]
+    srow = s.collect()[0]
+    assert srow.n == avg_compact.n
+    assert srow.sumdl / srow.n == avg_compact.avgdl
+    corpus = seed
+    days = [
+        # a new token-less doc arrives; a token-full one arrives
+        _docs(spark, [(10, ""), (11, "duckdb oracle twin checks spark")]),
+        # re-crawl in BOTH directions: empty -> token-full, full -> empty
+        _docs(spark, [(2, "formerly empty now has spark words"), (11, "")]),
+    ]
+    for day in days:
+        t2, df2, s2 = bm25_raw_index_upsert(t, df, s, day)
+        ids = [r.doc_id for r in day.select("doc_id").collect()]
+        corpus = corpus.where(~F.col("doc_id").isin(ids)).unionByName(day)
+        ft, fdf, fs = bm25_raw_index(corpus)
+        assert s2.collect() == fs.collect()
+        assert rows(t2, df2, s2) == rows(ft, fdf, fs)
+        t, df, s = t2, df2, s2
+    assert s.collect()[0].n == 5
