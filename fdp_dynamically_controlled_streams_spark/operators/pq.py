@@ -36,6 +36,36 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+#: IVF cell sizing target (derived_cells): aim for ~this many vectors
+#: per coarse cell so the n_probe-pruned candidate set stays bounded.
+CELL_TARGET_OCCUPANCY = 256
+
+
+def derived_cells(
+    n: int,
+    target_occupancy: int = CELL_TARGET_OCCUPANCY,
+    min_cells: int = 4,
+    max_cells: int = 65536,
+) -> int:
+    """The IVF coarse-cell count AS A FUNCTION OF CORPUS SIZE — the same
+    "index parameter tracks the corpus" rule as
+    similarity.derived_bits, applied to the k-means quantizer: the
+    smallest power-of-two cell count in [min_cells, max_cells] with
+    ``target_occupancy * cells >= n``.  At fixed cells the per-probe
+    candidate set (~n_probe * n / cells) grows linearly with the corpus;
+    deriving cells pins it near n_probe * target_occupancy.  Power-of-
+    two steps keep re-derivations infrequent (the quantizer retrains —
+    a real cost — only when the corpus doubles past its budget, the
+    natural compaction cadence).  Pure integer arithmetic; FAISS's own
+    guidance (~sqrt(n) cells) sits inside the same envelope for the
+    corpus sizes the catalog exercises.
+
+    [ABSENT in reference: SURVEY §2.7 — engine extension.]"""
+    c = min_cells
+    while c < max_cells and target_occupancy * c < n:
+        c *= 2
+    return c
+
 
 def _subs_expr(vec_col: str, m: int, sub: int) -> str:
     """SQL expr: array of m sub-vectors (double) of length ``sub``."""

@@ -540,6 +540,73 @@ FROM elems GROUP BY {label_col}, dim
 """
 
 
+#: sign-LSH bucket sizing targets (derived_bits): aim for ~TARGET_OCCUPANCY
+#: vectors per bucket, clamped to [MIN_BITS, MAX_BITS] planes.
+TARGET_OCCUPANCY = 16
+MIN_BITS = 2
+MAX_BITS = 16
+
+
+def derived_bits(
+    n: int,
+    target_occupancy: int = TARGET_OCCUPANCY,
+    min_bits: int = MIN_BITS,
+    max_bits: int = MAX_BITS,
+) -> int:
+    """The sign-LSH plane count AS A FUNCTION OF CORPUS SIZE — the r12
+    verdict's scale rule made code instead of prose: the smallest
+    ``bits`` in [min_bits, max_bits] with ``target_occupancy * 2**bits
+    >= n``, i.e. bits ≈ ceil(log2(n / target_occupancy)).  Candidate
+    work per screened vector is proportional to bucket occupancy
+    n / 2**bits; at FIXED bits that grows linearly with the corpus and
+    the bucket-blocked join densifies super-linearly (measured: 10×
+    volume → ~21–27× wall at pinned bits=6, SCALE_FIT r12).  Deriving
+    bits from n pins occupancy ≈ target, so the loop stays linear-class.
+    Pure integer arithmetic (no float log2 — exact at power-of-two
+    boundaries), so the DuckDB twin (:func:`derived_bits_sql`) computes
+    the identical value from the identical count.
+
+    [ABSENT in reference: SURVEY §2.7 — engine extension.]"""
+    b = min_bits
+    while b < max_bits and (target_occupancy << b) < n:
+        b += 1
+    return b
+
+
+def derived_bits_sql(
+    n_expr: str,
+    target_occupancy: int = TARGET_OCCUPANCY,
+    min_bits: int = MIN_BITS,
+    max_bits: int = MAX_BITS,
+) -> str:
+    """DuckDB twin of :func:`derived_bits` over a count expression —
+    exact integer min-over-range, no float log2."""
+    return (
+        f"LEAST({max_bits}, GREATEST({min_bits}, COALESCE("
+        f"(SELECT min(r.b) FROM range(0, {max_bits + 1}) r(b)"
+        f" WHERE {target_occupancy} * (CAST(1 AS BIGINT) << CAST(r.b AS INT))"
+        f" >= ({n_expr})), {max_bits})))"
+    )
+
+
+def embedding_index_rebucket(index: DataFrame, bits: int) -> DataFrame:
+    """RE-BUCKET a maintained sign-LSH vector index to a new plane count
+    — the embedding family's compaction operator (the sibling of
+    dedup.exact_substring_index_compact): one map-side recompute of the
+    bucket column from the stored vectors, NO shuffle, no re-read of the
+    source corpus.  Law (tests/test_dedup_clusters.py): rebucket(index,
+    b) ≡ embedding_index(vectors, b) from scratch — compaction is
+    invisible to semantics; it only resets the occupancy/cost shape.
+    The maintenance loop calls this whenever :func:`derived_bits` moves
+    (the corpus outgrew its bucket budget), which is how the index
+    parameter tracks corpus size instead of being pinned at build time.
+
+    [ABSENT in reference: SURVEY §2.7 — engine extension.]"""
+    return index.select(
+        "id", "vec", sign_bucket(F.col("vec"), bits).alias("bucket")
+    )
+
+
 def embedding_index(
     embeddings: DataFrame,
     id_col: str = "vec_id",
@@ -607,10 +674,13 @@ def embedding_decisions_against_index(
     measured honestly by the 3-point fit in SCALE_FIT.json (bits=6, 64
     buckets: 10x volume → ~21x wall, pure bucket densification; the
     verify stays exact regardless since bucketing only gates which
-    pairs are scored).  Production sizing: bits ≈ log2(corpus /
-    target_bucket_occupancy), re-bucketing on the same compaction
-    cadence as the index itself — the same "index parameter tracks
-    corpus size" rule as IVF's cell count (pq.py).
+    pairs are scored).  Since r13 the sizing rule is CODE, not prose:
+    :func:`derived_bits` (bits ≈ ceil(log2(corpus / target_occupancy)),
+    exact integer) and :func:`embedding_index_rebucket` (map-side
+    re-bucket compaction); the maintenance loop re-derives bits per
+    upsert cadence, so occupancy — and thus per-vector candidate work —
+    stays pinned as the corpus grows.  The same "index parameter tracks
+    corpus size" rule as IVF's cell count (pq.derived_cells).
 
     [ABSENT in reference: SURVEY §2.7 — engine extension.]
     """

@@ -2334,14 +2334,26 @@ def dedup_embedding_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
 WITH b AS (
   SELECT vec_id AS id, embedding AS vec,
-         {sign_bucket_sql("embedding", 6)} AS bucket,
+         {sign_bucket_sql("embedding", sim_ops.MAX_BITS)} AS packed,
          CASE WHEN vec_id % 5 = 0 THEN CAST((vec_id % 15) // 5 AS BIGINT)
-              ELSE -1 END AS day
+              ELSE CAST(-1 AS BIGINT) END AS day
     FROM embeddings
+),
+daycnt AS (
+  SELECT d.day, (SELECT count(*) FROM b x WHERE x.day < d.day) AS n
+    FROM (SELECT DISTINCT day FROM b WHERE day >= 0) d
+),
+daybits AS (
+  SELECT day, {sim_ops.derived_bits_sql("n")} AS bits FROM daycnt
 ),
 cand AS (
   SELECT x.id AS b_id, round({cosine_sql("x.vec", "c.vec")}, 6) AS cs
-    FROM b x JOIN b c ON x.bucket = c.bucket AND c.day < x.day
+    FROM b x
+         JOIN daybits t ON t.day = x.day
+         JOIN b c
+           ON c.day < x.day
+          AND (x.packed % (CAST(1 AS BIGINT) << CAST(t.bits AS INT)))
+            = (c.packed % (CAST(1 AS BIGINT) << CAST(t.bits AS INT)))
    WHERE x.day >= 0
 ),
 m AS (
@@ -2371,7 +2383,19 @@ def stream_embedding_index_maintenance_replay(
     anti-join + map-side bucketize). Output: one (vec_id, n_matches,
     best_cos, is_new) decision row per new vector. Day-aligned replay
     chunks; the index is localCheckpointed per day (the persisted
-    bucketed table's commit in production)."""
+    bucketed table's commit in production).
+
+    DERIVED BITS (r13 — the r12 verdict's top task): the plane count is
+    NOT pinned — each day re-derives bits = derived_bits(|index|)
+    (occupancy-targeted, exact integer) and RE-BUCKETS the index
+    (embedding_index_rebucket, map-side) when the corpus outgrows its
+    bucket budget, so candidate work per screened vector stays pinned
+    near the occupancy target at every scale instead of densifying
+    super-linearly at a fixed bits (SCALE_FIT r12: 10× volume → ~21×
+    wall at pinned bits=6).  The DuckDB twin derives the identical
+    per-day bits from the identical corpus count (derived_bits_sql) and
+    masks the packed MAX_BITS bucket to the day's bits — bit-for-bit
+    the same blocking."""
     import tempfile
 
     from fdp_dynamically_controlled_streams_spark.sources.registry import (
@@ -2396,10 +2420,13 @@ def stream_embedding_index_maintenance_replay(
             order_cols=("vec_id",),
         ),
     )
+    seed = e.where(F.col("vec_id") % 5 != 0)
+    seed_n = seed.count()
+    bits0 = sim_ops.derived_bits(seed_n)
     state = {
-        "idx": sim_ops.embedding_index(
-            e.where(F.col("vec_id") % 5 != 0), bits=6
-        ).localCheckpoint()
+        "idx": sim_ops.embedding_index(seed, bits=bits0).localCheckpoint(),
+        "n": seed_n,
+        "bits": bits0,
     }
     tmp = tempfile.mkdtemp(prefix="dcs-embmaint-")
     stream = replay_dir(
@@ -2412,12 +2439,22 @@ def stream_embedding_index_maintenance_replay(
 
     def _proc(bdf: DataFrame, _bid: int) -> None:
         bdf = bdf.localCheckpoint()  # one pass over the input files
+        # re-derive the plane count from the CURRENT index size; on a
+        # budget overflow the rebucket (map-side, no shuffle) is the
+        # compaction this index family runs on the upsert cadence
+        bits = sim_ops.derived_bits(state["n"])
+        if bits != state["bits"]:
+            state["idx"] = sim_ops.embedding_index_rebucket(
+                state["idx"], bits
+            ).localCheckpoint()
+            state["bits"] = bits
         sim_ops.embedding_decisions_against_index(
-            bdf, state["idx"], threshold=0.25, bits=6
+            bdf, state["idx"], threshold=0.25, bits=bits
         ).write.mode("append").parquet(out)
         state["idx"] = sim_ops.embedding_index_upsert(
-            state["idx"], bdf, bits=6
+            state["idx"], bdf, bits=bits
         ).localCheckpoint()
+        state["n"] = state["idx"].count()
 
     with _replay_conf(spark, partitions=8):
         q = (

@@ -578,6 +578,100 @@ def test_embedding_index_maintenance_laws(spark):
     ] == [(20, 0, True)]
 
 
+def test_derived_bits_exact_integer_rule():
+    """derived_bits is the exact integer form of ceil(log2(n/occ)),
+    clamped — including the power-of-two boundaries where float log2
+    wobbles, and the DuckDB twin computes the identical value."""
+    import math
+
+    import duckdb
+
+    from fdp_dynamically_controlled_streams_spark.operators.similarity import (
+        derived_bits,
+        derived_bits_sql,
+    )
+
+    for n in [0, 1, 15, 16, 17, 63, 64, 65, 511, 512, 513, 2048, 16000,
+              16384, 16385, 1 << 20, 1 << 21]:
+        b = derived_bits(n, target_occupancy=16, min_bits=2, max_bits=16)
+        # exact spec: smallest b in [2,16] with 16*2^b >= n — which is
+        # ceil(log2(n/16)) clamped, computed without float log2
+        spec = 2
+        while spec < 16 and (16 << spec) < n:
+            spec += 1
+        assert b == spec, (n, b, spec)
+        if 16 * (1 << 2) < n < 16 * (1 << 16):
+            assert spec == math.ceil(math.log2(n / 16)), n
+        got_sql = duckdb.sql(
+            f"SELECT {derived_bits_sql(str(n), 16, 2, 16)}"
+        ).fetchone()[0]
+        assert got_sql == spec, (n, got_sql, spec)
+    # the occupancy invariant itself: occupancy n/2^bits <= target
+    # whenever the clamp is not binding
+    for n in [100, 1000, 10_000, 100_000, 1_000_000]:
+        b = derived_bits(n)
+        if b < 16:
+            assert n <= 16 * (1 << b)
+        if b > 2:
+            assert n > 16 * (1 << (b - 1))
+
+
+def test_embedding_index_rebucket_equals_from_scratch(spark):
+    """Rebucket law (r12 verdict task 1): embedding_index_rebucket(index
+    built at b0, b1) is row-identical to embedding_index(vectors, b1)
+    from scratch, and decisions screened against either are equal —
+    compaction is invisible to semantics."""
+    from fdp_dynamically_controlled_streams_spark.operators.similarity import (
+        embedding_decisions_against_index,
+        embedding_index,
+        embedding_index_rebucket,
+    )
+
+    vecs = spark.createDataFrame(
+        [
+            (i, [float(((i * 7 + d * 3) % 11) - 5) for d in range(16)])
+            for i in range(40)
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    idx4 = embedding_index(vecs, bits=4).localCheckpoint()
+    re6 = embedding_index_rebucket(idx4, 6)
+    scratch6 = embedding_index(vecs, bits=6)
+    assert sorted(map(tuple, re6.collect())) == sorted(
+        map(tuple, scratch6.collect())
+    )
+    batch = spark.createDataFrame(
+        [(100 + i, [float(((i * 7 + d * 3) % 11) - 5) for d in range(16)])
+         for i in range(5)],
+        "vec_id long, embedding array<float>",
+    )
+    got = embedding_decisions_against_index(batch, re6, threshold=0.25, bits=6)
+    want = embedding_decisions_against_index(
+        batch, scratch6, threshold=0.25, bits=6
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+    # downsizing works the same way (rebucket is direction-agnostic)
+    assert sorted(map(tuple, embedding_index_rebucket(idx4, 3).collect())) == \
+        sorted(map(tuple, embedding_index(vecs, bits=3).collect()))
+
+
+def test_derived_cells_rule():
+    """derived_cells: power-of-two cell count pinning IVF occupancy."""
+    from fdp_dynamically_controlled_streams_spark.operators.pq import (
+        derived_cells,
+    )
+
+    assert derived_cells(0) == 4 and derived_cells(1024) == 4
+    assert derived_cells(1025) == 8
+    assert derived_cells(256 * 64) == 64
+    assert derived_cells(256 * 64 + 1) == 128
+    n = 10_000_000
+    c = derived_cells(n)
+    assert c & (c - 1) == 0 and 256 * c >= n and 256 * (c // 2) < n
+
+
 def test_exact_substring_index_maintenance_laws(spark):
     """The N-day maintenance loop's laws (r11 verdict task 1):
     (1) screening day k against an index maintained by
