@@ -895,18 +895,23 @@ def exact_substring_incremental_against_index(
     text_col: str = "text",
     length: int = 24,
     dh: DataFrame | None = None,
+    bh: DataFrame | None = None,
 ) -> DataFrame:
     """:func:`exact_substring_incremental` against a PREBUILT
     :func:`exact_substring_index` — the per-micro-batch body of the
     streaming twin (each document is one row, so any batch partitioning
-    of the docs yields exactly the batch operator's spans).  ``dh``
-    optionally supplies a MAINTAINED distinct-hash table (see
-    :func:`exact_substring_distinct_hashes_append`) so the candidate
-    prefilter skips the per-day full distinct over the window index."""
+    of the docs yields exactly the batch operator's spans).  ``dh`` is
+    accepted for API compatibility but IGNORED since r13: the screen's
+    prefilter and literal verify now share ONE map-side pass over the
+    window index (see :func:`_incremental_positions_hash64`), so a
+    maintained distinct-hash table no longer buys anything.  ``bh``
+    optionally supplies the batch's own (checkpointed) window table so
+    the rolling-hash kernel runs ONCE per day shared between screen and
+    upsert (r12 verdict task 2) instead of once per consumer."""
     bbase = batch.select(
         F.col(id_col).alias("id"), F.trim(F.col(text_col)).alias("s")
     )
-    pos = _incremental_positions_hash64(bbase, cbase, ch, length, dh)
+    pos = _incremental_positions_hash64(bbase, cbase, ch, length, dh, bh)
     return _merge_position_spans(pos, id_col)
 
 
@@ -960,6 +965,8 @@ def exact_substring_index_upsert_delta(
     id_col: str = "doc_id",
     text_col: str = "text",
     length: int = 24,
+    bbase: DataFrame | None = None,
+    bh: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """:func:`exact_substring_index_upsert` with DELTA materialization —
     the form the streaming maintenance loop actually runs: only the
@@ -977,12 +984,19 @@ def exact_substring_index_upsert_delta(
     table incrementally (see :func:`exact_substring_distinct_hashes_append`)
     without re-running the kernel.
 
+    ``bbase``/``bh`` (optional, r12 verdict task 2): the batch's
+    ALREADY-CHECKPOINTED projection and window table — when the caller's
+    screen computed them first, passing them here means the rolling-hash
+    kernel runs ONCE per day total, not once per consumer.
+
     [ABSENT in reference: SURVEY §2.7 — engine extension.]
     """
-    bbase = batch.select(
-        F.col(id_col).alias("id"), F.trim(F.col(text_col)).alias("s")
-    ).localCheckpoint()
-    bh = _rolling_window_hashes(bbase, length).localCheckpoint()
+    if bbase is None:
+        bbase = batch.select(
+            F.col(id_col).alias("id"), F.trim(F.col(text_col)).alias("s")
+        ).localCheckpoint()
+    if bh is None:
+        bh = _rolling_window_hashes(bbase, length).localCheckpoint()
     new_ids = bbase.select("id")
     return (
         cbase.join(F.broadcast(new_ids), "id", "left_anti").unionByName(bbase),
@@ -995,11 +1009,18 @@ def exact_substring_distinct_hashes_append(
     dh: DataFrame, bh: DataFrame
 ) -> DataFrame:
     """Maintain the DISTINCT window-hash table of the ExactSubstr index
-    incrementally: dh' = dh ∪ (bh's hashes not already present).  This
-    is the candidate PREFILTER side of
-    :func:`_incremental_positions_hash64` — computing it fresh is a full
-    distinct over the corpus-sized window index EVERY day (measured: the
-    dominant per-day cost of the maintenance loop).  APPEND-ONLY is
+    incrementally: dh' = dh ∪ (bh's hashes not already present).
+
+    LEGACY since r13: the screen's prefilter and verify now share one
+    map-side pass over the window index itself
+    (:func:`_incremental_positions_hash64`), so the maintenance loop no
+    longer consumes dh at all — this operator remains for pipelines
+    that keep a distinct-hash artifact for OTHER consumers (e.g. a
+    bloom-style admission filter built from it).  Original rationale:
+    this was the candidate PREFILTER side of the r12 shuffle-join
+    orientation — computing it fresh was a full distinct over the
+    corpus-sized window index EVERY day (measured then as the dominant
+    per-day cost of the maintenance loop).  APPEND-ONLY is
     exact-by-construction even under re-crawl upserts that retire old
     windows: a stale hash admits candidates with no surviving corpus
     window, and the literal extend-and-verify join yields zero rows for
@@ -1100,6 +1121,7 @@ def _incremental_positions_hash64(
     ch: DataFrame,
     length: int,
     dh: DataFrame | None = None,
+    bh: DataFrame | None = None,
 ) -> DataFrame:
     """The batch-vs-corpus-index join of
     :func:`exact_substring_incremental` (hash64 key), factored so the
@@ -1108,10 +1130,37 @@ def _incremental_positions_hash64(
     micro-batches by the streaming twin.  ``dh`` (optional): a
     maintained, possibly stale-superset distinct-hash table replacing
     the on-the-fly distinct — over-admission is corrected by the
-    literal verify below (exact_substring_distinct_hashes_append)."""
-    bh = _rolling_window_hashes(bbase, length)
-    # candidate batch positions: hash present in the corpus index
-    cand = bh.join(dh if dh is not None else ch.select("h").distinct(), "h")
+    literal verify below (exact_substring_distinct_hashes_append).
+    ``bh`` (optional): the batch's own precomputed window table, shared
+    with the upsert so the kernel runs once per day.
+
+    Join orientation (r13, r12 verdict task 2): the BATCH's distinct
+    hash set is day-bounded (the screen contract — a daily batch is
+    small relative to the corpus), so it BROADCASTS onto ONE map-side
+    pass over the corpus window index, which yields the candidate
+    corpus WINDOWS directly — the prefilter and the verify's corpus
+    side come out of the same single scan, the corpus index is never
+    shuffled and never a hash-map build side, and the separate dh
+    membership pass is gone (r12's bh ⋈ dh and ch ⋈ candidate-hash
+    joins each shuffled the multi-million-row index once per day —
+    measured as the loop's dominant cost, 1.7–1.9 s of a ~2.3 s day at
+    sf0.1).  ``dh`` is therefore IGNORED since r13 (kept for API
+    compatibility): a stale-superset prefilter only helped the shuffle
+    orientation.  The production form of the broadcast is a
+    bucket-co-located ch ⋈ bh join on h (a real crawl's day may be too
+    big to broadcast; bucketing both sides on h gives the same
+    zero-shuffle plan)."""
+    del dh  # unused since the single-scan orientation (see docstring)
+    if bh is None:
+        bh = _rolling_window_hashes(bbase, length)
+    bhd = bh.select("h").distinct()
+    # ONE corpus-index pass: the candidate corpus windows (id, pos, h)
+    # whose hash occurs in the day's windows — day-bounded output,
+    # materialized once for its two consumers (candh + the verify)
+    chf = ch.join(F.broadcast(bhd), "h").localCheckpoint()
+    candh = chf.select("h").distinct()
+    # candidate batch positions: map-side filter of the day's windows
+    cand = bh.join(F.broadcast(candh), "h")
     # literal verify, candidates only: every DISTINCT corpus window
     # string behind a candidate hash (not one witness — if two different
     # corpus strings collide on h, a batch window equal to either must
@@ -1124,7 +1173,7 @@ def _incremental_positions_hash64(
     # MinHash and embedding maintenance screens; with >= 2 distinct
     # corpus ids at most one can be self, so the match stands).
     cw = (
-        ch.join(cand.select("h").distinct(), "h")
+        chf
         .join(cbase, "id")
         .select(
             "id", "h", F.expr(f"substring(s, pos, {length})").alias("cw")
@@ -1628,6 +1677,44 @@ def minhash_index_upsert(
     sig_b = minhash_signatures(batch, id_col, text_col)
     new_ids = batch.select(F.col(id_col).alias("id"))
     return sig_c.join(new_ids, "id", "left_anti").unionByName(sig_b)
+
+
+def minhash_index_upsert_sigs(
+    sig_c: DataFrame, new_ids: DataFrame, sig_b: DataFrame
+) -> DataFrame:
+    """:func:`minhash_index_upsert` over PRE-COMPUTED batch signatures —
+    the delta form the maintenance loop runs (r12 verdict task 2): the
+    screen already paid the batch's shingle+minhash pass and
+    checkpointed ``sig_b``; re-running it inside the upsert doubles the
+    per-day kernel cost for nothing.  ``new_ids`` must be the BATCH's
+    ids (not sig_b's — a doc shrunk below shingle length still retires
+    its old signature).  The prior index composes lazily through a
+    broadcast anti-join (the MERGE-INTO delta a production crawl
+    writes); re-materializing the whole signature table per day is
+    O(corpus) daily — compact on a cadence instead
+    (:func:`minhash_index_compact`).
+
+    [ABSENT in reference: SURVEY §2.7 — engine extension.]
+    """
+    return sig_c.join(F.broadcast(new_ids), "id", "left_anti").unionByName(
+        sig_b
+    )
+
+
+def minhash_index_compact(sig_c: DataFrame) -> DataFrame:
+    """COMPACT the maintained MinHash signature index (r12 verdict task
+    3 — the LSH sibling of :func:`exact_substring_index_compact`): after
+    N delta upserts the logical index is N stacked broadcast anti-joins
+    + unions; compaction materializes the merged table (localCheckpoint
+    here; OPTIMIZE/table-rewrite in production), physically reclaiming
+    rows retired by re-crawls and resetting the composition depth to a
+    bare scan.  Law (tests/test_dedup_clusters.py): decisions against
+    the compacted index equal decisions against the composed one —
+    compaction is invisible to semantics, it only resets the cost shape.
+
+    [ABSENT in reference: SURVEY §2.7 — engine extension.]
+    """
+    return sig_c.localCheckpoint()
 
 
 def minhash_decisions_against_index(

@@ -271,22 +271,31 @@ def bm25_raw_index(
     [ABSENT in reference: SURVEY §2.7 — engine extension.]"""
     tdc = tfidf_ops.term_doc_counts(docs, text_col, id_col)
     dl = tdc.groupBy("doc_id").agg(F.sum("tf").alias("dli"))
-    tokenless = (
+    # one LEFT join from the doc roster: token docs fan out to their
+    # (term, tf) rows; token-less docs keep exactly one row with a NULL
+    # term (a union with a literal-NULL column trips a constraint-
+    # rewrite bug in Spark 4.1's UnionBase under the delta anti-join
+    # chain; the left join expresses the same relation without it)
+    tdc_dl = (
         docs.select(F.col(id_col).alias("doc_id"))
-        .join(dl.select("doc_id"), "doc_id", "left_anti")
+        .join(tdc.join(dl, "doc_id"), "doc_id", "left")
         .select(
             "doc_id",
-            F.lit(None).cast("string").alias("term"),
-            F.lit(0).cast("long").alias("tf"),
-            F.lit(0.0).alias("dl"),
+            "term",
+            F.coalesce("tf", F.lit(0)).alias("tf"),
+            F.coalesce(F.col("dli").cast("double"), F.lit(0.0)).alias("dl"),
         )
     )
-    tdc_dl = tdc.join(dl, "doc_id").select(
-        "doc_id", "term", "tf", F.col("dli").cast("double").alias("dl")
-    ).unionByName(tokenless)
     df_t = tdc.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    stats = docs.agg(F.count(F.lit(1)).alias("n")).crossJoin(
-        dl.agg(F.coalesce(F.sum("dli"), F.lit(0)).cast("long").alias("sumdl"))
+    # n and sumdl in ONE aggregation over the doc roster (token-less
+    # docs contribute (1, 0)) — no 1-row x 1-row cross join in the plan
+    stats = (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(dl, "doc_id", "left")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.sum("dli"), F.lit(0)).cast("long").alias("sumdl"),
+        )
     )
     return tdc_dl, df_t, stats
 
@@ -311,21 +320,48 @@ def bm25_raw_index_upsert(
     is a no-op by construction.
 
     ``delta=True`` is the streaming-loop form (the ExactSubstr delta
-    lesson, dedup.exact_substring_index_upsert_delta): the BATCH's own
-    relations are localCheckpointed (batch-sized) and the corpus-sized
+    lesson, dedup.exact_substring_index_upsert_delta): the BATCH's
+    postings are localCheckpointed ONCE and the vocabulary-sized df and
+    1-row stats DERIVE from that checkpoint (the sentinel rows make the
+    postings self-contained — deriving is bit-identical to rebuilding
+    and skips two extra tokenize passes of the day's documents, r12
+    verdict task 2); the RETIRED same-id rows are likewise materialized
+    once (day-bounded: at most the batch's ids) so the df and stats
+    deltas don't each rescan the corpus-sized postings.  The corpus
     postings composition stays lazy over the already-materialized prior
     — re-materializing the whole postings table per day is O(corpus)
     daily; a production MERGE INTO writes exactly this delta. Compact
-    on a cadence.
+    on a cadence (:func:`bm25_raw_index_compact`).
 
     [ABSENT in reference: SURVEY §2.7 — engine extension.]"""
-    b_tdc_dl, b_df, b_stats = bm25_raw_index(batch, id_col, text_col)
     if delta:
-        b_tdc_dl = b_tdc_dl.localCheckpoint()
-        b_df = b_df.localCheckpoint()
-        b_stats = b_stats.localCheckpoint()
+        b_tdc_dl = bm25_raw_index(batch, id_col, text_col)[0].localCheckpoint()
+        b_df = (
+            b_tdc_dl.where(F.col("term").isNotNull())
+            .groupBy("term")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .localCheckpoint()
+        )
+        b_stats = (
+            b_tdc_dl.groupBy("doc_id")
+            # dl is an integer-valued double; cast BEFORE the sum so the
+            # accumulation is exact integer arithmetic (a double sum is
+            # only exact below 2^53 — not a 100 TB-safe assumption)
+            .agg(F.first("dl").cast("long").alias("dl"))
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.coalesce(F.sum("dl"), F.lit(0)).cast("long").alias("sumdl"),
+            )
+            .localCheckpoint()
+        )
+    else:
+        b_tdc_dl, b_df, b_stats = bm25_raw_index(batch, id_col, text_col)
     new_ids = batch.select(F.col(id_col).alias("doc_id"))
     retired = tdc_dl.join(F.broadcast(new_ids), "doc_id", "left_semi")
+    if delta:
+        # one corpus scan for the retire side; its two delta consumers
+        # below read the (day-bounded) materialized result
+        retired = retired.localCheckpoint()
     # NULL-term sentinel rows (token-less docs) carry no df; they retire
     # through r_stats below (n/sumdl), never through the df delta
     r_df = retired.where(F.col("term").isNotNull()).groupBy("term").agg(
@@ -360,6 +396,34 @@ def bm25_raw_index_upsert(
         )
     )
     return tdc_dl2, df2, stats2
+
+
+def bm25_raw_index_compact(
+    tdc_dl: DataFrame, df_t: DataFrame, stats: DataFrame
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """COMPACT the maintained raw BM25 index (r12 verdict task 3): after
+    N delta upserts the postings relation is N stacked broadcast
+    anti-joins + unions over the materialized prior; compaction
+    re-materializes the merged relations (localCheckpoint here; the
+    periodic OPTIMIZE/table-rewrite in production), physically
+    reclaiming rows retired by re-crawl upserts and resetting the
+    composition depth to a bare scan.  Laws
+    (tests/test_retrieval_spans.py): (1) screening against the
+    compacted index equals screening against the composed one —
+    compaction is invisible to semantics; (2) the maintained df/stats
+    are CONSISTENT with the compacted postings — df_t re-derives
+    exactly from tdc_dl's live rows and (n, sumdl) from its per-doc
+    rows (the NULL-term sentinel rows make the postings relation
+    self-contained), so the exact-integer delta arithmetic is
+    cross-checkable against the physical table at every compaction
+    point.
+
+    [ABSENT in reference: SURVEY §2.7 — engine extension.]"""
+    return (
+        tdc_dl.localCheckpoint(),
+        df_t.localCheckpoint(),
+        stats.localCheckpoint(),
+    )
 
 
 def bm25_screen_against_raw(

@@ -1754,7 +1754,7 @@ def stream_minhash_index_maintenance_replay(
         ),
     )
     idx = _minhash_index_fixture(spark, sf_dir)
-    state = {"sig": spark.read.parquet(f"{idx}/sig")}
+    state = {"sig": spark.read.parquet(f"{idx}/sig"), "day": 0}
     tmp = tempfile.mkdtemp(prefix="dcs-mhmaint-")
     stream = replay_dir(
         spark, f"{fix}/data", "doc_id long, text string", files_per_trigger=1
@@ -1763,12 +1763,23 @@ def stream_minhash_index_maintenance_replay(
 
     def _proc(bdf: DataFrame, _bid: int) -> None:
         bdf = bdf.localCheckpoint()  # one pass over the input files
-        dedup_ops.minhash_decisions_against_index(
-            bdf, state["sig"], est_threshold=0.3
+        # the day's shingle+minhash kernel runs ONCE (r12 verdict task
+        # 2): the screen and the delta upsert share the checkpointed
+        # batch signatures instead of each re-signing the batch
+        sig_b = dedup_ops.minhash_signatures(bdf).localCheckpoint()
+        dedup_ops.minhash_decisions_against_sigs(
+            sig_b, state["sig"], est_threshold=0.3
         ).write.mode("append").parquet(out)
-        state["sig"] = dedup_ops.minhash_index_upsert(
-            state["sig"], bdf
-        ).localCheckpoint()
+        state["sig"] = dedup_ops.minhash_index_upsert_sigs(
+            state["sig"], bdf.select(F.col("doc_id").alias("id")), sig_b
+        )
+        state["day"] += 1
+        if state["day"] == 2:
+            # mid-loop compaction cadence: materialize the composed
+            # anti-join/union chain (semantics-invisible by law —
+            # tests/test_dedup_clusters.py; the replay's hashes are
+            # unchanged with or without this line)
+            state["sig"] = dedup_ops.minhash_index_compact(state["sig"])
 
     with _replay_conf(spark, partitions=8):
         q = (
@@ -2080,7 +2091,6 @@ def dedup_exact_substring_incremental(spark: SparkSession, sf_dir: str) -> DataF
         spark.read.parquet(f"{idx}/cbase"),
         spark.read.parquet(f"{idx}/ch"),
         length=24,
-        dh=spark.read.parquet(f"{idx}/dh"),
     )
 
 
@@ -2168,7 +2178,6 @@ def stream_exact_substring_incremental_replay(
     idx = _exact_substring_index_fixture(spark, sf_dir)
     cbase = spark.read.parquet(f"{idx}/cbase")
     ch = spark.read.parquet(f"{idx}/ch")
-    dh = spark.read.parquet(f"{idx}/dh")  # persisted distinct-hash table
     fix = cached_fixture(
         "exact_substr_incr_replay",
         sf_dir,
@@ -2187,7 +2196,7 @@ def stream_exact_substring_incremental_replay(
 
     def _proc(bdf: DataFrame, _bid: int) -> None:
         dedup_ops.exact_substring_incremental_against_index(
-            bdf, cbase, ch, length=24, dh=dh
+            bdf, cbase, ch, length=24
         ).write.mode("append").parquet(out)
 
     with _replay_conf(spark, partitions=8):
@@ -2261,11 +2270,17 @@ def stream_exact_substring_index_maintenance_replay(
     idx = _exact_substring_index_fixture(spark, sf_dir)
     # the maintained index starts from the PERSISTED seed artifact; the
     # distinct-hash candidate table is part of it, appended per day
-    # (append-only is exact — the literal verify kills stale hashes)
+    # The seed relations stay PARQUET-backed: an A/B that eagerly
+    # localCheckpointed them up front measured SLOWER (7.5 vs 6.8 s —
+    # the row-RDD materialization costs more than three days of
+    # vectorized parquet re-decode saves; recorded in SCALE.md r13).
+    # The dh distinct-hash table is no longer consumed: since r13 the
+    # screen's prefilter and verify share ONE map-side pass over ch
+    # (see _incremental_positions_hash64), so maintaining dh per day
+    # was pure overhead in this orientation.
     state = {
         "cbase": spark.read.parquet(f"{idx}/cbase"),
         "ch": spark.read.parquet(f"{idx}/ch"),
-        "dh": spark.read.parquet(f"{idx}/dh"),
     }
     tmp = tempfile.mkdtemp(prefix="dcs-xsmaint-")
     stream = replay_dir(
@@ -2275,8 +2290,16 @@ def stream_exact_substring_index_maintenance_replay(
 
     def _proc(bdf: DataFrame, _bid: int) -> None:
         bdf = bdf.localCheckpoint()  # one pass over the input files
+        # the day's rolling-hash kernel runs ONCE (r12 verdict task 2):
+        # screen and delta upsert share the checkpointed window table
+        bh = dedup_ops._rolling_window_hashes(
+            bdf.select(
+                F.col("doc_id").alias("id"), F.trim(F.col("text")).alias("s")
+            ),
+            24,
+        ).localCheckpoint()
         dedup_ops.exact_substring_incremental_against_index(
-            bdf, state["cbase"], state["ch"], length=24, dh=state["dh"]
+            bdf, state["cbase"], state["ch"], length=24, bh=bh
         ).write.mode("append").parquet(out)
         # delta upsert: checkpoint the DAY's windows only; the prior
         # index stays materialized and composes lazily (the MERGE-INTO
@@ -2284,13 +2307,18 @@ def stream_exact_substring_index_maintenance_replay(
         # window index per day is O(corpus) daily), and the distinct-hash
         # candidate table appends the day's new hashes instead of
         # re-distincting the whole index
+        # the batch projection stays LAZY off the checkpointed bdf (a
+        # trim is recomputable for free; eagerly re-materializing the
+        # full text measured as a pure extra barrier per day)
         state["cbase"], state["ch"], bh = (
             dedup_ops.exact_substring_index_upsert_delta(
-                state["cbase"], state["ch"], bdf, length=24
+                state["cbase"], state["ch"], bdf, length=24,
+                bbase=bdf.select(
+                    F.col("doc_id").alias("id"),
+                    F.trim(F.col("text")).alias("s"),
+                ),
+                bh=bh,
             )
-        )
-        state["dh"] = dedup_ops.exact_substring_distinct_hashes_append(
-            state["dh"], bh
         )
 
     with _replay_conf(spark, partitions=8):
@@ -7307,6 +7335,17 @@ def stream_bm25_index_maintenance_replay(
         state["tdc_dl"] = t2
         state["df_t"] = d2.localCheckpoint()
         state["stats"] = s2.localCheckpoint()
+        state["day"] = state.get("day", 0) + 1
+        if state["day"] == 2:
+            # mid-loop compaction cadence (bm25_raw_index_compact):
+            # materialize the composed postings chain — semantics-
+            # invisible by law (tests/test_retrieval_spans.py), the
+            # replay's hashes are unchanged with or without this line
+            state["tdc_dl"], state["df_t"], state["stats"] = (
+                retr_ops.bm25_raw_index_compact(
+                    state["tdc_dl"], state["df_t"], state["stats"]
+                )
+            )
 
     with _replay_conf(spark, partitions=8):
         q = (

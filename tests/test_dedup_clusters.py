@@ -578,6 +578,53 @@ def test_embedding_index_maintenance_laws(spark):
     ] == [(20, 0, True)]
 
 
+def test_minhash_index_compaction_invisible(spark):
+    """MinHash compaction law (r12 verdict task 3): after delta upserts
+    (minhash_index_upsert_sigs) including a re-crawl, decisions against
+    the COMPACTED index equal decisions against the composed one, the
+    compacted plan is a bare materialized scan (no join nodes left),
+    and the re-crawled id's stale row is physically gone."""
+    from fdp_dynamically_controlled_streams_spark.operators.dedup import (
+        minhash_decisions_against_index,
+        minhash_index,
+        minhash_index_compact,
+        minhash_index_upsert_sigs,
+        minhash_signatures,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    alt = "a completely different document about streaming engines at scale"
+    sig = minhash_index(
+        spark.createDataFrame([(1, base), (2, alt)], "doc_id long, text string")
+    ).localCheckpoint()
+    days = [
+        spark.createDataFrame([(10, base + " extra")], "doc_id long, text string"),
+        # re-crawl doc 10 with different text: the old signature retires
+        spark.createDataFrame([(10, alt + " suffix")], "doc_id long, text string"),
+    ]
+    for day in days:
+        sb = minhash_signatures(day).localCheckpoint()
+        sig = minhash_index_upsert_sigs(
+            sig, day.select(F.col("doc_id").alias("id")), sb
+        )
+    compacted = minhash_index_compact(sig)
+    probe = spark.createDataFrame(
+        [(99, base + " extra"), (98, alt + " suffix")],
+        "doc_id long, text string",
+    )
+
+    def rows(s):
+        return sorted(map(tuple, minhash_decisions_against_index(probe, s).collect()))
+
+    assert rows(compacted) == rows(sig)
+    # physically reclaimed: one row per live id, stale row gone
+    assert compacted.count() == 3
+    assert compacted.where(F.col("id") == 10).count() == 1
+    # composed plan carries joins; the compacted one is a bare scan
+    assert "Join" in sig._jdf.queryExecution().optimizedPlan().toString()
+    assert "Join" not in compacted._jdf.queryExecution().optimizedPlan().toString()
+
+
 def test_derived_bits_exact_integer_rule():
     """derived_bits is the exact integer form of ceil(log2(n/occ)),
     clamped — including the power-of-two boundaries where float log2

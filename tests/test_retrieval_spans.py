@@ -421,6 +421,68 @@ def test_bm25_raw_index_maintenance_laws(spark):
     assert rows(t4, df4, s4) == rows(ft, fdf, fs)
 
 
+def test_bm25_raw_index_compaction_invisible_and_consistent(spark):
+    """BM25 raw-index compaction laws (r12 verdict task 3): after delta
+    upserts including a re-crawl, (1) screening against the compacted
+    index equals screening against the composed one; (2) the compacted
+    plan is a bare materialized scan; (3) the maintained df/stats are
+    consistent with the compacted postings — df_t re-derives exactly
+    from tdc_dl's live rows and (n, sumdl) from its per-doc rows (the
+    NULL-term sentinels make the relation self-contained)."""
+    from fdp_dynamically_controlled_streams_spark.operators.retrieval import (
+        bm25_raw_index,
+        bm25_raw_index_compact,
+        bm25_raw_index_upsert,
+        bm25_screen_against_raw,
+    )
+
+    seed = _docs(
+        spark,
+        [
+            (1, "spark streaming engine with keyed state"),
+            (2, "duckdb oracle twin checks every catalog entry"),
+            (3, ""),
+        ],
+    )
+    t, df, s = bm25_raw_index(seed)
+    t, df, s = bm25_raw_index_compact(t, df, s)
+    days = [
+        _docs(spark, [(10, "spark streaming engine again"), (11, "")]),
+        # re-crawl: 10 changes text, 11 becomes token-full
+        _docs(spark, [(10, "different words now"), (11, "spark oracle")]),
+    ]
+    for day in days:
+        t, df, s = bm25_raw_index_upsert(t, df, s, day, delta=True)
+    ct, cdf, cs = bm25_raw_index_compact(t, df, s)
+    probe = _docs(spark, [(99, "spark streaming oracle")])
+
+    def rows(a, b, c):
+        return sorted(
+            map(tuple, bm25_screen_against_raw(probe, a, b, c, k=10).collect())
+        )
+
+    assert rows(ct, cdf, cs) == rows(t, df, s)
+    assert "Join" in t._jdf.queryExecution().optimizedPlan().toString()
+    assert "Join" not in ct._jdf.queryExecution().optimizedPlan().toString()
+    # consistency: maintained df/stats == re-derived from live postings
+    rederived_df = sorted(
+        map(
+            tuple,
+            ct.where(F.col("term").isNotNull())
+            .groupBy("term")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .collect(),
+        )
+    )
+    assert rederived_df == sorted(map(tuple, cdf.collect()))
+    per_doc = ct.groupBy("doc_id").agg(F.first("dl").alias("dl"))
+    n, sumdl = per_doc.agg(
+        F.count(F.lit(1)), F.sum("dl").cast("long")
+    ).collect()[0]
+    srow = cs.collect()[0]
+    assert (srow.n, srow.sumdl) == (n, sumdl) == (5, srow.sumdl)
+
+
 def test_bm25_raw_index_tokenless_docs(spark):
     """Token-less documents (empty / punctuation-only text — common in
     real crawls) count toward n and avgdl exactly as in _build_index and
