@@ -425,3 +425,110 @@ def test_write_replay_chunks_partitioned_exact_boundaries(spark, tmp_path):
         )
         assert list(pdf["doc_id"]) == want
     assert sum(len(pd.read_parquet(f)) for f in files) == df.count()
+
+
+def test_minhash_maintenance_pipeline_resume_and_idempotent(spark, tmp_path):
+    """Restart-safe maintenance pipeline laws (r12 verdict task 4):
+    (1) RESUME-MID-CRAWL — run the pipeline with only day 0 present,
+        then add days 1-2 and call it again with the same work_dir /
+        checkpoint: the union of decisions equals the one-shot run's
+        (no loss, no duplicates), because day 1 screens against the
+        PERSISTED day-0 snapshot, not driver memory;
+    (2) RE-DELIVERY IDEMPOTENCE — re-running an epoch's batch body
+        (foreachBatch is at-least-once) rewrites byte-identical
+        epoch artifacts instead of double-applying.
+    """
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from fdp_dynamically_controlled_streams_spark.operators.dedup import (
+        minhash_index,
+    )
+    from fdp_dynamically_controlled_streams_spark.streaming.maintenance import (
+        _latest_snapshot,
+        minhash_maintenance_pipeline,
+        read_epoch_outputs,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    alt = "a completely different document about streaming engines at scale"
+    seed = spark.createDataFrame(
+        [(1, base), (2, alt)], "doc_id long, text string"
+    )
+    seed_path = str(tmp_path / "seed_sig")
+    minhash_index(seed).write.mode("overwrite").parquet(seed_path)
+
+    days = [
+        pd.DataFrame({"doc_id": [10, 11], "text": [base + " extra", "nothing shared here at all"]}),
+        pd.DataFrame({"doc_id": [20], "text": [base + " extra"]}),  # matches 10 via day-0 snapshot
+        pd.DataFrame({"doc_id": [30], "text": [alt + " suffix"]}),
+    ]
+    data_dir = str(tmp_path / "data")
+    os.makedirs(data_dir)
+
+    def add_day(i):
+        fp = f"{data_dir}/chunk-{i:05d}.parquet"
+        pq.write_table(pa.Table.from_pandas(days[i], preserve_index=False), fp)
+        os.utime(fp, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    ddl = "doc_id long, n_matches long, best_est double, is_new boolean"
+
+    # one-shot reference run (its own work_dir)
+    for i in range(3):
+        add_day(i)
+    ref_out = minhash_maintenance_pipeline(
+        spark, data_dir, "doc_id long, text string", seed_path,
+        str(tmp_path / "ref"), timeout_sec=180,
+    )
+    ref = sorted(map(tuple, read_epoch_outputs(spark, ref_out, ddl).collect()))
+    assert ref and any(r[0] == 20 and r[1] >= 1 and not r[3] for r in ref)
+
+    # (1) interrupted + resumed run over a shared work_dir
+    data2 = str(tmp_path / "data2")
+    os.makedirs(data2)
+    data_dir = data2
+
+    def add_day2(i):
+        fp = f"{data2}/chunk-{i:05d}.parquet"
+        pq.write_table(pa.Table.from_pandas(days[i], preserve_index=False), fp)
+        os.utime(fp, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    add_day2(0)
+    work = str(tmp_path / "work")
+    out = minhash_maintenance_pipeline(
+        spark, data2, "doc_id long, text string", seed_path, work,
+        timeout_sec=180,
+    )
+    partial = read_epoch_outputs(spark, out, ddl)
+    assert partial.count() == 2  # day 0 only
+    add_day2(1)
+    add_day2(2)
+    out = minhash_maintenance_pipeline(
+        spark, data2, "doc_id long, text string", seed_path, work,
+        timeout_sec=180,
+    )
+    resumed = sorted(map(tuple, read_epoch_outputs(spark, out, ddl).collect()))
+    assert resumed == ref
+
+    # (2) re-delivery: re-run epoch 1's body by hand — artifacts unchanged
+    from fdp_dynamically_controlled_streams_spark.operators import dedup as dd
+    from pyspark.sql import functions as F
+
+    sig_root = os.path.join(work, "sig")
+    before = sorted(map(tuple, spark.read.parquet(f"{sig_root}/e1").collect()))
+    prior = _latest_snapshot(sig_root, 1)
+    assert prior and prior.endswith("e0")
+    bdf = spark.createDataFrame(days[1], "doc_id long, text string")
+    sig_c = spark.read.parquet(prior)
+    sig_b = dd.minhash_signatures(bdf).localCheckpoint()
+    dd.minhash_decisions_against_sigs(sig_b, sig_c, est_threshold=0.3).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(work, "out", "e1"))
+    dd.minhash_index_upsert_sigs(
+        sig_c, bdf.select(F.col("doc_id").alias("id")), sig_b
+    ).write.mode("overwrite").parquet(f"{sig_root}/e1")
+    after = sorted(map(tuple, spark.read.parquet(f"{sig_root}/e1").collect()))
+    assert after == before
+    assert sorted(map(tuple, read_epoch_outputs(spark, os.path.join(work, "out"), ddl).collect())) == ref
