@@ -155,8 +155,6 @@ def ewma(
 
     [ABSENT in reference: SURVEY §2.7 — time-series engine extension.]
     """
-    one_minus = 1.0 - alpha
-
     # ONE mapInPandas scan per partition instead of applyInPandas per KEY
     # (r12: with ~10k users per 100k events the per-group Arrow/pandas
     # dispatch dominated the entry — one kernel call per key). Keys are
@@ -165,6 +163,15 @@ def ewma(
     # its partition, so any maxRecordsPerBatch chunking yields the same
     # recurrence (same guarantee class as the rolling-hash kernel's
     # cross-batch law). Identical op order per key -> identical doubles.
+    # The recurrence itself runs through pandas' C-implemented grouped
+    # ewm (adjust=False computes EXACTLY y_i = (1-α)·y_{i-1} + α·x_i in
+    # the same op order — verified BIT-identical to the explicit loop,
+    # r12 verdict task 5; the r12 per-row Python loop measured ~30×
+    # slower per element). Cross-batch state is handled by PREPENDING
+    # one synthetic sample per carried key: seeding the ewm with the
+    # carried value p makes its next step (1-α)·p + α·x_0 — the exact
+    # recurrence continuation (bit-verified) — then the prefix rows are
+    # dropped from the output.
     def kernel(batches):
         import numpy as np
         import pandas as pd
@@ -186,13 +193,29 @@ def ewma(
             k = pdf[key_col].to_numpy(dtype="int64")
             x = pdf[val_col].to_numpy(dtype="float64")
             ids = pdf[id_col].to_numpy(dtype="int64")
-            y = np.empty_like(x)
-            for i in range(n):
-                ki = k[i]
-                prev = state.get(ki)
-                prev = x[i] if prev is None else one_minus * prev + alpha * x[i]
-                y[i] = prev
-                state[ki] = prev
+            uk = np.unique(k)  # rows arrive sorted by key: unique = keys
+            carry = uk[[kk in state for kk in uk]] if state else uk[:0]
+            if len(carry):
+                kk2 = np.concatenate([carry, k])
+                xx = np.concatenate(
+                    [np.array([state[kk] for kk in carry]), x]
+                )
+            else:
+                kk2, xx = k, x
+            fr = pd.DataFrame({"k": kk2, "x": xx})
+            y_all = (
+                fr.groupby("k", sort=False)["x"]
+                .ewm(alpha=alpha, adjust=False)
+                .mean()
+                .droplevel(0)
+                .sort_index()
+                .to_numpy()
+            )
+            y = y_all[len(carry):]
+            # last row per key within the (key-sorted) batch = the
+            # carried state for the next Arrow batch
+            last_idx = np.nonzero(np.append(k[1:] != k[:-1], True))[0]
+            state.update(zip(k[last_idx].tolist(), y[last_idx].tolist()))
             yield pd.DataFrame(
                 {"user_id": k, "event_id": ids, "value": x, "ewma": y}
             )

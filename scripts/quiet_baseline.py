@@ -72,6 +72,39 @@ def main() -> int:
         )
         for k in details[-1]["queries"]
     }
+    # auto-tag round-over-round moves against the PREVIOUS committed
+    # quiet baseline (r12 verdict task 6): a move is NOISE-CLASS iff its
+    # |delta| sits inside the union of both rounds' measured min-spreads
+    # (plus a 50 ms absolute floor for sub-second entries); everything
+    # else is tagged real so triage is mechanical, not argumentative.
+    moves: dict[str, dict] = {}
+    prior_art = sorted(
+        p for p in REPO.glob("BENCH_QUIET_r[0-9][0-9].json")
+        if p.name < f"BENCH_QUIET_r{int(rnd):02d}.json"
+    )
+    if prior_art:
+        prior = json.loads(prior_art[-1].read_text())
+        pq = prior.get("queries", {})
+        ps = prior.get("query_min_spread", {})
+        for k, v in qmin.items():
+            if k not in pq:
+                moves[k] = {"tag": "new_entry", "floor": v}
+                continue
+            delta = round(v - pq[k], 4)
+            band = round(max(qspread.get(k, 0.0), ps.get(k, 0.0), 0.05), 4)
+            moves[k] = {
+                "prior_floor": pq[k],
+                "floor": v,
+                "delta": delta,
+                "band": band,
+                "tag": (
+                    "within_band" if abs(delta) <= band
+                    else ("improved" if delta < 0 else "regressed")
+                ),
+            }
+        for k in pq:
+            if k not in qmin:
+                moves[k] = {"tag": "removed_entry", "prior_floor": pq[k]}
     snap = {
         "protocol": (
             f"min_over_{runs}_quiet_runs_of(min_of_passes)/"
@@ -88,6 +121,8 @@ def main() -> int:
         "run_host_busy_frac": [d.get("host_busy_frac") for d in details],
         "queries": qmin,
         "query_min_spread": qspread,
+        "moves_vs_prior": moves,
+        "prior_baseline": prior_art[-1].name if prior_art else None,
         "note": (
             "builder-side QUIET per-entry baseline: element-wise min "
             "across back-to-back full-catalog bench runs on an idle host "
