@@ -67,6 +67,28 @@ def derived_cells(
     return c
 
 
+def derived_cells_sql(
+    n_expr: str,
+    target_occupancy: int = CELL_TARGET_OCCUPANCY,
+    min_cells: int = 4,
+    max_cells: int = 65536,
+) -> str:
+    """DuckDB twin of :func:`derived_cells` over a count expression —
+    exact integer min over the power-of-two ladder, no float log2."""
+    steps = 0
+    c = min_cells
+    while c < max_cells:
+        c *= 2
+        steps += 1
+    return (
+        f"LEAST({max_cells}, GREATEST({min_cells}, COALESCE("
+        f"(SELECT min(CAST({min_cells} AS BIGINT) << CAST(r.j AS INT))"
+        f" FROM range(0, {steps + 1}) r(j)"
+        f" WHERE {target_occupancy} * (CAST({min_cells} AS BIGINT) << CAST(r.j AS INT))"
+        f" >= ({n_expr})), {max_cells})))"
+    )
+
+
 def _subs_expr(vec_col: str, m: int, sub: int) -> str:
     """SQL expr: array of m sub-vectors (double) of length ``sub``."""
     return (

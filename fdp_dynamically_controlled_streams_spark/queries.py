@@ -4931,6 +4931,68 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ANN_IVF_DERIVED_SQL = f"""
+WITH nn AS (SELECT count(*) AS n FROM embeddings),
+ncells AS (SELECT {pq_ops.derived_cells_sql("n")} AS cells FROM nn),
+cent AS (
+  SELECT vec_id AS cid, embedding AS cvec FROM embeddings, ncells
+   WHERE vec_id < cells
+),
+scored0 AS (
+  SELECT e.vec_id AS cand_id, e.embedding AS cand_vec, c.cid,
+         {cosine_sql("e.embedding", "c.cvec")} AS s
+    FROM embeddings e CROSS JOIN cent c
+),
+assign0 AS (
+  SELECT cand_id, cand_vec, cid, s,
+         row_number() OVER (PARTITION BY cand_id ORDER BY s DESC, cid) AS rk
+    FROM scored0
+),
+cells AS (
+  SELECT cand_id, cand_vec, cid AS cell FROM assign0 WHERE rk = 1
+),
+probe_cells AS (
+  SELECT cand_id AS probe_id, cand_vec AS probe_vec, cid AS cell
+    FROM assign0 WHERE cand_id IN ({_PROBE_LIST}) AND rk <= {_IVF_PROBE}
+),
+scored AS (
+  SELECT p.probe_id, c.cand_id,
+         round({cosine_sql("p.probe_vec", "c.cand_vec")}, 6) AS score
+    FROM probe_cells p JOIN cells c ON c.cell = p.cell AND c.cand_id != p.probe_id
+),
+ranked AS (
+  SELECT probe_id, cand_id, score,
+         row_number() OVER (PARTITION BY probe_id ORDER BY score DESC, cand_id) AS rank
+    FROM scored
+)
+SELECT probe_id, cand_id, score, rank FROM ranked WHERE rank <= 5
+"""
+
+
+@query(
+    "ann_ivf_derived_cells_topk",
+    _ANN_IVF_DERIVED_SQL,
+    tags=("similarity", "ann", "ivf", "derived"),
+)
+def ann_ivf_derived_cells_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with the cell count DERIVED FROM CORPUS SIZE (r13 — the
+    IVF half of the r12 verdict's derived-parameter rule, completing
+    what derived_bits did for sign-LSH): cells = pq.derived_cells(n)
+    pins per-cell occupancy near its target as the corpus grows, so the
+    n_probe-pruned candidate set stays bounded instead of growing
+    linearly at a pinned cell count (4 cells at sf0.01's 500 vectors, 8
+    at sf0.1's 2000 — identical to the pinned entry there — and 128 at
+    sf1's 20000).  The DuckDB twin derives the identical cell count
+    from the identical count via the same exact power-of-two ladder
+    (derived_cells_sql).  The corpus count is a metadata-cheap control
+    scalar, the same class as the collected centroid literals."""
+    e = _t(spark, sf_dir, "embeddings")
+    cells = pq_ops.derived_cells(e.count())
+    return sim_ops.ivf_topk(
+        e, _PROBE_IDS, k=5, n_cells=cells, n_probe=_IVF_PROBE
+    )
+
+
 # Deterministic PII injection (same expression both engines) so the scrub
 # path is exercised end-to-end on synthetic text that carries no real PII.
 _AUG_SPARK = (
