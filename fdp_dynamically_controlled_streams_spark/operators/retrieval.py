@@ -426,6 +426,45 @@ def bm25_raw_index_compact(
     )
 
 
+def bm25_fold_postings(
+    tdc_dl: DataFrame, df_t: DataFrame, stats: DataFrame
+) -> DataFrame:
+    """FOLD the maintained write-optimized raw index into the
+    READ-optimized precomputed-contribution postings (term, doc_id, c)
+    — the cadence operation that closes the write-vs-read index trade
+    (:func:`bm25_raw_index` docstring): the daily loop upserts the raw
+    relations cheaply; on the compaction cadence this fold bakes the
+    CURRENT corpus globals (df, n, avgdl) into every posting row so the
+    query path returns to :func:`_score_topk`'s one-join shape.  Law
+    (tests/test_retrieval_spans.py): fold(raw(docs)) is row- and
+    bit-identical to :func:`_build_index`'s postings — same expression
+    tree, avgdl reproduced exactly from the integer (n, sumdl) — so
+    :func:`bm25_topk`-class answers served from a folded maintained
+    index equal a from-scratch index build.  One corpus-sized pass, the
+    vocabulary df and 1-row stats broadcast onto it; sentinel NULL-term
+    rows drop at the inner df join.
+
+    [ABSENT in reference: SURVEY §2.7 — engine extension.]"""
+    avg = stats.select(
+        (F.col("sumdl").cast("double") / F.col("n")).alias("avgdl"), "n"
+    )
+    return (
+        tdc_dl.join(F.broadcast(df_t), "term")
+        .crossJoin(F.broadcast(avg))
+        .select(
+            "term",
+            "doc_id",
+            F.expr(
+                f"CAST(round(round("
+                f"  ln((n - df + 0.5) / (df + 0.5) + 1.0)"
+                f"  * (tf * ({K1} + 1.0))"
+                f"  / (tf + {K1} * (1.0 - {B} + {B} * dl / avgdl))"
+                f", 6) * 1000000, 0) AS BIGINT)"
+            ).alias("c"),
+        )
+    )
+
+
 def bm25_screen_against_raw(
     query_docs: DataFrame,
     tdc_dl: DataFrame,

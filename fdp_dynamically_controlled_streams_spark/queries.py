@@ -7492,6 +7492,48 @@ def stream_bm25_index_maintenance_replay(
 
 
 @query(
+    "retrieval_bm25_topk_from_maintained",
+    retr_ops.bm25_topk_sql(
+        "documents", "doc_id % 100 = 0", k=10, max_df_frac=1.0
+    ),
+    tags=("text", "retrieval", "bm25", "incremental", "fold"),
+)
+def retrieval_bm25_topk_from_maintained(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """BM25 top-k served from a MAINTAINED-then-FOLDED index (r13 —
+    closing the write-vs-read index trade end to end): the raw
+    write-optimized index is built over the seed corpus, the three
+    daily batches are delta-UPSERTED in (exact integer df/stats
+    deltas), the composition is compacted, and bm25_fold_postings bakes
+    the final corpus globals into read-optimized postings — which then
+    answer the standard query panel through the one-join read path.
+    The oracle is retrieval_bm25_topk's from-scratch twin VERBATIM: a
+    hash match certifies that a corpus assembled incrementally through
+    the maintenance write path serves bit-identical rankings to an
+    index built in one shot, at every tier."""
+    d = _t(spark, sf_dir, "documents")
+    t, df, s = retr_ops.bm25_raw_index(d.where(F.col("doc_id") % 5 != 0))
+    t, df, s = retr_ops.bm25_raw_index_compact(t, df, s)
+    for day in (0, 1, 2):
+        batch = d.where(
+            (F.col("doc_id") % 5 == 0)
+            & (F.expr("(doc_id % 15) div 5") == day)
+        )
+        t, df, s = retr_ops.bm25_raw_index_upsert(t, df, s, batch, delta=True)
+    t, df, s = retr_ops.bm25_raw_index_compact(t, df, s)
+    postings = retr_ops.bm25_fold_postings(t, df, s)
+    avg = s.select(
+        (F.col("sumdl").cast("double") / F.col("n")).alias("avgdl"), "n"
+    )
+    return retr_ops._score_topk(
+        postings, df, avg,
+        d.where(F.col("doc_id") % 100 == 0),
+        k=10, id_col="doc_id", text_col="text", max_df_frac=1.0,
+    )
+
+
+@query(
     "retrieval_rrf_fusion",
     retr_ops.rrf_fusion_sql(
         "documents", query_pred="doc_id % 200 = 0", k=10, max_df_frac=1.0

@@ -483,6 +483,49 @@ def test_bm25_raw_index_compaction_invisible_and_consistent(spark):
     assert (srow.n, srow.sumdl) == (n, sumdl) == (5, srow.sumdl)
 
 
+def test_bm25_fold_postings_bit_identical_to_build(spark):
+    """Write→read fold law (r13): folding the maintained raw index
+    produces postings row- and bit-identical to _build_index's, and
+    after delta upserts (including a re-crawl and token-less docs) a
+    fold of the MAINTAINED raw index equals a from-scratch build of the
+    same corpus — so topk served from a folded maintained index is the
+    from-scratch answer."""
+    from fdp_dynamically_controlled_streams_spark.operators.retrieval import (
+        _build_index,
+        bm25_fold_postings,
+        bm25_raw_index,
+        bm25_raw_index_upsert,
+    )
+
+    seed = _docs(
+        spark,
+        [
+            (1, "spark streaming engine with keyed state"),
+            (2, "duckdb oracle twin checks every catalog entry"),
+            (3, ""),
+        ],
+    )
+    folded = sorted(map(tuple, bm25_fold_postings(*bm25_raw_index(seed)).collect()))
+    built = sorted(map(tuple, _build_index(seed, "doc_id", "text")[0].collect()))
+    assert folded == built and folded
+    # maintained raw -> fold == from-scratch build of the grown corpus
+    t, df, s = bm25_raw_index(seed)
+    days = [
+        _docs(spark, [(10, "spark streaming engine again"), (11, "")]),
+        _docs(spark, [(2, "formerly empty now spark"), (11, "oracle words")]),
+    ]
+    corpus = seed
+    for day in days:
+        t, df, s = bm25_raw_index_upsert(t, df, s, day, delta=True)
+        ids = [r.doc_id for r in day.select("doc_id").collect()]
+        corpus = corpus.where(~F.col("doc_id").isin(ids)).unionByName(day)
+    folded2 = sorted(map(tuple, bm25_fold_postings(t, df, s).collect()))
+    built2 = sorted(
+        map(tuple, _build_index(corpus, "doc_id", "text")[0].collect())
+    )
+    assert folded2 == built2 and folded2
+
+
 def test_bm25_raw_index_tokenless_docs(spark):
     """Token-less documents (empty / punctuation-only text — common in
     real crawls) count toward n and avgdl exactly as in _build_index and
