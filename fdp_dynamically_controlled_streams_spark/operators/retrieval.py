@@ -465,6 +465,41 @@ def bm25_fold_postings(
     )
 
 
+def tfidf_fold_weights(
+    tdc_dl: DataFrame, df_t: DataFrame, stats: DataFrame
+) -> DataFrame:
+    """FOLD the same maintained raw index into the TF-IDF ranker's
+    read-optimized integer weight table (doc_id, term, wi) — ONE
+    write-optimized artifact (:func:`bm25_raw_index`) serves BOTH
+    hybrid rankers' read forms (:func:`bm25_fold_postings` for BM25,
+    THIS for the smooth-idf dot ranker), because tf/df/n are the only
+    corpus facts either scoring function needs.  Law
+    (tests/test_retrieval_spans.py): bit-identical to
+    :func:`_tfidf_weights` built from scratch, including after delta
+    upserts — same expression tree, n taken from the exact integer
+    stats.
+
+    [ABSENT in reference: SURVEY §2.7 — engine extension.]"""
+    weight = F.round(
+        F.col("tf")
+        * (F.log((1 + F.col("n")) / (1 + F.col("doc_freq"))) + F.lit(1.0)),
+        6,
+    )
+    return (
+        tdc_dl.where(F.col("term").isNotNull())
+        .join(F.broadcast(df_t.withColumnRenamed("df", "doc_freq")), "term")
+        .crossJoin(F.broadcast(stats.select("n")))
+        .select("doc_id", "term", weight.alias("weight"))
+        .select(
+            "doc_id",
+            "term",
+            F.expr(f"CAST(round(weight * {RRF_SCALE}, 0) AS BIGINT)").alias(
+                "wi"
+            ),
+        )
+    )
+
+
 def bm25_screen_against_raw(
     query_docs: DataFrame,
     tdc_dl: DataFrame,

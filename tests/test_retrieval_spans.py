@@ -526,6 +526,48 @@ def test_bm25_fold_postings_bit_identical_to_build(spark):
     assert folded2 == built2 and folded2
 
 
+def test_tfidf_fold_weights_bit_identical_to_build(spark):
+    """One raw artifact, two read forms (r13): folding the maintained
+    BM25 raw index into TF-IDF integer weights is bit-identical to
+    _tfidf_weights built from scratch — including after delta upserts
+    with a re-crawl and token-less docs (n counts every doc in both)."""
+    from fdp_dynamically_controlled_streams_spark.operators.retrieval import (
+        _tfidf_weights,
+        bm25_raw_index,
+        bm25_raw_index_upsert,
+        tfidf_fold_weights,
+    )
+
+    seed = _docs(
+        spark,
+        [
+            (1, "spark streaming engine with keyed state"),
+            (2, "duckdb oracle twin checks every catalog entry"),
+            (3, ""),
+        ],
+    )
+    folded = sorted(
+        map(tuple, tfidf_fold_weights(*bm25_raw_index(seed)).collect())
+    )
+    built = sorted(map(tuple, _tfidf_weights(seed, "doc_id", "text").collect()))
+    assert folded == built and folded
+    t, df, s = bm25_raw_index(seed)
+    days = [
+        _docs(spark, [(10, "spark streaming engine again"), (11, "")]),
+        _docs(spark, [(2, "formerly empty now spark"), (11, "oracle words")]),
+    ]
+    corpus = seed
+    for day in days:
+        t, df, s = bm25_raw_index_upsert(t, df, s, day, delta=True)
+        ids = [r.doc_id for r in day.select("doc_id").collect()]
+        corpus = corpus.where(~F.col("doc_id").isin(ids)).unionByName(day)
+    folded2 = sorted(map(tuple, tfidf_fold_weights(t, df, s).collect()))
+    built2 = sorted(
+        map(tuple, _tfidf_weights(corpus, "doc_id", "text").collect())
+    )
+    assert folded2 == built2 and folded2
+
+
 def test_bm25_raw_index_tokenless_docs(spark):
     """Token-less documents (empty / punctuation-only text — common in
     real crawls) count toward n and avgdl exactly as in _build_index and
