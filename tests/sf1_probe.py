@@ -127,6 +127,13 @@ PROBE_ENTRIES = [
     "stream_minhash_index_maintenance_replay",
     "stream_embedding_index_maintenance_replay",
     "stream_bm25_index_maintenance_replay",
+    # round-13: the restart-safe pipeline (persisted snapshot per epoch =
+    # the durable-commit cost shape), the derived-cells IVF (128 cells at
+    # sf1 — the parameter rule under measurement), and the maintained→
+    # folded BM25 read path join their families' trend lines
+    "stream_minhash_maintenance_pipeline",
+    "ann_ivf_derived_cells_topk",
+    "retrieval_bm25_topk_from_maintained",
 ]
 
 _ALPHA = "abcdefghijklmnopqrstuvwxyz"
