@@ -2423,9 +2423,7 @@ def dedup_embedding_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim_ops.embedding_near_dup_pairs(e, threshold=0.25, bits=6)
 
 
-@query(
-    "stream_embedding_index_maintenance_replay",
-    f"""
+_EMB_MAINT_ORACLE = f"""
 WITH b AS (
   SELECT vec_id AS id, embedding AS vec,
          {sign_bucket_sql("embedding", sim_ops.MAX_BITS)} AS packed,
@@ -2459,7 +2457,12 @@ SELECT s.id AS vec_id, CAST(COALESCE(m.n_matches, 0) AS BIGINT) AS n_matches,
        m.n_matches IS NULL AS is_new
   FROM (SELECT id FROM b WHERE day >= 0) s
        LEFT JOIN m ON m.b_id = s.id
-""",
+"""
+
+
+@query(
+    "stream_embedding_index_maintenance_replay",
+    _EMB_MAINT_ORACLE,
     tags=("dedup", "embedding", "incremental", "streaming", "replay"),
 )
 def stream_embedding_index_maintenance_replay(
@@ -2563,6 +2566,78 @@ def stream_embedding_index_maintenance_replay(
         spark,
         "vec_id long, n_matches long, best_cos double, is_new boolean",
         out,
+    )
+
+
+@query(
+    "stream_embedding_maintenance_pipeline",
+    _EMB_MAINT_ORACLE,
+    tags=("dedup", "embedding", "incremental", "streaming", "replay",
+          "restart-safe"),
+)
+def stream_embedding_maintenance_pipeline(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The EMBEDDING daily-crawl loop as the RESTART-SAFE pipeline —
+    the two r13 themes composed (streaming/maintenance.py): persisted
+    epoch-addressed index snapshots are the query's only state (driver
+    restarts resume from the newest committed snapshot; re-delivered
+    micro-batches rewrite identical artifacts), and each epoch
+    re-derives the sign-LSH plane count from the persisted snapshot's
+    OWN row count (derived_bits) with a map-side rebucket — no bits
+    value is persisted, so a restart reconstructs the identical
+    blocking from the identical data.  Same oracle as the replay entry:
+    the durable path must produce the replay path's exact decisions."""
+    import tempfile
+
+    from fdp_dynamically_controlled_streams_spark.sources.registry import (
+        cached_fixture,
+        write_replay_chunks_partitioned,
+    )
+    from fdp_dynamically_controlled_streams_spark.streaming.maintenance import (
+        embedding_maintenance_pipeline,
+        read_epoch_outputs,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    fix = cached_fixture(
+        "embedding_maint_replay",
+        sf_dir,
+        lambda p: write_replay_chunks_partitioned(
+            e.where(F.col("vec_id") % 5 == 0).select(
+                "vec_id",
+                "embedding",
+                F.expr("(vec_id % 15) div 5").alias("day"),
+            ),
+            f"{p}/data",
+            part_col="day",
+            part_values=[0, 1, 2],
+            order_cols=("vec_id",),
+        ),
+    )
+
+    def build_seed(p: str) -> None:
+        # seed index persisted at its own derived bits (the pipeline
+        # re-derives from the snapshot row count per epoch anyway)
+        seed = e.where(F.col("vec_id") % 5 != 0)
+        sim_ops.embedding_index(
+            seed, bits=sim_ops.derived_bits(seed.count())
+        ).write.mode("overwrite").parquet(f"{p}/idx")
+
+    idx = cached_fixture("embedding_seed_index", sf_dir, build_seed)
+    work = tempfile.mkdtemp(prefix="dcs-embpipe-")
+    with _replay_conf(spark, partitions=8):
+        out = embedding_maintenance_pipeline(
+            spark,
+            f"{fix}/data",
+            "vec_id long, embedding array<float>",
+            f"{idx}/idx",
+            work,
+            threshold=0.25,
+        )
+    return read_epoch_outputs(
+        spark, out,
+        "vec_id long, n_matches long, best_cos double, is_new boolean",
     )
 
 

@@ -113,6 +113,65 @@ def minhash_maintenance_pipeline(
     return out_root
 
 
+def embedding_maintenance_pipeline(
+    spark: SparkSession,
+    data_path: str,
+    schema: str,
+    seed_index_path: str,
+    work_dir: str,
+    threshold: float = 0.25,
+    files_per_trigger: int = 1,
+    timeout_sec: int = 300,
+) -> str:
+    """The EMBEDDING modality of the restart-safe loop — same persisted
+    epoch-snapshot state discipline as
+    :func:`minhash_maintenance_pipeline`, composed with the r13
+    derived-parameter rule: each epoch re-derives the sign-LSH plane
+    count from the CURRENT persisted index's size
+    (similarity.derived_bits) and re-buckets the snapshot map-side
+    before screening, so the durable pipeline carries the
+    occupancy-pinned scale shape too.  Rebucketing unconditionally (one
+    map-side projection over rows the epoch reads anyway) keeps the
+    pipeline STATELESS beyond the snapshots themselves: no bits value
+    to persist or reconcile on restart — the snapshot's own row count
+    determines it, bit-identically on any replay."""
+    from fdp_dynamically_controlled_streams_spark.operators import (
+        similarity as sim_ops,
+    )
+
+    idx_root = os.path.join(work_dir, "idx")
+    out_root = os.path.join(work_dir, "out")
+    os.makedirs(idx_root, exist_ok=True)
+
+    def _proc(bdf: DataFrame, bid: int) -> None:
+        bdf = bdf.localCheckpoint()
+        prior = _latest_snapshot(idx_root, bid)
+        idx = spark.read.parquet(prior if prior else seed_index_path)
+        bits = sim_ops.derived_bits(idx.count())
+        idx = sim_ops.embedding_index_rebucket(idx, bits).localCheckpoint()
+        sim_ops.embedding_decisions_against_index(
+            bdf, idx, threshold=threshold, bits=bits
+        ).write.mode("overwrite").parquet(os.path.join(out_root, f"e{bid}"))
+        sim_ops.embedding_index_upsert(idx, bdf, bits=bits).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(idx_root, f"e{bid}"))
+
+    from fdp_dynamically_controlled_streams_spark.sources.registry import (
+        replay_dir,
+    )
+
+    stream = replay_dir(spark, data_path, schema, files_per_trigger)
+    q = (
+        stream.writeStream.outputMode("append")
+        .foreachBatch(_proc)
+        .option("checkpointLocation", os.path.join(work_dir, "chk"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_sec)
+    return out_root
+
+
 def read_epoch_outputs(spark: SparkSession, out_root: str, ddl: str) -> DataFrame:
     """Union all committed epoch decision directories under ``out_root``
     (empty typed frame if none) — the read half of the epoch-addressed

@@ -134,6 +134,7 @@ PROBE_ENTRIES = [
     "stream_minhash_maintenance_pipeline",
     "ann_ivf_derived_cells_topk",
     "retrieval_bm25_topk_from_maintained",
+    "stream_embedding_maintenance_pipeline",
 ]
 
 _ALPHA = "abcdefghijklmnopqrstuvwxyz"

@@ -532,3 +532,86 @@ def test_minhash_maintenance_pipeline_resume_and_idempotent(spark, tmp_path):
     after = sorted(map(tuple, spark.read.parquet(f"{sig_root}/e1").collect()))
     assert after == before
     assert sorted(map(tuple, read_epoch_outputs(spark, os.path.join(work, "out"), ddl).collect())) == ref
+
+
+def test_embedding_maintenance_pipeline_resume(spark, tmp_path):
+    """Embedding restart-safe pipeline (r13): interrupted + resumed run
+    equals the one-shot run — with the plane count RE-DERIVED from the
+    persisted snapshot's own row count on resume (no bits state beyond
+    the snapshot), so the blocking reconstructs identically."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from fdp_dynamically_controlled_streams_spark.operators.similarity import (
+        derived_bits,
+        embedding_index,
+    )
+    from fdp_dynamically_controlled_streams_spark.streaming.maintenance import (
+        embedding_maintenance_pipeline,
+        read_epoch_outputs,
+    )
+
+    def vec(i, flip=1.0):
+        return [flip * float(((i * 7 + d * 3) % 11) - 5) for d in range(8)]
+
+    seed = spark.createDataFrame(
+        [(i, vec(i)) for i in range(20)],
+        "vec_id long, embedding array<float>",
+    )
+    seed_path = str(tmp_path / "seed")
+    embedding_index(seed, bits=derived_bits(20)).write.mode(
+        "overwrite"
+    ).parquet(f"{seed_path}/idx")
+
+    days = [
+        pd.DataFrame({"vec_id": [100, 101], "embedding": [vec(3), vec(3, -1.0)]}),
+        pd.DataFrame({"vec_id": [200], "embedding": [vec(3)]}),  # matches 100
+    ]
+    ddl = "vec_id long, n_matches long, best_cos double, is_new boolean"
+
+    arrow_schema = pa.schema(
+        [("vec_id", pa.int64()), ("embedding", pa.list_(pa.float32()))]
+    )
+
+    def make_data(root):
+        os.makedirs(root, exist_ok=True)
+
+        def add(i):
+            fp = f"{root}/chunk-{i:05d}.parquet"
+            pq.write_table(
+                pa.Table.from_pandas(
+                    days[i], preserve_index=False, schema=arrow_schema
+                ),
+                fp,
+            )
+            os.utime(fp, (1_700_000_000 + i, 1_700_000_000 + i))
+
+        return add
+
+    # one-shot reference
+    d1 = str(tmp_path / "d1"); add1 = make_data(d1)
+    add1(0); add1(1)
+    ref_out = embedding_maintenance_pipeline(
+        spark, d1, "vec_id long, embedding array<float>",
+        f"{seed_path}/idx", str(tmp_path / "ref"), timeout_sec=180,
+    )
+    ref = sorted(map(tuple, read_epoch_outputs(spark, ref_out, ddl).collect()))
+    assert any(r[0] == 200 and r[1] >= 1 and not r[3] for r in ref)
+
+    # interrupted + resumed
+    d2 = str(tmp_path / "d2"); add2 = make_data(d2)
+    add2(0)
+    work = str(tmp_path / "work")
+    out = embedding_maintenance_pipeline(
+        spark, d2, "vec_id long, embedding array<float>",
+        f"{seed_path}/idx", work, timeout_sec=180,
+    )
+    assert read_epoch_outputs(spark, out, ddl).count() == 2
+    add2(1)
+    out = embedding_maintenance_pipeline(
+        spark, d2, "vec_id long, embedding array<float>",
+        f"{seed_path}/idx", work, timeout_sec=180,
+    )
+    assert sorted(map(tuple, read_epoch_outputs(spark, out, ddl).collect())) == ref
