@@ -820,6 +820,16 @@ def exact_substring_incremental(
     :func:`exact_substring_spans` run) — same contract as
     :func:`minhash_incremental_decisions`.
 
+    RE-CRAWL contract (both key tiers, r13 ADVICE + r13 verdict task 4):
+    when a batch id already exists in the corpus, that id's own stale
+    corpus windows are RETIRED before the screen — a re-crawled document
+    never matches its own old text, and no batch doc matches any
+    re-crawled batch id's stale windows (they are about to be replaced
+    by the day's upsert, so the screen sees upsert-consistent state).
+    Implemented identically on ``key="hash64"`` and ``key="literal"`` as
+    one broadcast anti-join on the day-bounded batch-id set, fused into
+    the corpus-index scan.
+
     ``key="hash64"`` (default): both sides key on the Karp-Rabin rolling
     hash64 (:func:`_rolling_window_hashes`), and candidates are
     extend-and-verified literally — batch candidate positions re-slice
@@ -860,9 +870,19 @@ def exact_substring_incremental(
                 ).alias("g"),
             ).select("id", F.col("g.pos").alias("pos"), F.col("g.w").alias("w"))
 
+        # same retire-first re-crawl self-exclusion as the hash64 tier
+        # (r13 ADVICE — the two documented-equivalent key tiers must not
+        # diverge when batch ids overlap the corpus): corpus windows of
+        # ids being re-crawled leave before the distinct/join
         pos = (
             lit_wins(bbase)
-            .join(lit_wins(cbase).select("w").distinct(), "w")
+            .join(
+                lit_wins(cbase)
+                .join(F.broadcast(bbase.select("id")), "id", "left_anti")
+                .select("w")
+                .distinct(),
+                "w",
+            )
             .select(
                 "id", "pos", (F.col("pos") + F.lit(length - 1)).alias("end")
             )
@@ -1154,35 +1174,43 @@ def _incremental_positions_hash64(
     if bh is None:
         bh = _rolling_window_hashes(bbase, length)
     bhd = bh.select("h").distinct()
+    # RE-CRAWL SELF-EXCLUSION, retire-first form (r13 verdict task 4,
+    # replacing the r13 countDistinct-witness aggregation that cost
+    # +0.29 s on the entry's floor): the batch's ids' OWN stale index
+    # rows are retired from the scan BEFORE candidate generation — one
+    # extra broadcast semi/anti condition fused into the same map-side
+    # corpus pass, zero extra aggregation.  This is exactly the state
+    # the index will hold after the day's upsert (a re-crawled id's old
+    # windows leave), so the screen sees upsert-consistent state: a
+    # re-crawled id never matches its own stale windows (the r12 ADVICE
+    # law, test_exact_substring_recrawl_never_self_matches), and no
+    # batch doc matches ANY re-crawled batch id's stale windows — the
+    # retire-first semantics, matching the batch-internal-repeats-don't-
+    # count contract (the re-crawl's NEW text is batch-internal).
+    batch_ids = bbase.select("id")
     # ONE corpus-index pass: the candidate corpus windows (id, pos, h)
-    # whose hash occurs in the day's windows — day-bounded output,
-    # materialized once for its two consumers (candh + the verify)
-    chf = ch.join(F.broadcast(bhd), "h").localCheckpoint()
+    # whose hash occurs in the day's windows AND whose id is not being
+    # re-crawled — day-bounded output, materialized once for its two
+    # consumers (candh + the verify)
+    chf = (
+        ch.join(F.broadcast(batch_ids), "id", "left_anti")
+        .join(F.broadcast(bhd), "h")
+        .localCheckpoint()
+    )
     candh = chf.select("h").distinct()
     # candidate batch positions: map-side filter of the day's windows
     cand = bh.join(F.broadcast(candh), "h")
     # literal verify, candidates only: every DISTINCT corpus window
     # string behind a candidate hash (not one witness — if two different
     # corpus strings collide on h, a batch window equal to either must
-    # still match), sliced via a join back to the text.  Each window
-    # string carries its distinct-corpus-id count plus one witness id —
-    # aggregated, NOT exploded per corpus doc, so the verify join stays
-    # one row per window string — and a re-crawled batch id never
-    # matches windows whose ONLY corpus occurrence is its own stale
-    # index row (r12 ADVICE — the same re-crawl consistency as the
-    # MinHash and embedding maintenance screens; with >= 2 distinct
-    # corpus ids at most one can be self, so the match stands).
+    # still match), sliced via a join back to the text — distinct, NOT
+    # exploded per corpus doc, so the verify join stays one row per
+    # window string.
     cw = (
         chf
         .join(cbase, "id")
-        .select(
-            "id", "h", F.expr(f"substring(s, pos, {length})").alias("cw")
-        )
-        .groupBy("h", "cw")
-        .agg(
-            F.countDistinct("id").alias("c_nids"),
-            F.min("id").alias("c_wid"),
-        )
+        .select("h", F.expr(f"substring(s, pos, {length})").alias("cw"))
+        .distinct()
     )
     bver = cand.join(bbase, "id").select(
         "id",
@@ -1192,10 +1220,7 @@ def _incremental_positions_hash64(
     )
     return (
         bver.join(cw, "h")
-        .where(
-            (F.col("bw") == F.col("cw"))
-            & ((F.col("c_nids") > 1) | (F.col("c_wid") != F.col("id")))
-        )
+        .where(F.col("bw") == F.col("cw"))
         .select("id", "pos", (F.col("pos") + F.lit(length - 1)).alias("end"))
     )
 

@@ -64,7 +64,10 @@ def derived_cells(
     c = min_cells
     while c < max_cells and target_occupancy * c < n:
         c *= 2
-    return c
+    # clamp: when max_cells is not min_cells * 2^k the doubling can step
+    # past the cap before the loop condition re-checks (r13 ADVICE);
+    # derived_cells_sql already clamps with LEAST — keep the twins equal.
+    return min(c, max_cells)
 
 
 def derived_cells_sql(

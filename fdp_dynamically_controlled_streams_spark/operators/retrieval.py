@@ -367,9 +367,16 @@ def bm25_raw_index_upsert(
     r_df = retired.where(F.col("term").isNotNull()).groupBy("term").agg(
         F.count(F.lit(1)).alias("r")
     )
-    r_stats = retired.groupBy("doc_id").agg(F.first("dl").alias("dl")).agg(
-        F.count(F.lit(1)).alias("rn"),
-        F.coalesce(F.sum("dl").cast("long"), F.lit(0)).alias("rsumdl"),
+    # dl cast to long BEFORE the sum — same exact-integer-arithmetic
+    # rationale as b_stats above (a double sum is only exact below 2^53;
+    # r13 ADVICE flagged the inconsistency)
+    r_stats = (
+        retired.groupBy("doc_id")
+        .agg(F.first("dl").cast("long").alias("dl"))
+        .agg(
+            F.count(F.lit(1)).alias("rn"),
+            F.coalesce(F.sum("dl"), F.lit(0)).cast("long").alias("rsumdl"),
+        )
     )
     tdc_dl2 = tdc_dl.join(F.broadcast(new_ids), "doc_id", "left_anti").unionByName(
         b_tdc_dl

@@ -166,13 +166,17 @@ def ivf_index_write(
     the persisted assignment is bounded by n_probe × occupancy.  (At
     extreme scale production caps build growth too: train the coarse
     quantizer on a sample and/or move to the sqrt(n) cell ladder — both
-    are the ``target_occupancy`` parameter away.)  In production the
-    table is written PARTITIONED BY cell so probes read n_probe
-    directories; here one parquet dir keeps the fixture hermetic."""
+    are the ``target_occupancy`` parameter away.)  The table is written
+    PARTITIONED BY cell (r13 verdict task 5 — the docstring claim made
+    measurable): a probe batch reads exactly its n_probe-union of cell=
+    directories via a static partition filter pushed by the query phase
+    (plan- and inputFiles-asserted in tests/test_ivf.py)."""
     assigned, _ = ivf_partition(
         embeddings, [], n_cells, 1, id_col, vec_col
     )
-    assigned.write.mode("overwrite").parquet(f"{path}/assigned")
+    assigned.write.partitionBy("cell").mode("overwrite").parquet(
+        f"{path}/assigned"
+    )
 
 
 def ivf_topk_from_index(
@@ -189,14 +193,26 @@ def ivf_topk_from_index(
     """Query phase of IVF against an index written by
     :func:`ivf_index_write`: probe cell-ranking recomputes against the
     (tiny, collected) centroid matrix — probe_count × n_cells cosines —
-    and the candidate join reads the persisted assignment; answers are
-    value-identical to :func:`ivf_topk` on the same corpus (parquet
-    round-trips the vectors exactly; same expressions)."""
+    and the candidate join reads the persisted CELL-PARTITIONED
+    assignment with a STATIC partition filter on the probes' cell union
+    (the n_probe × |probes| cell set is a bounded control scalar, the
+    same class as the collected centroid literals), so the scan lists
+    and reads ONLY those cell= directories — the at-rest layout doing
+    the candidate pruning, not the join (plan-asserted in
+    tests/test_ivf.py).  Answers are value-identical to
+    :func:`ivf_topk` on the same corpus (parquet round-trips the
+    vectors exactly; same expressions)."""
     _, probe_cells = ivf_partition(
         embeddings, probe_ids, n_cells, n_probe, id_col, vec_col,
         probe_only=True,
     )
-    assigned = spark.read.parquet(f"{path}/assigned")
+    probe_cells = probe_cells.localCheckpoint()  # computed once: filter + join
+    cell_union = sorted(
+        {int(r[0]) for r in probe_cells.select("cell").distinct().collect()}
+    )
+    assigned = spark.read.parquet(f"{path}/assigned").where(
+        F.col("cell").isin(cell_union)
+    )
     scored = (
         F.broadcast(probe_cells)
         .join(assigned, "cell")

@@ -164,10 +164,24 @@ def ewma(
     # recurrence (same guarantee class as the rolling-hash kernel's
     # cross-batch law). Identical op order per key -> identical doubles.
     # The recurrence itself runs through pandas' C-implemented grouped
-    # ewm (adjust=False computes EXACTLY y_i = (1-α)·y_{i-1} + α·x_i in
-    # the same op order — verified BIT-identical to the explicit loop,
-    # r12 verdict task 5; the r12 per-row Python loop measured ~30×
-    # slower per element). Cross-batch state is handled by PREPENDING
+    # ewm (adjust=False computes y_i = (1-α)·y_{i-1} + α·x_i; the r12
+    # per-row Python loop measured ~30× slower per element).  Bit-parity
+    # with the explicit loop (and hence the DuckDB recursive-CTE oracle)
+    # is NOT unconditional (r13 ADVICE; mechanism pinned down this
+    # round, tests/test_timeseries.py property test):
+    #  (1) pandas round-trips α → com=(1-α)/α → α'=1/(1+com) internally;
+    #      when that round-trip is inexact (e.g. α=0.05 or 1/3) the
+    #      kernel runs the recurrence at a 1-ulp-different α', giving
+    #      sporadic 1-ulp output differences.  The catalog's α=0.2
+    #      round-trips EXACTLY (as do 0.1/0.125/0.25/0.5), so bit-parity
+    #      holds there — asserted per-α in the property test.
+    #  (2) pandas skips the update when x_i equals the running mean and
+    #      returns it verbatim, while the explicit arithmetic computes
+    #      (1-α)·v + α·v — up to 1 ulp apart on repeated-equal runs.
+    # Both divergences are ulp-bounded (the recurrence is contractive)
+    # and invisible after the 6-dp HALF_UP rounding below except exactly
+    # AT a 6-dp half-way boundary — measure-zero for measured data, and
+    # property-tested round-6-equal across engines. Cross-batch state is handled by PREPENDING
     # one synthetic sample per carried key: seeding the ewm with the
     # carried value p makes its next step (1-α)·p + α·x_0 — the exact
     # recurrence continuation (bit-verified) — then the prefix rows are

@@ -78,12 +78,18 @@ def main() -> int:
     # (plus a 50 ms absolute floor for sub-second entries); everything
     # else is tagged real so triage is mechanical, not argumentative.
     moves: dict[str, dict] = {}
+    # parse the round NUMBER out of the name and compare numerically —
+    # a lexicographic compare on two-digit names mis-orders at round
+    # >= 100 (r100 sorts before r13) and misses one-/three-digit names
+    # entirely (r13 ADVICE)
     prior_art = sorted(
-        p for p in REPO.glob("BENCH_QUIET_r[0-9][0-9].json")
-        if p.name < f"BENCH_QUIET_r{int(rnd):02d}.json"
+        (int(p.stem[len("BENCH_QUIET_r"):]), p)
+        for p in REPO.glob("BENCH_QUIET_r[0-9]*.json")
+        if p.stem[len("BENCH_QUIET_r"):].isdigit()
+        and int(p.stem[len("BENCH_QUIET_r"):]) < int(rnd)
     )
     if prior_art:
-        prior = json.loads(prior_art[-1].read_text())
+        prior = json.loads(prior_art[-1][1].read_text())
         pq = prior.get("queries", {})
         ps = prior.get("query_min_spread", {})
         for k, v in qmin.items():

@@ -1017,3 +1017,37 @@ def test_semantic_dedup_arrow_engine_bit_identical(spark):
         a = sorted(map(tuple, semantic_dedup(df, engine="sql", **kw).collect()))
         b = sorted(map(tuple, semantic_dedup(df, engine="arrow", **kw).collect()))
         assert a == b, kw
+
+
+def test_exact_substring_recrawl_literal_tier_parity(spark):
+    """The literal-key tier applies the SAME retire-first re-crawl
+    self-exclusion as hash64 (r13 ADVICE: the two documented-equivalent
+    key tiers must not diverge when batch ids overlap the corpus)."""
+    from fdp_dynamically_controlled_streams_spark.operators.dedup import (
+        exact_substring_incremental,
+    )
+
+    blk = "a verbatim shared licence block across docs"
+    solo = spark.createDataFrame(
+        [(1, f"seed doc with {blk} inside")], "doc_id long, text string"
+    )
+    recrawl = spark.createDataFrame(
+        [(1, f"seed doc with {blk} inside")], "doc_id long, text string"
+    )
+    for key in ("hash64", "literal"):
+        assert (
+            exact_substring_incremental(
+                solo, recrawl, length=12, key=key
+            ).count()
+            == 0
+        ), key
+    both = solo.unionByName(
+        spark.createDataFrame(
+            [(2, f"other doc quoting {blk} too")], "doc_id long, text string"
+        )
+    )
+    for key in ("hash64", "literal"):
+        spans = exact_substring_incremental(
+            both, recrawl, length=12, key=key
+        ).collect()
+        assert len(spans) == 1 and spans[0].span_len >= len(blk), key

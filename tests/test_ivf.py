@@ -79,3 +79,44 @@ def test_ranking_metrics_laws(spark):
         assert 0.0 <= r.mrr <= 1.0 and 0.0 <= r.ndcg_at_k <= 1.0
     # n_probe == n_cells means IVF searches EVERY cell -> exact top-k
     assert out["ivf"].mrr == 1.0 and out["ivf"].ndcg_at_k == 1.0
+
+
+def test_ivf_index_partitioned_by_cell_prunes_scan(spark, tmp_path):
+    """r13 verdict task 5: the persisted IVF assignment is written
+    PARTITIONED BY cell and the query phase pushes a STATIC partition
+    filter on the probes' n_probe cell union — the scan must (1) carry
+    a PartitionFilters entry on cell, (2) physically list only the
+    probed cell= directories, and (3) answer value-identically to the
+    inline ivf_topk."""
+    from fdp_dynamically_controlled_streams_spark.operators.similarity import (
+        ivf_index_write,
+        ivf_partition,
+        ivf_topk_from_index,
+    )
+    from fdp_dynamically_controlled_streams_spark.plans.audit import (
+        explain_str,
+    )
+
+    e = load_table(spark, SF_DIR, "embeddings")
+    path = str(tmp_path / "ivf")
+    ivf_index_write(e, path, n_cells=8)
+
+    got = ivf_topk_from_index(
+        spark, path, e, PROBES, k=5, n_cells=8, n_probe=2
+    )
+    want = sorted(map(tuple, ivf_topk(e, PROBES, k=5, n_cells=8, n_probe=2).collect()))
+    assert sorted(map(tuple, got.collect())) == want
+
+    # the probed cell union (recomputed here the same way the operator
+    # derives it) bounds the directories the scan may touch
+    _, pc = ivf_partition(e, PROBES, 8, 2, probe_only=True)
+    probed = {int(r.cell) for r in pc.select("cell").distinct().collect()}
+    touched = {
+        int(f.split("cell=")[1].split("/")[0]) for f in got.inputFiles()
+    }
+    assert touched and touched <= probed, (touched, probed)
+
+    plan = explain_str(got, "formatted")
+    assert "PartitionFilters" in plan
+    seg = plan.split("PartitionFilters", 1)[1][:300]
+    assert "cell" in seg, seg

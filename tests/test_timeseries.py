@@ -204,3 +204,56 @@ def test_ewma_many_tiny_arrow_batches(spark):
     finally:
         spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)
     assert got == want and len(want) == 100
+
+
+def test_ewma_pandas_kernel_bit_parity_property(spark):
+    """Property test for the pandas-ewm bit-parity claim (r13 ADVICE):
+    pandas internally round-trips alpha -> com=(1-a)/a -> a'=1/(1+com);
+    when the round-trip is EXACT (the catalog's 0.2, and 0.1/0.25/0.5
+    etc.) ewm(adjust=False) is BIT-identical to the explicit
+    y = (1-a)*y + a*x loop on distinct-valued runs.  When it is inexact
+    (0.05, 1/3) the kernel runs at a 1-ulp-different alpha and outputs
+    diverge sporadically at ulp scale.  On repeated-equal-value runs
+    pandas additionally returns the running mean verbatim instead of
+    recomputing (1-a)*v + a*v (a second ulp-scale carve-out).  Both
+    divergences must stay invisible after the engine's 6-dp rounding.
+    del spark: pure-kernel property, no cluster needed."""
+    del spark
+    import numpy as np
+    import pandas as pd
+
+    def explicit(x, a):
+        y = np.empty_like(x)
+        p = x[0]
+        y[0] = p
+        for i in range(1, len(x)):
+            p = (1.0 - a) * p + a * x[i]
+            y[i] = p
+        return y
+
+    rng = np.random.default_rng(20260816)
+    for a in (0.05, 0.1, 0.2, 1.0 / 3.0, 0.5, 0.7, 0.875):
+        assert (1.0 - a) + a == 1.0  # the precondition bit-parity rests on
+        roundtrips = 1.0 / (1.0 + (1.0 - a) / a) == a
+        if a in (0.1, 0.2, 0.25, 0.5):
+            assert roundtrips  # the catalog's alpha class
+        for trial in range(40):
+            n = int(rng.integers(2, 60))
+            x = rng.standard_normal(n) * 50.0
+            repeated = trial % 3 == 0
+            if repeated:  # inject an equal-value run (carve-out 2)
+                x[: max(2, n // 2)] = x[0]
+            got = pd.Series(x).ewm(alpha=a, adjust=False).mean().to_numpy()
+            want = explicit(x, a)
+            if roundtrips and not repeated:
+                assert np.array_equal(got, want), (a, trial)
+            else:
+                # ulp-scale divergence relative to the series magnitude
+                # (the perturbed-alpha error accumulates a few ulps of
+                # max|x| before the contraction damps it) — orders of
+                # magnitude below the 5e-7 half-width of the engine's
+                # 6-dp rounding decision, asserted both ways
+                err = np.abs(got - want)
+                scale = np.max(np.abs(x)) + 1.0
+                assert np.all(err <= 64.0 * np.spacing(scale))
+                assert np.array_equal(np.round(got, 6), np.round(want, 6))
