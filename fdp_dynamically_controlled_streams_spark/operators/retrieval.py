@@ -166,9 +166,16 @@ def _score_topk(
     per_pair = (
         # panel side is the broadcast build — never the corpus postings
         # (same invariant as bm25_screen_against_raw; at bench SF Spark
-        # would otherwise sometimes pick the postings as BuildRight)
+        # would otherwise sometimes pick the postings as BuildRight).
+        # ONE exchange serves the score agg AND the rank window (r13
+        # verdict task 2): partitioning by query_id alone satisfies the
+        # (query_id, doc_id) clustering the agg needs AND the window's
+        # query_id partitioning, so the plan shuffles once, not twice —
+        # no new skew axis: the per-query rank step already concentrates
+        # each query's candidates on one partition.
         F.broadcast(qt).join(postings, "term")
         .where(F.col("query_id") != F.col("doc_id"))
+        .repartition(F.col("query_id"))
         .groupBy("query_id", "doc_id")
         .agg(F.sum("c").alias("score_micro"))
     )
@@ -336,11 +343,17 @@ def bm25_raw_index_upsert(
     [ABSENT in reference: SURVEY §2.7 — engine extension.]"""
     if delta:
         b_tdc_dl = bm25_raw_index(batch, id_col, text_col)[0].localCheckpoint()
+        # b_df and b_stats stay LAZY off the checkpointed batch postings
+        # (r13 verdict task 2): each is consumed exactly once per day
+        # (by the df2 / stats2 composition the caller checkpoints), so
+        # materializing them here bought nothing and cost one driver
+        # job each (~0.5 s/day of the maintenance loop's constant,
+        # measured at sf0.1); recomputing is one batch-sized
+        # aggregation off the checkpoint.
         b_df = (
             b_tdc_dl.where(F.col("term").isNotNull())
             .groupBy("term")
             .agg(F.count(F.lit(1)).alias("df"))
-            .localCheckpoint()
         )
         b_stats = (
             b_tdc_dl.groupBy("doc_id")
@@ -352,7 +365,6 @@ def bm25_raw_index_upsert(
                 F.count(F.lit(1)).alias("n"),
                 F.coalesce(F.sum("dl"), F.lit(0)).cast("long").alias("sumdl"),
             )
-            .localCheckpoint()
         )
     else:
         b_tdc_dl, b_df, b_stats = bm25_raw_index(batch, id_col, text_col)
@@ -568,6 +580,8 @@ def bm25_screen_against_raw(
                 f", 6) * 1000000, 0) AS BIGINT)"
             ).alias("c"),
         )
+        # one exchange for agg + rank window (see _score_topk)
+        .repartition(F.col("query_id"))
         .groupBy("query_id", "doc_id")
         .agg(F.sum("c").alias("score_micro"))
     )
@@ -735,6 +749,8 @@ def _tfidf_dot_score(
         F.broadcast(qw)  # panel side builds; the corpus weights never do
         .join(w, "term")
         .where(F.col("query_id") != F.col("doc_id"))
+        # one exchange for agg + rank window (see _score_topk)
+        .repartition(F.col("query_id"))
         .groupBy("query_id", "doc_id")
         .agg(F.sum(F.col("wq") * F.col("wi")).alias("dot_micro2"))
     )
@@ -769,8 +785,11 @@ def rrf_fuse(
             F.expr(f"{RRF_SCALE} div ({k_rrf} + rank)").alias("c"),
         )
         contrib = c if contrib is None else contrib.unionByName(c)
-    fused = contrib.groupBy("query_id", "doc_id").agg(
-        F.sum("c").alias("rrf_micro")
+    # one exchange for agg + rank window (see _score_topk)
+    fused = (
+        contrib.repartition(F.col("query_id"))
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("c").alias("rrf_micro"))
     )
     win = Window.partitionBy("query_id").orderBy(
         F.col("rrf_micro").desc(), F.col("doc_id").asc()

@@ -2404,6 +2404,79 @@ def stream_exact_substring_index_maintenance_replay(
 
 
 @query(
+    "stream_exact_substring_maintenance_pipeline",
+    dedup_ops.exact_substring_maintenance_sql(
+        "documents",
+        length=24,
+        batch_pred="doc_id % 5 = 0",
+        day_expr="(doc_id % 15) // 5",
+    ),
+    tags=("dedup", "substring", "span", "incremental", "streaming",
+          "replay", "restart-safe"),
+)
+def stream_exact_substring_maintenance_pipeline(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The ExactSubstr daily-crawl loop as the RESTART-SAFE pipeline
+    (r13 verdict task 1 — the heaviest dedup maintenance modality
+    joins the persisted-snapshot family): same screen-then-upsert
+    semantics and same oracle as
+    stream_exact_substring_index_maintenance_replay, but the query's
+    only state is the PERSISTED two-relation index snapshot
+    (e<epoch>/cbase + e<epoch>/ch, committed iff BOTH _SUCCESS markers
+    exist) — a driver restart resumes from the newest committed
+    snapshot; a re-delivered micro-batch rewrites identical artifacts
+    (resume-mid-crawl + idempotent-re-delivery laws in
+    tests/test_streaming.py).  Runs with the r14 retention + decisions-
+    compaction policy ON (keep_snapshots=2, compact_outputs_depth=2):
+    retention and roll-up are answer-invariant by law, and this entry
+    exercises both inside the durable loop."""
+    import tempfile
+
+    from fdp_dynamically_controlled_streams_spark.sources.registry import (
+        cached_fixture,
+        write_replay_chunks_partitioned,
+    )
+    from fdp_dynamically_controlled_streams_spark.streaming.maintenance import (
+        exact_substring_maintenance_pipeline,
+        read_epoch_outputs,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    fix = cached_fixture(
+        "exact_substr_maint_replay",
+        sf_dir,
+        lambda p: write_replay_chunks_partitioned(
+            d.where(F.col("doc_id") % 5 == 0).select(
+                "doc_id",
+                "text",
+                F.expr("(doc_id % 15) div 5").alias("day"),
+            ),
+            f"{p}/data",
+            part_col="day",
+            part_values=[0, 1, 2],
+            order_cols=("doc_id",),
+        ),
+    )
+    idx = _exact_substring_index_fixture(spark, sf_dir)
+    work = tempfile.mkdtemp(prefix="dcs-xspipe-")
+    with _replay_conf(spark, partitions=8):
+        out = exact_substring_maintenance_pipeline(
+            spark,
+            f"{fix}/data",
+            "doc_id long, text string",
+            idx,
+            work,
+            length=24,
+            compact_outputs_depth=2,
+        )
+    return read_epoch_outputs(
+        spark, out,
+        "doc_id long, span_start long, span_end long, span_len long",
+    )
+
+
+@query(
     "dedup_embedding_near",
     f"""
 WITH b AS (
@@ -7553,8 +7626,14 @@ def stream_bm25_index_maintenance_replay(
             state["tdc_dl"], state["df_t"], state["stats"], bdf, delta=True
         )
         state["tdc_dl"] = t2
-        state["df_t"] = d2.localCheckpoint()
-        state["stats"] = s2.localCheckpoint()
+        # df/stats compose LAZILY too (r13 verdict task 2): both are
+        # vocabulary-/row-sized deltas off already-materialized pieces
+        # (the batch postings checkpoint inside the upsert), and each
+        # day consumes them a bounded number of times — checkpointing
+        # them cost one driver job each per day (~0.5 s/day measured),
+        # pure constant; the day-2 compact below materializes the chain
+        state["df_t"] = d2
+        state["stats"] = s2
         state["day"] = state.get("day", 0) + 1
         if state["day"] == 2:
             # mid-loop compaction cadence (bm25_raw_index_compact):
@@ -7580,6 +7659,92 @@ def stream_bm25_index_maintenance_replay(
         spark,
         "query_id long, doc_id long, rank int, score double",
         out,
+    )
+
+
+@query(
+    "stream_bm25_maintenance_pipeline",
+    retr_ops.bm25_maintenance_sql(
+        "documents",
+        k=10,
+        batch_pred="doc_id % 5 = 0",
+        day_expr="(doc_id % 15) // 5",
+        n_days=3,
+        panel_pred="doc_id % 100 = 0",
+    ),
+    tags=("text", "retrieval", "bm25", "incremental", "streaming",
+          "replay", "restart-safe"),
+)
+def stream_bm25_maintenance_pipeline(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The BM25 daily-crawl loop as the RESTART-SAFE pipeline (r13
+    verdict task 1 — retrieval completes the persisted-snapshot
+    family): same screen-then-upsert semantics and same oracle as
+    stream_bm25_index_maintenance_replay, but the query's only state
+    is the PERSISTED three-relation raw-index snapshot
+    (e<epoch>/{tdc_dl,df_t,stats}, committed iff ALL three _SUCCESS
+    markers exist).  Each epoch's snapshot write IS the compaction
+    (bm25_raw_index_compact's semantics performed by the parquet
+    write: the delta composition materializes and retired rows
+    physically leave — snapshot depth 1 by construction), and on the
+    fold cadence (fold_every=2) the loop ALSO publishes the
+    READ-optimized folded postings (bm25_fold_postings) under the same
+    retention — the maintained→folded serving split of
+    retrieval_bm25_topk_from_maintained running inside the durable
+    loop.  Retention + decisions compaction ON (keep_snapshots=2,
+    compact_outputs_depth=2), answer-invariant by law
+    (tests/test_streaming.py)."""
+    import tempfile
+
+    from fdp_dynamically_controlled_streams_spark.sources.registry import (
+        cached_fixture,
+        write_replay_chunks_partitioned,
+    )
+    from fdp_dynamically_controlled_streams_spark.streaming.maintenance import (
+        bm25_maintenance_pipeline,
+        read_epoch_outputs,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    fix = cached_fixture(
+        "bm25_maint_replay",
+        sf_dir,
+        lambda p: write_replay_chunks_partitioned(
+            d.where(F.col("doc_id") % 5 == 0).select(
+                "doc_id",
+                "text",
+                F.expr("(doc_id % 15) div 5").alias("day"),
+            ),
+            f"{p}/data",
+            part_col="day",
+            part_values=[0, 1, 2],
+            order_cols=("doc_id",),
+        ),
+    )
+
+    def build_raw(p: str) -> None:
+        t0, d0, s0 = retr_ops.bm25_raw_index(d.where(F.col("doc_id") % 5 != 0))
+        t0.write.mode("overwrite").parquet(f"{p}/tdc_dl")
+        d0.write.mode("overwrite").parquet(f"{p}/df_t")
+        s0.write.mode("overwrite").parquet(f"{p}/stats")
+
+    idx = cached_fixture("bm25_raw_index", sf_dir, build_raw)
+    work = tempfile.mkdtemp(prefix="dcs-bm25pipe-")
+    with _replay_conf(spark, partitions=8):
+        out = bm25_maintenance_pipeline(
+            spark,
+            f"{fix}/data",
+            "doc_id long, text string",
+            idx,
+            work,
+            k=10,
+            panel_mod=100,
+            compact_outputs_depth=2,
+            fold_every=2,
+        )
+    return read_epoch_outputs(
+        spark, out, "query_id long, doc_id long, rank int, score double"
     )
 
 

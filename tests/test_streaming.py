@@ -512,24 +512,29 @@ def test_minhash_maintenance_pipeline_resume_and_idempotent(spark, tmp_path):
     resumed = sorted(map(tuple, read_epoch_outputs(spark, out, ddl).collect()))
     assert resumed == ref
 
-    # (2) re-delivery: re-run epoch 1's body by hand — artifacts unchanged
+    # (2) re-delivery: re-run the NEWEST epoch's body by hand (the only
+    # epoch foreachBatch can actually re-deliver — and, since r14, the
+    # only one the default keep_snapshots=2 retention guarantees a
+    # prior for: e0 is reclaimed once e1/e2 commit) — artifacts
+    # unchanged
     from fdp_dynamically_controlled_streams_spark.operators import dedup as dd
     from pyspark.sql import functions as F
 
     sig_root = os.path.join(work, "sig")
-    before = sorted(map(tuple, spark.read.parquet(f"{sig_root}/e1").collect()))
-    prior = _latest_snapshot(sig_root, 1)
-    assert prior and prior.endswith("e0")
-    bdf = spark.createDataFrame(days[1], "doc_id long, text string")
+    assert not os.path.exists(f"{sig_root}/e0")  # retention reclaimed it
+    before = sorted(map(tuple, spark.read.parquet(f"{sig_root}/e2").collect()))
+    prior = _latest_snapshot(sig_root, 2)
+    assert prior and prior.endswith("e1")
+    bdf = spark.createDataFrame(days[2], "doc_id long, text string")
     sig_c = spark.read.parquet(prior)
     sig_b = dd.minhash_signatures(bdf).localCheckpoint()
     dd.minhash_decisions_against_sigs(sig_b, sig_c, est_threshold=0.3).write.mode(
         "overwrite"
-    ).parquet(os.path.join(work, "out", "e1"))
+    ).parquet(os.path.join(work, "out", "e2"))
     dd.minhash_index_upsert_sigs(
         sig_c, bdf.select(F.col("doc_id").alias("id")), sig_b
-    ).write.mode("overwrite").parquet(f"{sig_root}/e1")
-    after = sorted(map(tuple, spark.read.parquet(f"{sig_root}/e1").collect()))
+    ).write.mode("overwrite").parquet(f"{sig_root}/e2")
+    after = sorted(map(tuple, spark.read.parquet(f"{sig_root}/e2").collect()))
     assert after == before
     assert sorted(map(tuple, read_epoch_outputs(spark, os.path.join(work, "out"), ddl).collect())) == ref
 
@@ -615,3 +620,339 @@ def test_embedding_maintenance_pipeline_resume(spark, tmp_path):
         f"{seed_path}/idx", work, timeout_sec=180,
     )
     assert sorted(map(tuple, read_epoch_outputs(spark, out, ddl).collect())) == ref
+
+
+def _day_writer(root, frames, schema=None):
+    """Write day ``i``'s frame as an mtime-ordered replay chunk."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(root, exist_ok=True)
+
+    def add(i):
+        fp = f"{root}/chunk-{i:05d}.parquet"
+        pq.write_table(
+            pa.Table.from_pandas(
+                frames[i], preserve_index=False, schema=schema
+            ),
+            fp,
+        )
+        os.utime(fp, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    return add
+
+
+def test_exact_substring_maintenance_pipeline_resume_and_idempotent(
+    spark, tmp_path
+):
+    """ExactSubstr restart-safe pipeline laws (r13 verdict task 1 — the
+    minhash pattern applied to the TWO-relation index): (1) an
+    interrupted + resumed run over the same work_dir produces exactly
+    the one-shot run's spans — day 1's match against a day-0 doc exists
+    ONLY via the persisted day-0 snapshot; (2) re-running the newest
+    epoch's batch body rewrites byte-identical snapshot relations."""
+    import os
+
+    from fdp_dynamically_controlled_streams_spark.operators.dedup import (
+        exact_substring_index,
+    )
+    from fdp_dynamically_controlled_streams_spark.streaming.maintenance import (
+        _latest_snapshot,
+        exact_substring_maintenance_pipeline,
+        read_epoch_outputs,
+    )
+
+    blk0 = "a verbatim shared licence block across docs"
+    blk1 = "unique day zero boilerplate paragraph xyz"
+    seed = spark.createDataFrame(
+        [(1, f"seed doc with {blk0} inside"), (2, "nothing in common here")],
+        "doc_id long, text string",
+    )
+    seed_path = str(tmp_path / "seed")
+    cbase, ch = exact_substring_index(seed, length=12)
+    cbase.write.mode("overwrite").parquet(f"{seed_path}/cbase")
+    ch.write.mode("overwrite").parquet(f"{seed_path}/ch")
+
+    days = [
+        pd.DataFrame(
+            {"doc_id": [10, 11],
+             "text": [f"quoting {blk0} here", f"fresh text {blk1} today"]}
+        ),
+        # 20 matches ONLY day 0's doc 11 (via the maintained index)
+        pd.DataFrame({"doc_id": [20], "text": [f"reusing {blk1} again"]}),
+        pd.DataFrame({"doc_id": [30], "text": [f"third day {blk0} echo"]}),
+    ]
+    ddl = "doc_id long, span_start long, span_end long, span_len long"
+
+    # one-shot reference
+    d1 = str(tmp_path / "d1")
+    add1 = _day_writer(d1, days)
+    for i in range(3):
+        add1(i)
+    ref_out = exact_substring_maintenance_pipeline(
+        spark, d1, "doc_id long, text string", seed_path,
+        str(tmp_path / "ref"), length=12, timeout_sec=180,
+    )
+    ref = sorted(map(tuple, read_epoch_outputs(spark, ref_out, ddl).collect()))
+    assert any(r[0] == 20 and r[3] >= len(blk1) for r in ref)  # via day-0 snapshot
+    assert any(r[0] == 10 for r in ref) and any(r[0] == 30 for r in ref)
+
+    # (1) interrupted + resumed
+    d2 = str(tmp_path / "d2")
+    add2 = _day_writer(d2, days)
+    add2(0)
+    work = str(tmp_path / "work")
+    out = exact_substring_maintenance_pipeline(
+        spark, d2, "doc_id long, text string", seed_path, work,
+        length=12, timeout_sec=180,
+    )
+    assert read_epoch_outputs(spark, out, ddl).where("doc_id = 10").count() >= 1
+    add2(1)
+    add2(2)
+    out = exact_substring_maintenance_pipeline(
+        spark, d2, "doc_id long, text string", seed_path, work,
+        length=12, timeout_sec=180,
+    )
+    assert sorted(map(tuple, read_epoch_outputs(spark, out, ddl).collect())) == ref
+
+    # (2) re-delivery of the newest epoch: byte-identical artifacts
+    from fdp_dynamically_controlled_streams_spark.operators import dedup as dd
+
+    idx_root = os.path.join(work, "idx")
+    parts = ("cbase", "ch")
+    assert not os.path.exists(f"{idx_root}/e0")  # retention reclaimed it
+    before = {
+        part: sorted(
+            map(tuple, spark.read.parquet(f"{idx_root}/e2/{part}").collect())
+        )
+        for part in parts
+    }
+    prior = _latest_snapshot(idx_root, 2, parts)
+    assert prior and prior.endswith("e1")
+    bdf = spark.createDataFrame(days[2], "doc_id long, text string")
+    cb = spark.read.parquet(f"{prior}/cbase")
+    chp = spark.read.parquet(f"{prior}/ch")
+    bbase = bdf.select(
+        F.col("doc_id").alias("id"), F.trim(F.col("text")).alias("s")
+    )
+    bh = dd._rolling_window_hashes(bbase, 12).localCheckpoint()
+    dd.exact_substring_incremental_against_index(
+        bdf, cb, chp, length=12, bh=bh
+    ).write.mode("overwrite").parquet(os.path.join(work, "out", "e2"))
+    new_ids = bbase.select("id")
+    cb.join(F.broadcast(new_ids), "id", "left_anti").unionByName(
+        bbase
+    ).write.mode("overwrite").parquet(f"{idx_root}/e2/cbase")
+    chp.join(F.broadcast(new_ids), "id", "left_anti").unionByName(
+        bh
+    ).write.mode("overwrite").parquet(f"{idx_root}/e2/ch")
+    after = {
+        part: sorted(
+            map(tuple, spark.read.parquet(f"{idx_root}/e2/{part}").collect())
+        )
+        for part in parts
+    }
+    assert after == before
+    assert sorted(
+        map(tuple,
+            read_epoch_outputs(spark, os.path.join(work, "out"), ddl).collect())
+    ) == ref
+
+
+def test_bm25_maintenance_pipeline_resume_and_idempotent(spark, tmp_path):
+    """BM25 restart-safe pipeline laws (r13 verdict task 1 — retrieval's
+    THREE-relation index rides the persisted-snapshot discipline):
+    (1) interrupted + resumed equals one-shot — a day-1 query's scores
+    depend on day 0's docs being IN the persisted stats/postings;
+    (2) re-running the newest epoch rewrites byte-identical relations;
+    plus the fold cadence publishes a committed folded snapshot."""
+    import os
+
+    from fdp_dynamically_controlled_streams_spark.operators import (
+        retrieval as retr_ops,
+    )
+    from fdp_dynamically_controlled_streams_spark.streaming.maintenance import (
+        _latest_snapshot,
+        bm25_maintenance_pipeline,
+        read_epoch_outputs,
+    )
+
+    seed = spark.createDataFrame(
+        [(1, "apple banana cherry"), (2, "banana date elderberry"),
+         (3, "cherry date fig")],
+        "doc_id long, text string",
+    )
+    seed_path = str(tmp_path / "seed")
+    t0, d0, s0 = retr_ops.bm25_raw_index(seed)
+    t0.write.mode("overwrite").parquet(f"{seed_path}/tdc_dl")
+    d0.write.mode("overwrite").parquet(f"{seed_path}/df_t")
+    s0.write.mode("overwrite").parquet(f"{seed_path}/stats")
+
+    days = [
+        pd.DataFrame({"doc_id": [10, 11],
+                      "text": ["apple cherry grape", "grape honeydew kiwi"]}),
+        pd.DataFrame({"doc_id": [20], "text": ["grape kiwi apple"]}),
+        pd.DataFrame({"doc_id": [30], "text": ["banana fig grape"]}),
+    ]
+    ddl = "query_id long, doc_id long, rank int, score double"
+
+    d1 = str(tmp_path / "d1")
+    add1 = _day_writer(d1, days)
+    for i in range(3):
+        add1(i)
+    ref_out = bm25_maintenance_pipeline(
+        spark, d1, "doc_id long, text string", seed_path,
+        str(tmp_path / "ref"), k=3, panel_mod=1, timeout_sec=180,
+        fold_every=2,
+    )
+    ref = sorted(map(tuple, read_epoch_outputs(spark, ref_out, ddl).collect()))
+    # day-1 query 20 must retrieve day-0 docs (grape/kiwi exist only there)
+    assert any(r[0] == 20 and r[1] in (10, 11) for r in ref)
+
+    # (1) interrupted + resumed
+    d2 = str(tmp_path / "d2")
+    add2 = _day_writer(d2, days)
+    add2(0)
+    work = str(tmp_path / "work")
+    out = bm25_maintenance_pipeline(
+        spark, d2, "doc_id long, text string", seed_path, work,
+        k=3, panel_mod=1, timeout_sec=180, fold_every=2,
+    )
+    assert read_epoch_outputs(spark, out, ddl).where("query_id = 10").count() > 0
+    add2(1)
+    add2(2)
+    out = bm25_maintenance_pipeline(
+        spark, d2, "doc_id long, text string", seed_path, work,
+        k=3, panel_mod=1, timeout_sec=180, fold_every=2,
+    )
+    assert sorted(map(tuple, read_epoch_outputs(spark, out, ddl).collect())) == ref
+
+    # fold cadence: epoch 1 (the 2nd) published a committed folded snapshot
+    fold_root = os.path.join(work, "fold")
+    assert os.path.exists(os.path.join(fold_root, "e1", "_SUCCESS"))
+    folded = spark.read.parquet(os.path.join(fold_root, "e1"))
+    assert {"term", "doc_id", "c"} <= set(folded.columns)
+
+    # (2) re-delivery of the newest epoch: byte-identical artifacts
+    idx_root = os.path.join(work, "idx")
+    parts = ("tdc_dl", "df_t", "stats")
+    assert not os.path.exists(f"{idx_root}/e0")  # retention reclaimed it
+    before = {
+        part: sorted(
+            map(tuple, spark.read.parquet(f"{idx_root}/e2/{part}").collect())
+        )
+        for part in parts
+    }
+    prior = _latest_snapshot(idx_root, 2, parts)
+    assert prior and prior.endswith("e1")
+    bdf = spark.createDataFrame(days[2], "doc_id long, text string")
+    tp = spark.read.parquet(f"{prior}/tdc_dl")
+    dp = spark.read.parquet(f"{prior}/df_t")
+    sp = spark.read.parquet(f"{prior}/stats")
+    retr_ops.bm25_screen_against_raw(bdf, tp, dp, sp, k=3).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(work, "out", "e2"))
+    t2, d2_, s2 = retr_ops.bm25_raw_index_upsert(tp, dp, sp, bdf, delta=True)
+    t2.write.mode("overwrite").parquet(f"{idx_root}/e2/tdc_dl")
+    d2_.write.mode("overwrite").parquet(f"{idx_root}/e2/df_t")
+    s2.write.mode("overwrite").parquet(f"{idx_root}/e2/stats")
+    after = {
+        part: sorted(
+            map(tuple, spark.read.parquet(f"{idx_root}/e2/{part}").collect())
+        )
+        for part in parts
+    }
+    assert after == before
+    assert sorted(
+        map(tuple,
+            read_epoch_outputs(spark, os.path.join(work, "out"), ddl).collect())
+    ) == ref
+
+
+def test_pipeline_retention_and_compaction_invariance(spark, tmp_path):
+    """r13 verdict task 3 laws: retention (keep_snapshots) and decisions
+    compaction (compact_outputs_depth) choices NEVER change answers —
+    and the aggressive run's physical layout is actually bounded (at
+    most keep_last snapshot dirs; decisions rolled into one c* dir)."""
+    import glob as g
+    import os
+
+    from fdp_dynamically_controlled_streams_spark.operators.dedup import (
+        minhash_index,
+    )
+    from fdp_dynamically_controlled_streams_spark.streaming.maintenance import (
+        minhash_maintenance_pipeline,
+        read_epoch_outputs,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    seed = spark.createDataFrame([(1, base)], "doc_id long, text string")
+    seed_path = str(tmp_path / "seed_sig")
+    minhash_index(seed).write.mode("overwrite").parquet(seed_path)
+
+    days = [
+        pd.DataFrame({"doc_id": [10], "text": [base + " one"]}),
+        pd.DataFrame({"doc_id": [20], "text": [base + " two"]}),
+        pd.DataFrame({"doc_id": [30], "text": ["nothing shared at all here"]}),
+        pd.DataFrame({"doc_id": [40], "text": [base + " four"]}),
+    ]
+    ddl = "doc_id long, n_matches long, best_est double, is_new boolean"
+
+    results = {}
+    layouts = {}
+    for tag, kw in {
+        "unbounded": dict(keep_snapshots=None, compact_outputs_depth=None),
+        "bounded": dict(keep_snapshots=2, compact_outputs_depth=2),
+    }.items():
+        data = str(tmp_path / f"data_{tag}")
+        add = _day_writer(data, days)
+        for i in range(4):
+            add(i)
+        work = str(tmp_path / f"work_{tag}")
+        out = minhash_maintenance_pipeline(
+            spark, data, "doc_id long, text string", seed_path, work,
+            timeout_sec=180, **kw,
+        )
+        results[tag] = sorted(
+            map(tuple, read_epoch_outputs(spark, out, ddl).collect())
+        )
+        layouts[tag] = {
+            "snaps": sorted(
+                os.path.basename(p)
+                for p in g.glob(os.path.join(work, "sig", "e*"))
+            ),
+            "outs": sorted(
+                os.path.basename(p)
+                for p in g.glob(os.path.join(work, "out", "[ec]*"))
+            ),
+        }
+    assert results["bounded"] == results["unbounded"]  # the law
+    assert len(results["bounded"]) == 4
+    assert layouts["unbounded"]["snaps"] == ["e0", "e1", "e2", "e3"]
+    assert layouts["bounded"]["snaps"] == ["e2", "e3"]  # keep_last=2
+    # every epoch rolled up as depth hits 2; nothing stranded
+    assert all(o.startswith("c") for o in layouts["bounded"]["outs"]), layouts
+    assert layouts["unbounded"]["outs"] == ["e0", "e1", "e2", "e3"]
+
+
+def test_compaction_policy_rule():
+    """compaction_due is the when-to-compact rule as code (r13 verdict
+    task 3): depth OR retired-fraction triggers, pure comparisons."""
+    from fdp_dynamically_controlled_streams_spark.streaming.maintenance import (
+        compaction_due,
+        reclaim_epoch_snapshots,
+    )
+
+    assert not compaction_due(0)
+    assert not compaction_due(7)
+    assert compaction_due(8)
+    assert compaction_due(3, max_depth=3)
+    assert compaction_due(0, retired_frac=0.5)
+    assert compaction_due(0, retired_frac=0.9, max_retired_frac=0.9)
+    assert not compaction_due(1, retired_frac=0.1)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        reclaim_epoch_snapshots("/nonexistent", keep_last=1)
