@@ -974,3 +974,21 @@ def test_kcore_round_is_semi_joins_plus_partial_count(spark):
     assert a.n_python_evals == 0
     assert "partial_count" in a.raw
     assert "LeftSemi" in a.raw
+
+
+def test_ranker_agg_and_window_share_one_exchange(audits, spark):
+    """r13 verdict task 2: every ranker's score agg and rank window run
+    off ONE query_id exchange (REPARTITION_BY_COL) — the plan must not
+    contain a (query_id, doc_id) ENSURE_REQUIREMENTS exchange (the old
+    two-shuffle shape: agg on the pair key, then re-exchange on
+    query_id for the window)."""
+    import re
+
+    for name in ("retrieval_bm25_topk", "retrieval_rrf_fusion"):
+        a = audits(name)
+        raw = a.raw
+        pair_ex = re.findall(
+            r"Exchange hashpartitioning\(query_id#\d+L?, doc_id", raw
+        )
+        assert not pair_ex, (name, pair_ex)
+        assert "REPARTITION_BY_COL" in raw, name
