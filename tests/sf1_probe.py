@@ -135,6 +135,13 @@ PROBE_ENTRIES = [
     "ann_ivf_derived_cells_topk",
     "retrieval_bm25_topk_from_maintained",
     "stream_embedding_maintenance_pipeline",
+    # round-14: the two HEAVIEST maintenance modalities' restart-safe
+    # pipelines join their family's trend line in their debut round
+    # (two-/three-relation persisted snapshots per epoch + retention +
+    # decisions compaction + BM25 fold cadence — the durable-commit
+    # cost shape at its largest)
+    "stream_exact_substring_maintenance_pipeline",
+    "stream_bm25_maintenance_pipeline",
 ]
 
 _ALPHA = "abcdefghijklmnopqrstuvwxyz"
