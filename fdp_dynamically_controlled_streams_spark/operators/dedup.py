@@ -714,8 +714,19 @@ def exact_substring_spans(
 
     [ABSENT in reference: SURVEY §2.7 — engine extension.]
     """
-    base = docs.select(
-        F.col(id_col).alias("id"), F.trim(F.col(text_col)).alias("s")
+    from fdp_dynamically_controlled_streams_spark.functions.parallelism import (
+        spread_for_kernel,
+    )
+
+    # Corpus-scale per-char generation below (rolling-hash kernel or window
+    # explode): a one-row-group local scan would run it on a single core
+    # (29.9 -> 4.7 s at sf0.1 measured on the hash64 tier); no-op at scale
+    # where the scan is already wider than the core count. Applied HERE and
+    # not inside _rolling_window_hashes: the per-day maintenance paths hash
+    # day-bounded batches where 32 spread tasks cost more than they win
+    # (measured regression, see OPTIMIZATION_r14.md).
+    base = spread_for_kernel(
+        docs.select(F.col(id_col).alias("id"), F.trim(F.col(text_col)).alias("s"))
     )
     if key == "hash64":
         winh = _rolling_window_hashes(base, length)
