@@ -1381,7 +1381,17 @@ def attach_jpeg_media(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
             T.StructField("n_bytes", T.LongType()),
         ]
     )
-    return docs.select(id_col).mapInPandas(gen, out_schema)
+    from fdp_dynamically_controlled_streams_spark.functions.parallelism import (
+        spread_for_kernel,
+    )
+
+    # Full-corpus JPEG encode (and the decode chained on this partitioning)
+    # is the expensive per-row step; a one-row-group local scan would
+    # serialize it on one core (2.60 -> 1.08 s at sf0.1; no-op on wide
+    # scans). The other attach_* tiers measured FLAT or slower spread —
+    # their entries feed row-sampled inputs where 32 task round-trips cost
+    # more than the codec work — so only this corpus-sized tier spreads.
+    return spread_for_kernel(docs.select(id_col)).mapInPandas(gen, out_schema)
 
 
 def decode_jpeg_features(media: DataFrame) -> DataFrame:
