@@ -49,10 +49,23 @@ def frequent_pairs(
     (basket, item) rows count once) and ``n_baskets``.
     """
     items = df.select(F.col(basket).alias("bk"), F.col(item).alias("it"))
+    return _pairs_of(items, min_support, max_basket_size, prune_items, False)
 
+
+def _pairs_of(
+    items: DataFrame,
+    min_support: int,
+    max_basket_size: int,
+    prune_items: bool,
+    distinct_input: bool,
+) -> DataFrame:
+    """Pair generation body shared by :func:`frequent_pairs` (raw
+    (bk, it) input — collect_set dedups) and :func:`association_rules`
+    (ONE materialized distinct (bk, it) relation serving all three
+    consumers, so ``distinct_input=True`` skips the redundant distinct)."""
     if prune_items:
         freq_items = (
-            items.distinct()
+            (items if distinct_input else items.distinct())
             .groupBy("it")
             .agg(F.count("*").alias("c"))
             .where(F.col("c") >= min_support)
@@ -102,14 +115,23 @@ def association_rules(
     at corpus scale these are two key-shuffles over the RULE table, whose
     size is bounded by the frequent-pair count, not the corpus.
     """
-    items = df.select(F.col(basket).alias("bk"), F.col(item).alias("it")).distinct()
+    # ONE materialization of the distinct basket-item relation serves all
+    # three consumers below (basket total, item supports, pair generation)
+    # — previously each consumer re-ran the scan + distinct shuffle (3-4
+    # full passes; the same materialization-barrier cut as
+    # text_local_min_fingerprints). Basket-item-sized, never corpus-text-
+    # sized, so the localCheckpoint holds at scale.
+    items = (
+        df.select(F.col(basket).alias("bk"), F.col(item).alias("it"))
+        .distinct()
+        .localCheckpoint()
+    )
     n_baskets = items.select("bk").distinct().agg(
         F.count(F.lit(1)).alias("n_total")
     )
     sup = items.groupBy("it").agg(F.count(F.lit(1)).alias("sup"))
-    pairs = frequent_pairs(
-        df, basket, item, min_support=min_support,
-        max_basket_size=max_basket_size,
+    pairs = _pairs_of(
+        items, min_support, max_basket_size, True, True
     )
     directed = pairs.select(
         F.col("item_a").alias("antecedent"),
