@@ -244,6 +244,17 @@ def triangles(
     )
     # Same cut for the oriented set: it feeds both sides of the wedge
     # self-join (o1/o2 would otherwise each re-run canon ⋈ deg ⋈ deg).
+    # Hash-partitioned on the apex BEFORE the checkpoint: the checkpointed
+    # RDD carries that partitioning, so the wedge self-join needs NO
+    # exchange on either side AND inherits real parallelism (AQE coalesces
+    # the small checkpoint to 1 partition otherwise, serializing the
+    # m^1.5 wedge stage; measured 8.5-10.4 -> 3.1 s at sf0.1 with the
+    # closure hint below). Partition count rides the session's
+    # shuffle-partitions knob — the same value every other shuffle here
+    # uses, sized per deployment, not a local constant.
+    n_parts = int(
+        edges.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    )
     oriented = (
         canon.join(da, "a")
         .join(db, "b")
@@ -251,13 +262,19 @@ def triangles(
             F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias("src"),
             F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("dst"),
         )
+        .repartition(n_parts, "src")
         .localCheckpoint()
     )
     o1 = oriented.select(F.col("src").alias("apex"), F.col("dst").alias("x"))
     o2 = oriented.select(F.col("src").alias("apex"), F.col("dst").alias("y"))
     wedges = o1.join(o2, "apex").where(F.col("x") < F.col("y"))
+    # Closure check: SHUFFLED-HASH on the canonical edge side — hash a
+    # per-partition slice of the (small) edge set instead of SORTING the
+    # m^1.5 wedge relation (sort-merge's cost here); scale-safe because the
+    # build side is one partition's slice of edges, never the whole set
+    # (a broadcast of the full edge set would NOT survive 100 TB).
     tri = wedges.join(
-        canon,
+        canon.hint("shuffle_hash"),
         (wedges.x == canon.a) & (wedges.y == canon.b),
     ).select("apex", "x", "y")
     per_node = (
