@@ -170,6 +170,11 @@ def bpe_train(
     created: set[str] = set()  # every multi-char symbol ever introduced
     while len(merges) < n_merges:
         b = min(max(1, batch), n_merges - len(merges))
+        # Materialized per round: three consumers read this table (the
+        # top-b ranking and BOTH adjacency-maxima aggs behind Bound_j) —
+        # without the cut each re-ran the explode + groupBy over the
+        # vocabulary, the round's expensive pass. Pair-vocabulary-sized,
+        # bounded by distinct adjacent symbol pairs, never corpus-sized.
         pairs = (
             vocab.select(
                 "freq",
@@ -185,6 +190,7 @@ def bpe_train(
             )
             .groupBy("p.l", "p.r")
             .agg(F.sum("freq").alias("pf"))
+            .localCheckpoint()
         )
         # bounded argmax: `batch` rows leave the cluster per round (the
         # k-means-centroid budget); total order = partition-invariant.
