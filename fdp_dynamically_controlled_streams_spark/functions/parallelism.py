@@ -32,6 +32,38 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 
+def overlap_jobs(*thunks) -> None:
+    """Run INDEPENDENT Spark actions concurrently from a small driver
+    thread pool (guide §2.6 "overlap independent jobs"): Spark's
+    scheduler runs several jobs at once inside one application, and
+    actions are only sequential because driver code calls them
+    sequentially — so a maintenance epoch's decisions write and its
+    snapshot-relation writes (different output paths, no data
+    dependency once the shared inputs are checkpointed) back-fill the
+    executor slots each other's straggler tails leave idle, instead of
+    paying their per-job tails end to end.  FIFO scheduling (the
+    default) gives the earlier-submitted job priority, which is exactly
+    the back-fill behaviour wanted.  Callers MUST only pass actions
+    with no ordering dependency (epoch-addressed overwrite sinks keep
+    re-delivery idempotent regardless of which write commits first).
+    The first raised exception propagates after all threads finish."""
+    if len(thunks) == 1:
+        thunks[0]()
+        return
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=len(thunks)) as pool:
+        futures = [pool.submit(t) for t in thunks]
+        errs = []
+        for f in futures:
+            try:
+                f.result()
+            except Exception as exc:  # noqa: BLE001 — propagate after join
+                errs.append(exc)
+        if errs:
+            raise errs[0]
+
+
 def spread_for_kernel(df: DataFrame, min_parts: int | None = None) -> DataFrame:
     """Round-robin repartition ``df`` up to ``min_parts`` (default: the
     session's ``defaultParallelism``) partitions iff it currently has

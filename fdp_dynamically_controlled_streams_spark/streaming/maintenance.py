@@ -35,6 +35,9 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from fdp_dynamically_controlled_streams_spark.functions.parallelism import (
+    overlap_jobs,
+)
 from fdp_dynamically_controlled_streams_spark.operators import dedup as dedup_ops
 
 
@@ -241,12 +244,24 @@ def minhash_maintenance_pipeline(
         prior = _latest_snapshot(sig_root, bid)
         sig_c = spark.read.parquet(prior if prior else seed_sig_path)
         sig_b = dedup_ops.minhash_signatures(bdf).localCheckpoint()
-        dedup_ops.minhash_decisions_against_sigs(
+        # the decisions write and the snapshot write are INDEPENDENT
+        # jobs once sig_b is checkpointed (different epoch-addressed
+        # overwrite sinks — commit order is irrelevant to re-delivery);
+        # overlapping them back-fills each job's straggler tail
+        dec = dedup_ops.minhash_decisions_against_sigs(
             sig_b, sig_c, est_threshold=est_threshold
-        ).write.mode("overwrite").parquet(os.path.join(out_root, f"e{bid}"))
-        dedup_ops.minhash_index_upsert_sigs(
+        )
+        ups = dedup_ops.minhash_index_upsert_sigs(
             sig_c, bdf.select(F.col("doc_id").alias("id")), sig_b
-        ).write.mode("overwrite").parquet(os.path.join(sig_root, f"e{bid}"))
+        )
+        overlap_jobs(
+            lambda: dec.write.mode("overwrite").parquet(
+                os.path.join(out_root, f"e{bid}")
+            ),
+            lambda: ups.write.mode("overwrite").parquet(
+                os.path.join(sig_root, f"e{bid}")
+            ),
+        )
         if keep_snapshots is not None:
             reclaim_epoch_snapshots(sig_root, keep_snapshots)
         if compact_outputs_depth is not None:
@@ -305,12 +320,21 @@ def embedding_maintenance_pipeline(
         idx = spark.read.parquet(prior if prior else seed_index_path)
         bits = sim_ops.derived_bits(idx.count())
         idx = sim_ops.embedding_index_rebucket(idx, bits).localCheckpoint()
-        sim_ops.embedding_decisions_against_index(
+        # decisions write ∥ snapshot write: independent epoch-addressed
+        # overwrite sinks off the shared checkpointed index (see
+        # minhash_maintenance_pipeline)
+        dec = sim_ops.embedding_decisions_against_index(
             bdf, idx, threshold=threshold, bits=bits
-        ).write.mode("overwrite").parquet(os.path.join(out_root, f"e{bid}"))
-        sim_ops.embedding_index_upsert(idx, bdf, bits=bits).write.mode(
-            "overwrite"
-        ).parquet(os.path.join(idx_root, f"e{bid}"))
+        )
+        ups = sim_ops.embedding_index_upsert(idx, bdf, bits=bits)
+        overlap_jobs(
+            lambda: dec.write.mode("overwrite").parquet(
+                os.path.join(out_root, f"e{bid}")
+            ),
+            lambda: ups.write.mode("overwrite").parquet(
+                os.path.join(idx_root, f"e{bid}")
+            ),
+        )
         if keep_snapshots is not None:
             reclaim_epoch_snapshots(idx_root, keep_snapshots)
         if compact_outputs_depth is not None:
@@ -383,17 +407,29 @@ def exact_substring_maintenance_pipeline(
             F.col("doc_id").alias("id"), F.trim(F.col("text")).alias("s")
         )
         bh = dedup_ops._rolling_window_hashes(bbase, length).localCheckpoint()
-        dedup_ops.exact_substring_incremental_against_index(
+        # decisions write ∥ cbase snapshot ∥ ch snapshot: all three read
+        # only the prior snapshot's parquet plus the checkpointed
+        # bdf/bh, and each goes to its own epoch-addressed overwrite
+        # sink (a partial epoch stays uncommitted until BOTH relation
+        # markers exist regardless of write order)
+        dec = dedup_ops.exact_substring_incremental_against_index(
             bdf, cbase, ch, length=length, bh=bh
-        ).write.mode("overwrite").parquet(os.path.join(out_root, f"e{bid}"))
+        )
         new_ids = bbase.select("id")
         snap = os.path.join(idx_root, f"e{bid}")
-        cbase.join(F.broadcast(new_ids), "id", "left_anti").unionByName(
-            bbase
-        ).write.mode("overwrite").parquet(os.path.join(snap, "cbase"))
-        ch.join(F.broadcast(new_ids), "id", "left_anti").unionByName(
-            bh
-        ).write.mode("overwrite").parquet(os.path.join(snap, "ch"))
+        overlap_jobs(
+            lambda: dec.write.mode("overwrite").parquet(
+                os.path.join(out_root, f"e{bid}")
+            ),
+            lambda: cbase.join(F.broadcast(new_ids), "id", "left_anti")
+            .unionByName(bbase)
+            .write.mode("overwrite")
+            .parquet(os.path.join(snap, "cbase")),
+            lambda: ch.join(F.broadcast(new_ids), "id", "left_anti")
+            .unionByName(bh)
+            .write.mode("overwrite")
+            .parquet(os.path.join(snap, "ch")),
+        )
         if keep_snapshots is not None:
             reclaim_epoch_snapshots(idx_root, keep_snapshots, parts)
         if compact_outputs_depth is not None:
@@ -470,20 +506,43 @@ def bm25_maintenance_pipeline(
         tdc_dl = spark.read.parquet(os.path.join(root, "tdc_dl"))
         df_t = spark.read.parquet(os.path.join(root, "df_t"))
         stats = spark.read.parquet(os.path.join(root, "stats"))
-        retr_ops.bm25_screen_against_raw(
+        scr = retr_ops.bm25_screen_against_raw(
             bdf.where(F.col("doc_id") % panel_mod == 0),
             tdc_dl, df_t, stats, k=k,
-        ).write.mode("overwrite").parquet(os.path.join(out_root, f"e{bid}"))
+        )
         t2, d2, s2 = retr_ops.bm25_raw_index_upsert(
             tdc_dl, df_t, stats, bdf, delta=True
         )
         snap = os.path.join(idx_root, f"e{bid}")
-        t2 = t2.localCheckpoint()  # one composition pass for both writes
-        t2.write.mode("overwrite").parquet(os.path.join(snap, "tdc_dl"))
-        d2.write.mode("overwrite").parquet(os.path.join(snap, "df_t"))
-        s2.write.mode("overwrite").parquet(os.path.join(snap, "stats"))
+        # screen ∥ postings ∥ df ∥ stats: the upsert's three relations
+        # are mutually independent compositions over the prior
+        # snapshot's parquet plus the checkpointed batch postings, and
+        # the screen reads only the prior snapshot — four independent
+        # epoch-addressed overwrite sinks.  The postings composition no
+        # longer localCheckpoints per epoch (that double-materialized
+        # the corpus-sized relation on every NON-fold epoch); fold
+        # epochs instead read back the snapshot the same batch just
+        # wrote — bit-identical rows, one composition pass total.
+        overlap_jobs(
+            lambda: scr.write.mode("overwrite").parquet(
+                os.path.join(out_root, f"e{bid}")
+            ),
+            lambda: t2.write.mode("overwrite").parquet(
+                os.path.join(snap, "tdc_dl")
+            ),
+            lambda: d2.write.mode("overwrite").parquet(
+                os.path.join(snap, "df_t")
+            ),
+            lambda: s2.write.mode("overwrite").parquet(
+                os.path.join(snap, "stats")
+            ),
+        )
         if fold_every is not None and (bid + 1) % fold_every == 0:
-            folded = retr_ops.bm25_fold_postings(t2, d2, s2)
+            folded = retr_ops.bm25_fold_postings(
+                spark.read.parquet(os.path.join(snap, "tdc_dl")),
+                spark.read.parquet(os.path.join(snap, "df_t")),
+                spark.read.parquet(os.path.join(snap, "stats")),
+            )
             folded.write.mode("overwrite").parquet(
                 os.path.join(fold_root, f"e{bid}")
             )

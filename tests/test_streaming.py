@@ -956,3 +956,33 @@ def test_compaction_policy_rule():
 
     with _pytest.raises(ValueError):
         reclaim_epoch_snapshots("/nonexistent", keep_last=1)
+
+
+def test_overlap_jobs_runs_all_and_propagates_errors():
+    """overlap_jobs (the pipelines' concurrent-sink primitive) must run
+    EVERY thunk exactly once even when one fails — a failed decisions
+    write must not cancel the snapshot write mid-flight (the epoch stays
+    uncommitted either way; _SUCCESS gating decides) — and must
+    propagate the first error after all threads join."""
+    import pytest as _pytest
+
+    from fdp_dynamically_controlled_streams_spark.functions.parallelism import (
+        overlap_jobs,
+    )
+
+    ran = []
+    overlap_jobs(lambda: ran.append("a"))  # single-thunk fast path
+    assert ran == ["a"]
+
+    ran.clear()
+    overlap_jobs(lambda: ran.append("a"), lambda: ran.append("b"))
+    assert sorted(ran) == ["a", "b"]
+
+    ran.clear()
+
+    def boom():
+        raise RuntimeError("boom")
+
+    with _pytest.raises(RuntimeError, match="boom"):
+        overlap_jobs(boom, lambda: ran.append("b"), lambda: ran.append("c"))
+    assert sorted(ran) == ["b", "c"]  # siblings still completed
