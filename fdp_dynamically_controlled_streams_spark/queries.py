@@ -33,6 +33,9 @@ from fdp_dynamically_controlled_streams_spark.functions.hashing import (
     portable_hash64,
     portable_hash64_sql,
 )
+from fdp_dynamically_controlled_streams_spark.functions.parallelism import (
+    overlap_jobs,
+)
 from fdp_dynamically_controlled_streams_spark.functions.vectors import (
     cosine_sql,
     sign_bucket_sql,
@@ -1767,19 +1770,30 @@ def stream_minhash_index_maintenance_replay(
         # 2): the screen and the delta upsert share the checkpointed
         # batch signatures instead of each re-signing the batch
         sig_b = dedup_ops.minhash_signatures(bdf).localCheckpoint()
-        dedup_ops.minhash_decisions_against_sigs(
+        # decisions built off the pre-upsert state (closure capture),
+        # so the upsert thunk can re-point state without racing
+        dec = dedup_ops.minhash_decisions_against_sigs(
             sig_b, state["sig"], est_threshold=0.3
-        ).write.mode("append").parquet(out)
-        state["sig"] = dedup_ops.minhash_index_upsert_sigs(
-            state["sig"], bdf.select(F.col("doc_id").alias("id")), sig_b
         )
-        state["day"] += 1
-        if state["day"] == 2:
-            # mid-loop compaction cadence: materialize the composed
-            # anti-join/union chain (semantics-invisible by law —
-            # tests/test_dedup_clusters.py; the replay's hashes are
-            # unchanged with or without this line)
-            state["sig"] = dedup_ops.minhash_index_compact(state["sig"])
+
+        def _upsert() -> None:
+            state["sig"] = dedup_ops.minhash_index_upsert_sigs(
+                state["sig"], bdf.select(F.col("doc_id").alias("id")), sig_b
+            )
+            state["day"] += 1
+            if state["day"] == 2:
+                # mid-loop compaction cadence: materialize the composed
+                # anti-join/union chain (semantics-invisible by law —
+                # tests/test_dedup_clusters.py; the replay's hashes are
+                # unchanged with or without this line)
+                state["sig"] = dedup_ops.minhash_index_compact(state["sig"])
+
+        # decisions write ∥ day-2 compaction (the upsert itself is
+        # lazy; the compact is the only job) — guide §2.6 back-fill
+        overlap_jobs(
+            lambda: dec.write.mode("append").parquet(out),
+            _upsert,
+        )
 
     with _replay_conf(spark, partitions=8):
         q = (
@@ -2618,13 +2632,25 @@ def stream_embedding_index_maintenance_replay(
                 state["idx"], bits
             ).localCheckpoint()
             state["bits"] = bits
-        sim_ops.embedding_decisions_against_index(
+        # decisions built off the pre-upsert index (closure capture),
+        # so the upsert thunk can re-point state without racing
+        dec = sim_ops.embedding_decisions_against_index(
             bdf, state["idx"], threshold=0.25, bits=bits
-        ).write.mode("append").parquet(out)
-        state["idx"] = sim_ops.embedding_index_upsert(
-            state["idx"], bdf, bits=bits
-        ).localCheckpoint()
-        state["n"] = state["idx"].count()
+        )
+
+        def _upsert() -> None:
+            state["idx"] = sim_ops.embedding_index_upsert(
+                state["idx"], bdf, bits=bits
+            ).localCheckpoint()
+            state["n"] = state["idx"].count()
+
+        # decisions write ∥ index-upsert materialization: independent
+        # off the checkpointed bdf and prior index (guide §2.6 —
+        # back-fill the straggler tails instead of chaining the jobs)
+        overlap_jobs(
+            lambda: dec.write.mode("append").parquet(out),
+            _upsert,
+        )
 
     with _replay_conf(spark, partitions=8):
         q = (
@@ -7613,38 +7639,51 @@ def stream_bm25_index_maintenance_replay(
         # unbounded panel is query-count × corpus quadratic (the same
         # bound retrieval_bm25_topk applies); the UPSERT below still
         # folds the WHOLE day into the index.
-        retr_ops.bm25_screen_against_raw(
+        # the screen is BUILT off the pre-upsert state here (plain
+        # closure capture), so the upsert thunk below can re-point the
+        # state dict without racing the write
+        scr = retr_ops.bm25_screen_against_raw(
             bdf.where(F.col("doc_id") % 100 == 0),
             state["tdc_dl"], state["df_t"], state["stats"], k=10,
-        ).write.mode("append").parquet(out)
-        # delta upsert: the day's own relations are checkpointed inside;
-        # the corpus-sized postings composition stays LAZY over the
-        # materialized prior (re-materializing it per day is O(corpus)
-        # daily — the ExactSubstr delta lesson); df/stats are
-        # vocabulary-/row-sized and checkpoint cheaply.
-        t2, d2, s2 = retr_ops.bm25_raw_index_upsert(
-            state["tdc_dl"], state["df_t"], state["stats"], bdf, delta=True
         )
-        state["tdc_dl"] = t2
-        # df/stats compose LAZILY too (r13 verdict task 2): both are
-        # vocabulary-/row-sized deltas off already-materialized pieces
-        # (the batch postings checkpoint inside the upsert), and each
-        # day consumes them a bounded number of times — checkpointing
-        # them cost one driver job each per day (~0.5 s/day measured),
-        # pure constant; the day-2 compact below materializes the chain
-        state["df_t"] = d2
-        state["stats"] = s2
-        state["day"] = state.get("day", 0) + 1
-        if state["day"] == 2:
-            # mid-loop compaction cadence (bm25_raw_index_compact):
-            # materialize the composed postings chain — semantics-
-            # invisible by law (tests/test_retrieval_spans.py), the
-            # replay's hashes are unchanged with or without this line
-            state["tdc_dl"], state["df_t"], state["stats"] = (
-                retr_ops.bm25_raw_index_compact(
-                    state["tdc_dl"], state["df_t"], state["stats"]
-                )
+
+        def _upsert() -> None:
+            # delta upsert: the day's own relations are checkpointed
+            # inside; the corpus-sized postings composition stays LAZY
+            # over the materialized prior (re-materializing it per day
+            # is O(corpus) daily — the ExactSubstr delta lesson);
+            # df/stats are vocabulary-/row-sized and compose LAZILY too
+            # (r13 verdict task 2): checkpointing them cost one driver
+            # job each per day, pure constant; the day-2 compact below
+            # materializes the chain
+            t2, d2, s2 = retr_ops.bm25_raw_index_upsert(
+                state["tdc_dl"], state["df_t"], state["stats"], bdf,
+                delta=True,
             )
+            state["tdc_dl"], state["df_t"], state["stats"] = t2, d2, s2
+            state["day"] = state.get("day", 0) + 1
+            if state["day"] == 2:
+                # mid-loop compaction cadence (bm25_raw_index_compact):
+                # materialize the composed postings chain — semantics-
+                # invisible by law (tests/test_retrieval_spans.py), the
+                # replay's hashes are unchanged with or without this
+                # line
+                state["tdc_dl"], state["df_t"], state["stats"] = (
+                    retr_ops.bm25_raw_index_compact(
+                        state["tdc_dl"], state["df_t"], state["stats"]
+                    )
+                )
+
+        # screen write ∥ upsert checkpoints (+ day-2 compact): the
+        # day's decisions job and the index-delta materializations are
+        # independent once bdf is checkpointed — both read only the
+        # prior state's materialized relations — so they back-fill each
+        # other's straggler tails (guide §2.6) instead of running the
+        # per-day job chain end to end
+        overlap_jobs(
+            lambda: scr.write.mode("append").parquet(out),
+            _upsert,
+        )
 
     with _replay_conf(spark, partitions=8):
         q = (
