@@ -2850,6 +2850,35 @@ _IVF_PQ_RERANK_SQL = pq_ops.ivf_pq_rerank_topk_sql(
 )
 
 
+def _pq_codebooks_fixture(spark: SparkSession, sf_dir: str) -> list:
+    """The trained PQ codebooks as a session-persisted index artifact —
+    the index-entry pricing rule (SCALE.md r13: expensive index BUILDS
+    belong in the persisted-artifact phase; the entry prices the
+    query/read path) applied to PQ training, which is the offline
+    build phase of a deployed PQ index (FAISS trains codebooks once,
+    then every query encodes/scores against them). One pq_train pass
+    per (session, sf_dir) now serves all three PQ entries — the same
+    sharing the recall/ranking reports already do through
+    _ann_tier_fixture. JSON round-trips Python doubles exactly
+    (repr-based float serialization), so the codebook literal is
+    bit-identical to an inline training pass."""
+    import json as _json
+    import os
+
+    from fdp_dynamically_controlled_streams_spark.sources.registry import (
+        cached_fixture,
+    )
+
+    def build(p: str) -> None:
+        e = _t(spark, sf_dir, "embeddings")
+        with open(os.path.join(p, "codebooks.json"), "w") as fh:
+            _json.dump(pq_ops.pq_train(e, m=4, k=16), fh)
+
+    root = cached_fixture("pq_codebooks", sf_dir, build)
+    with open(os.path.join(root, "codebooks.json")) as fh:
+        return _json.load(fh)
+
+
 def _pq_extra_tiers(emb: DataFrame) -> list:
     """The three PQ tiers for the recall/ranking reports, built off ONE
     shared pq_train pass (the codebook literal is identical across tiers,
@@ -2892,7 +2921,10 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     complement to the IVF pruning tier; ADC cells integerized to
     micro-units so pair distances are order-independent bigint sums."""
     e = _t(spark, sf_dir, "embeddings")
-    return pq_ops.pq_adc_topk(e, _PROBE_IDS, k_nn=5, m=4, k_codes=16)
+    return pq_ops.pq_adc_topk(
+        e, _PROBE_IDS, k_nn=5, m=4, k_codes=16,
+        cbs=_pq_codebooks_fixture(spark, sf_dir),
+    )
 
 
 @query(
@@ -2910,7 +2942,7 @@ def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "embeddings")
     return pq_ops.ivf_pq_topk(
         e, _PROBE_IDS, k_nn=5, n_cells=_IVF_CELLS, n_probe=_IVF_PROBE,
-        m=4, k_codes=16,
+        m=4, k_codes=16, cbs=_pq_codebooks_fixture(spark, sf_dir),
     )
 
 
@@ -2931,6 +2963,7 @@ def ann_ivf_pq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_ops.ivf_pq_rerank_topk(
         e, _PROBE_IDS, k_nn=5, shortlist=20, n_cells=_IVF_CELLS,
         n_probe=_IVF_PROBE, m=4, k_codes=16,
+        cbs=_pq_codebooks_fixture(spark, sf_dir),
     )
 
 
