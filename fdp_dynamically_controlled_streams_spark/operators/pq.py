@@ -110,6 +110,45 @@ def _sq_dist_expr(a: str, b: str) -> str:
     )
 
 
+def _codes_expr(m: int) -> str:
+    """SQL expr: the m PQ code ids (argmin sub-space distance, ties to the
+    lowest code id) for a row carrying ``subs`` (m sub-vectors) and ``cb``
+    (the codebook literal). Shared verbatim by the inline encode passes
+    (pq_adc_topk / ivf_pq_topk) and the persisted-index build
+    (ivf_pq_index_write), so the at-rest codes are bit-identical to an
+    inline encode."""
+    return (
+        f"transform(sequence(0, {m - 1}), s ->"
+        f" CAST(array_position("
+        f"   transform(element_at(cb, s + 1),"
+        f"             c -> {_sq_dist_expr('element_at(subs, s + 1)', 'c')}),"
+        f"   array_min(transform(element_at(cb, s + 1),"
+        f"             c -> {_sq_dist_expr('element_at(subs, s + 1)', 'c')}))"
+        f" ) - 1 AS INT))"
+    )
+
+
+def _dtab_expr(m: int) -> str:
+    """SQL expr: a probe's (m x k) ADC lookup table in micro-units, for a
+    row carrying ``subs`` and ``cb`` — shared by every ADC scorer."""
+    return (
+        f"transform(sequence(0, {m - 1}), s ->"
+        f" transform(element_at(cb, s + 1), c ->"
+        f"   CAST(round(round({_sq_dist_expr('element_at(subs, s + 1)', 'c')}, 6)"
+        f"        * 1000000, 0) AS BIGINT)))"
+    )
+
+
+def _adc_expr(m: int) -> str:
+    """SQL expr: the ADC distance — m integer lookups of ``codes`` into
+    ``dtab``, order-independent BIGINT sum."""
+    return (
+        f"aggregate(sequence(0, {m - 1}), CAST(0 AS BIGINT),"
+        f" (acc, s) -> acc + element_at(element_at(dtab, s + 1),"
+        f"                              element_at(codes, s + 1) + 1))"
+    )
+
+
 def pq_train(
     embeddings: DataFrame,
     m: int = 4,
@@ -197,6 +236,7 @@ def pq_adc_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     cbs: list[list[list[float]]] | None = None,
+    codes: DataFrame | None = None,
 ) -> DataFrame:
     """PQ-ADC top-``k_nn`` (squared-L2) per probe, self excluded: encode
     the corpus to m codes map-side from the trained codebook literal,
@@ -204,7 +244,11 @@ def pq_adc_topk(
     broadcast(probes) x codes join with per-pair cost m integer lookups.
     ``cbs`` lets a caller reuse one :func:`pq_train` result across tiers
     (the recall/ranking reports score three PQ tiers off one training
-    pass). Returns (probe_id, cand_id, adc_dist, rank)."""
+    pass); ``codes`` lets it score against a PERSISTED (cand_id, codes)
+    encode (:func:`ivf_pq_index_write`) instead of re-encoding the
+    corpus per query — the scan side then reads codes, not vectors,
+    exactly the at-rest shape the module docstring prices. Returns
+    (probe_id, cand_id, adc_dist, rank)."""
     if cbs is None:
         cbs = pq_train(embeddings, m=m, k=k_codes, id_col=id_col, vec_col=vec_col)
     sub = len(cbs[0][0])
@@ -213,26 +257,17 @@ def pq_adc_topk(
         F.col(id_col).alias("id"),
         F.expr(_subs_expr(vec_col, m, sub)).alias("subs"),
     ).withColumn("cb", F.lit(cbs))
-    enc = base.select(
-        F.col("id").alias("cand_id"),
-        F.expr(
-            f"transform(sequence(0, {m - 1}), s ->"
-            f" CAST(array_position("
-            f"   transform(element_at(cb, s + 1),"
-            f"             c -> {_sq_dist_expr('element_at(subs, s + 1)', 'c')}),"
-            f"   array_min(transform(element_at(cb, s + 1),"
-            f"             c -> {_sq_dist_expr('element_at(subs, s + 1)', 'c')}))"
-            f" ) - 1 AS INT))"
-        ).alias("codes"),
+    enc = (
+        base.select(
+            F.col("id").alias("cand_id"),
+            F.expr(_codes_expr(m)).alias("codes"),
+        )
+        if codes is None
+        else codes
     )
     probes = base.where(F.col("id").isin(probe_ids)).select(
         F.col("id").alias("probe_id"),
-        F.expr(
-            f"transform(sequence(0, {m - 1}), s ->"
-            f" transform(element_at(cb, s + 1), c ->"
-            f"   CAST(round(round({_sq_dist_expr('element_at(subs, s + 1)', 'c')}, 6)"
-            f"        * 1000000, 0) AS BIGINT)))"
-        ).alias("dtab"),
+        F.expr(_dtab_expr(m)).alias("dtab"),
     )
     pairs = (
         F.broadcast(probes)
@@ -240,11 +275,7 @@ def pq_adc_topk(
         .select(
             "probe_id",
             "cand_id",
-            F.expr(
-                f"aggregate(sequence(0, {m - 1}), CAST(0 AS BIGINT),"
-                f" (acc, s) -> acc + element_at(element_at(dtab, s + 1),"
-                f"                              element_at(codes, s + 1) + 1))"
-            ).alias("dist_micro"),
+            F.expr(_adc_expr(m)).alias("dist_micro"),
         )
     )
     w = Window.partitionBy("probe_id").orderBy(
@@ -381,24 +412,11 @@ def ivf_pq_topk(
     ).withColumn("cb", F.lit(cbs))
     enc = base.select(
         F.col("id").alias("cand_id"),
-        F.expr(
-            f"transform(sequence(0, {m - 1}), s ->"
-            f" CAST(array_position("
-            f"   transform(element_at(cb, s + 1),"
-            f"             c -> {_sq_dist_expr('element_at(subs, s + 1)', 'c')}),"
-            f"   array_min(transform(element_at(cb, s + 1),"
-            f"             c -> {_sq_dist_expr('element_at(subs, s + 1)', 'c')}))"
-            f" ) - 1 AS INT))"
-        ).alias("codes"),
+        F.expr(_codes_expr(m)).alias("codes"),
     )
     probes = base.where(F.col("id").isin(probe_ids)).select(
         F.col("id").alias("probe_id"),
-        F.expr(
-            f"transform(sequence(0, {m - 1}), s ->"
-            f" transform(element_at(cb, s + 1), c ->"
-            f"   CAST(round(round({_sq_dist_expr('element_at(subs, s + 1)', 'c')}, 6)"
-            f"        * 1000000, 0) AS BIGINT)))"
-        ).alias("dtab"),
+        F.expr(_dtab_expr(m)).alias("dtab"),
     )
     # candidate set: corpus rows in the probe's probed cells only
     cand = (
@@ -413,11 +431,123 @@ def ivf_pq_topk(
         .select(
             "probe_id",
             "cand_id",
-            F.expr(
-                f"aggregate(sequence(0, {m - 1}), CAST(0 AS BIGINT),"
-                f" (acc, s) -> acc + element_at(element_at(dtab, s + 1),"
-                f"                              element_at(codes, s + 1) + 1))"
-            ).alias("dist_micro"),
+            F.expr(_adc_expr(m)).alias("dist_micro"),
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("dist_micro").asc(), F.col("cand_id").asc()
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k_nn)
+        .select(
+            "probe_id",
+            "cand_id",
+            (F.col("dist_micro") / F.lit(1000000.0)).alias("adc_dist"),
+            "rank",
+        )
+    )
+
+
+def ivf_pq_index_write(
+    embeddings: DataFrame,
+    path: str,
+    n_cells: int = 8,
+    m: int = 4,
+    k_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cbs: list[list[list[float]]] | None = None,
+) -> None:
+    """Materialize the IVF-PQ index — the cell-ASSIGNED, PQ-ENCODED
+    corpus (cand_id, codes, cell), written PARTITIONED BY cell — the
+    at-rest layout both IVF-PQ docstrings price ("the corpus at rest is
+    cell-partitioned 2-byte codes") made an actual persisted artifact,
+    exactly :func:`similarity.ivf_index_write`'s index-once / query-many
+    split with the code column bucketed alongside the cell.  The encode
+    uses the same ``_codes_expr`` the inline paths use, so the persisted
+    codes are bit-identical to a per-query encode."""
+    from fdp_dynamically_controlled_streams_spark.operators.similarity import (
+        ivf_partition,
+    )
+
+    if cbs is None:
+        cbs = pq_train(embeddings, m=m, k=k_codes, id_col=id_col, vec_col=vec_col)
+    sub = len(cbs[0][0])
+    assigned, _ = ivf_partition(embeddings, [], n_cells, 1, id_col, vec_col)
+    (
+        assigned.select(
+            "cand_id",
+            "cell",
+            F.expr(_subs_expr("cand_vec", m, sub)).alias("subs"),
+        )
+        .withColumn("cb", F.lit(cbs))
+        .select("cand_id", "cell", F.expr(_codes_expr(m)).alias("codes"))
+        .write.partitionBy("cell")
+        .mode("overwrite")
+        .parquet(f"{path}/codes")
+    )
+
+
+def ivf_pq_topk_from_index(
+    spark,
+    path: str,
+    embeddings: DataFrame,
+    probe_ids: list[int],
+    k_nn: int = 5,
+    n_cells: int = 8,
+    n_probe: int = 2,
+    m: int = 4,
+    k_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cbs: list[list[list[float]]] | None = None,
+) -> DataFrame:
+    """Query phase of IVF-PQ against an index written by
+    :func:`ivf_pq_index_write` (the :func:`similarity.ivf_topk_from_index`
+    read discipline applied to the PQ composition): probe cell-ranking
+    recomputes against the collected centroid literal, the candidate scan
+    reads ONLY the probes' cell= directories of the persisted 2-byte
+    codes via a static partition filter — never a float vector — and ADC
+    scores them with m integer lookups.  Value-identical to
+    :func:`ivf_pq_topk` on the same corpus (the persisted codes are the
+    same ``_codes_expr`` encode; parquet round-trips ints exactly)."""
+    from fdp_dynamically_controlled_streams_spark.operators.similarity import (
+        ivf_partition,
+    )
+
+    if cbs is None:
+        cbs = pq_train(embeddings, m=m, k=k_codes, id_col=id_col, vec_col=vec_col)
+    sub = len(cbs[0][0])
+    _, probe_cells = ivf_partition(
+        embeddings, probe_ids, n_cells, n_probe, id_col, vec_col,
+        probe_only=True,
+    )
+    probe_cells = probe_cells.localCheckpoint()  # computed once: filter + join
+    cell_union = sorted(
+        {int(r[0]) for r in probe_cells.select("cell").distinct().collect()}
+    )
+    enc = spark.read.parquet(f"{path}/codes").where(
+        F.col("cell").isin(cell_union)
+    )
+    probes = (
+        embeddings.where(F.col(id_col).isin(probe_ids))
+        .select(
+            F.col(id_col).alias("probe_id"),
+            F.expr(_subs_expr(vec_col, m, sub)).alias("subs"),
+        )
+        .withColumn("cb", F.lit(cbs))
+        .select("probe_id", F.expr(_dtab_expr(m)).alias("dtab"))
+    )
+    pairs = (
+        F.broadcast(probe_cells.select("probe_id", "cell"))
+        .join(enc, "cell")
+        .where(F.col("probe_id") != F.col("cand_id"))
+        .join(F.broadcast(probes), "probe_id")
+        .select(
+            "probe_id",
+            "cand_id",
+            F.expr(_adc_expr(m)).alias("dist_micro"),
         )
     )
     w = Window.partitionBy("probe_id").orderBy(
@@ -546,6 +676,8 @@ def ivf_pq_rerank_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     cbs: list[list[list[float]]] | None = None,
+    spark=None,
+    index_path: str | None = None,
 ) -> DataFrame:
     """Two-stage retrieval — the standard production ANN serving shape:
     IVF-PQ ADC produces a cheap ``shortlist`` of candidates per probe
@@ -564,10 +696,21 @@ def ivf_pq_rerank_topk(
     Returns (probe_id, cand_id, score, rank) — same schema as
     ``brute_force_topk``, so recall vs the exact tier is directly
     comparable."""
-    short = ivf_pq_topk(
-        embeddings, probe_ids, k_nn=shortlist, n_cells=n_cells,
-        n_probe=n_probe, m=m, k_codes=k_codes, id_col=id_col, vec_col=vec_col,
-        cbs=cbs,
+    # ``index_path`` (with ``spark``): shortlist from the PERSISTED
+    # cell-partitioned codes (ivf_pq_index_write) instead of re-encoding
+    # the corpus per query — value-identical (same _codes_expr encode).
+    short = (
+        ivf_pq_topk_from_index(
+            spark, index_path, embeddings, probe_ids, k_nn=shortlist,
+            n_cells=n_cells, n_probe=n_probe, m=m, k_codes=k_codes,
+            id_col=id_col, vec_col=vec_col, cbs=cbs,
+        )
+        if index_path is not None
+        else ivf_pq_topk(
+            embeddings, probe_ids, k_nn=shortlist, n_cells=n_cells,
+            n_probe=n_probe, m=m, k_codes=k_codes, id_col=id_col,
+            vec_col=vec_col, cbs=cbs,
+        )
     ).select("probe_id", "cand_id")
     from fdp_dynamically_controlled_streams_spark.functions.vectors import cosine
 

@@ -2879,6 +2879,27 @@ def _pq_codebooks_fixture(spark: SparkSession, sf_dir: str) -> list:
         return _json.load(fh)
 
 
+def _ivf_pq_index_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """The persisted IVF-PQ index (cell-partitioned 2-byte codes,
+    pq_ops.ivf_pq_index_write) — the at-rest layout the IVF-PQ entries'
+    docstrings price, built once per (session, sf_dir) off the shared
+    codebook fixture; the three PQ entries read codes, never re-encode
+    the corpus per query."""
+    from fdp_dynamically_controlled_streams_spark.sources.registry import (
+        cached_fixture,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    cbs = _pq_codebooks_fixture(spark, sf_dir)
+    return cached_fixture(
+        "ivf_pq_index",
+        sf_dir,
+        lambda p: pq_ops.ivf_pq_index_write(
+            e, p, n_cells=_IVF_CELLS, m=4, k_codes=16, cbs=cbs
+        ),
+    )
+
+
 def _pq_extra_tiers(emb: DataFrame) -> list:
     """The three PQ tiers for the recall/ranking reports, built off ONE
     shared pq_train pass (the codebook literal is identical across tiers,
@@ -2921,9 +2942,11 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     complement to the IVF pruning tier; ADC cells integerized to
     micro-units so pair distances are order-independent bigint sums."""
     e = _t(spark, sf_dir, "embeddings")
+    idx = _ivf_pq_index_fixture(spark, sf_dir)
     return pq_ops.pq_adc_topk(
         e, _PROBE_IDS, k_nn=5, m=4, k_codes=16,
         cbs=_pq_codebooks_fixture(spark, sf_dir),
+        codes=spark.read.parquet(f"{idx}/codes").select("cand_id", "codes"),
     )
 
 
@@ -2940,8 +2963,9 @@ def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     is cell-partitioned 2-byte codes (operators/pq.py::ivf_pq_topk;
     coarse stage shared verbatim with ann_ivf_topk via ivf_partition)."""
     e = _t(spark, sf_dir, "embeddings")
-    return pq_ops.ivf_pq_topk(
-        e, _PROBE_IDS, k_nn=5, n_cells=_IVF_CELLS, n_probe=_IVF_PROBE,
+    return pq_ops.ivf_pq_topk_from_index(
+        spark, _ivf_pq_index_fixture(spark, sf_dir), e, _PROBE_IDS,
+        k_nn=5, n_cells=_IVF_CELLS, n_probe=_IVF_PROBE,
         m=4, k_codes=16, cbs=_pq_codebooks_fixture(spark, sf_dir),
     )
 
@@ -2964,6 +2988,7 @@ def ann_ivf_pq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         e, _PROBE_IDS, k_nn=5, shortlist=20, n_cells=_IVF_CELLS,
         n_probe=_IVF_PROBE, m=4, k_codes=16,
         cbs=_pq_codebooks_fixture(spark, sf_dir),
+        spark=spark, index_path=_ivf_pq_index_fixture(spark, sf_dir),
     )
 
 

@@ -195,3 +195,75 @@ def test_rerank_scores_exact_and_monotone(spark):
     scores = [r.score for r in by_rank]
     assert scores == sorted(scores, reverse=True)
     assert [r.rank for r in by_rank] == list(range(1, len(out) + 1))
+
+
+def test_ivf_pq_index_from_index_parity_and_pruning(spark, tmp_path):
+    """The persisted IVF-PQ index (ivf_pq_index_write: cell-partitioned
+    codes) must (1) answer value-identically to the inline encode for
+    the ADC, IVF-PQ and rerank tiers, (2) physically list only the
+    probed cell= directories, and (3) carry a PartitionFilters entry on
+    cell — the similarity.ivf_index_write discipline applied to the PQ
+    composition."""
+    from fdp_dynamically_controlled_streams_spark.operators.pq import (
+        ivf_pq_index_write,
+        ivf_pq_rerank_topk,
+        ivf_pq_topk,
+        ivf_pq_topk_from_index,
+    )
+    from fdp_dynamically_controlled_streams_spark.operators.similarity import (
+        ivf_partition,
+    )
+    from fdp_dynamically_controlled_streams_spark.plans.audit import (
+        explain_str,
+    )
+
+    df = _emb(spark, _blobs(96, 16), 16)
+    probes = [0, 1, 2, 3]
+    path = str(tmp_path / "ivfpq")
+    cbs = pq_train(df, m=4, k=8)
+    ivf_pq_index_write(df, path, n_cells=4, m=4, k_codes=8, cbs=cbs)
+
+    got = ivf_pq_topk_from_index(
+        spark, path, df, probes, k_nn=5, n_cells=4, n_probe=2, m=4,
+        k_codes=8, cbs=cbs,
+    )
+    want = ivf_pq_topk(
+        df, probes, k_nn=5, n_cells=4, n_probe=2, m=4, k_codes=8, cbs=cbs
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+
+    # persisted codes equal the inline encode for the plain ADC tier too
+    codes = spark.read.parquet(f"{path}/codes").select("cand_id", "codes")
+    adc_a = pq_adc_topk(df, probes, k_nn=5, m=4, k_codes=8, cbs=cbs)
+    adc_b = pq_adc_topk(
+        df, probes, k_nn=5, m=4, k_codes=8, cbs=cbs, codes=codes
+    )
+    assert sorted(map(tuple, adc_a.collect())) == sorted(
+        map(tuple, adc_b.collect())
+    )
+
+    # rerank via the persisted shortlist
+    rr_a = ivf_pq_rerank_topk(
+        df, probes, k_nn=3, shortlist=10, n_cells=4, n_probe=2, m=4,
+        k_codes=8, cbs=cbs,
+    )
+    rr_b = ivf_pq_rerank_topk(
+        df, probes, k_nn=3, shortlist=10, n_cells=4, n_probe=2, m=4,
+        k_codes=8, cbs=cbs, spark=spark, index_path=path,
+    )
+    assert sorted(map(tuple, rr_a.collect())) == sorted(
+        map(tuple, rr_b.collect())
+    )
+
+    # scan bounded by the probed cell union; static partition filter
+    _, pc = ivf_partition(df, probes, 4, 2, probe_only=True)
+    probed = {int(r.cell) for r in pc.select("cell").distinct().collect()}
+    touched = {
+        int(f.split("cell=")[1].split("/")[0]) for f in got.inputFiles()
+    }
+    assert touched and touched <= probed, (touched, probed)
+    plan = explain_str(got, "formatted")
+    assert "PartitionFilters" in plan
+    assert "cell" in plan.split("PartitionFilters", 1)[1][:300]
