@@ -7971,6 +7971,18 @@ def retrieval_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = retr_ops.tfidf_dot_topk_from_index(
         spark, _tfidf_index(spark, sf_dir), qdocs, k=10
     ).select("query_id", "doc_id", "rank")
+    # each rank table feeds the RRF fusion AND its own metric row; a
+    # SEQUENTIAL checkpoint of the two measured slower than the lazy
+    # duplicate subtrees (r14 rejected A/B #4), but checkpointing them
+    # CONCURRENTLY (overlap_jobs — guide §2.6) beats both: interleaved
+    # 5-round A/B 4.41 s lazy vs 3.31 s overlapped, every round in the
+    # same order
+    box: dict[str, DataFrame] = {}
+    overlap_jobs(
+        lambda: box.__setitem__("a", a.localCheckpoint()),
+        lambda: box.__setitem__("b", b.localCheckpoint()),
+    )
+    a, b = box["a"], box["b"]
     f = retr_ops.rrf_fuse([a, b], topk=10).select("query_id", "doc_id", "rank")
     return retr_ops.retrieval_quality_report(
         {"bm25": a, "tfidf": b, "rrf": f}, qrels, panel
